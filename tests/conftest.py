@@ -1,0 +1,40 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so the
+multi-chip sharding paths are exercised hermetically (the driver validates
+the real multi-chip path separately via __graft_entry__.dryrun_multichip)."""
+
+import os
+import subprocess
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def temp_repo(tmp_path):
+    """A real throwaway git repo with one initial commit (the reference's
+    integration tier never mocks git — SURVEY §4.2)."""
+    repo_dir = tmp_path / "repo"
+    repo_dir.mkdir()
+    _git(repo_dir, "init", "-b", "main")
+    _git(repo_dir, "config", "user.email", "test@example.com")
+    _git(repo_dir, "config", "user.name", "Test User")
+    (repo_dir / "README.md").write_text("hello\n")
+    _git(repo_dir, "add", ".")
+    _git(repo_dir, "commit", "-m", "initial commit")
+    return str(repo_dir)
+
+
+def _git(cwd, *args):
+    env = dict(os.environ, GIT_TERMINAL_PROMPT="0", LC_ALL="C")
+    subprocess.run(["git", "-C", str(cwd), *args], check=True,
+                   capture_output=True, env=env)
+
+
+@pytest.fixture()
+def git():
+    """Helper to run raw git commands in tests."""
+    return _git

@@ -1,0 +1,58 @@
+"""ctypes loader for the native C++ gitcore (`libwgitcore.so`).
+
+The native library accelerates the hot, frequently-polled paths (the 5 s
+ref-fingerprint reconciliation, loose-ref parsing). Build with
+`make -C native`. Every entry point has a pure-Python fallback in the
+calling module, so the package works without the .so.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidates = [
+        os.path.join(here, "native", "libwgitcore.so"),
+        os.path.join(here, "libwgitcore.so"),
+    ]
+    env = os.environ.get("WGIT_NATIVE_LIB")
+    if env:
+        candidates.insert(0, env)
+    for path in candidates:
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+                lib.wgit_ref_fingerprint.argtypes = [
+                    ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t]
+                lib.wgit_ref_fingerprint.restype = ctypes.c_int
+                _LIB = lib
+                break
+            except OSError:
+                continue
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def ref_fingerprint(git_dir: str, common_dir: str) -> Optional[str]:
+    lib = _lib()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(64)
+    rc = lib.wgit_ref_fingerprint(git_dir.encode(), common_dir.encode(), buf, 64)
+    if rc != 0:
+        return None
+    return buf.value.decode()

@@ -1,0 +1,109 @@
+"""Working-dir status classification + stage/unstage.
+
+Capability parity with reference src/git/status.rs: the four-bucket
+`WorkingDirStatus`, a pure classifier over raw status records, and the
+stage/unstage ops with their new-file/deleted-file special cases.
+"""
+
+from __future__ import annotations
+
+from .cli import run_git
+from .repo import GitRepo
+from .types import FileStatus, StatusEntry, WorkingDirStatus
+
+_STATUS_MAP = {
+    "M": FileStatus.MODIFIED,
+    "A": FileStatus.ADDED,
+    "D": FileStatus.DELETED,
+    "R": FileStatus.RENAMED,
+    "C": FileStatus.RENAMED,
+    "T": FileStatus.TYPECHANGE,
+}
+
+
+def working_dir_status_from_porcelain(records: list[str]) -> WorkingDirStatus:
+    """Pure classifier over `status --porcelain=v2 -z` records (the free-fn
+    analog of reference status.rs:75 so it unit-tests without a repo)."""
+    st = WorkingDirStatus()
+    i = 0
+    while i < len(records):
+        rec = records[i]
+        i += 1
+        if not rec:
+            continue
+        kind = rec[0]
+        if kind == "?":
+            st.untracked.append(StatusEntry(rec[2:], FileStatus.UNTRACKED))
+        elif kind == "!":
+            pass  # ignored
+        elif kind == "u":
+            parts = rec.split(" ", 10)
+            if len(parts) >= 11:
+                st.conflicted.append(StatusEntry(parts[10], FileStatus.CONFLICTED))
+        elif kind == "1":
+            parts = rec.split(" ", 8)
+            if len(parts) < 9:
+                continue
+            xy, path = parts[1], parts[8]
+            x, y = xy[0], xy[1]
+            if x != ".":
+                st.staged.append(StatusEntry(path, _STATUS_MAP.get(x, FileStatus.MODIFIED)))
+            if y != ".":
+                st.unstaged.append(StatusEntry(path, _STATUS_MAP.get(y, FileStatus.MODIFIED)))
+        elif kind == "2":
+            # Rename: record is "2 XY sub mH mI mW hH hI Xscore path", the
+            # original path follows as the next NUL-separated record.
+            parts = rec.split(" ", 9)
+            if len(parts) < 10:
+                continue
+            xy, path = parts[1], parts[9]
+            orig = records[i] if i < len(records) else None
+            i += 1
+            x, y = xy[0], xy[1]
+            if x != ".":
+                st.staged.append(StatusEntry(path, FileStatus.RENAMED, orig_path=orig))
+            if y != ".":
+                st.unstaged.append(StatusEntry(path, _STATUS_MAP.get(y, FileStatus.MODIFIED)))
+    return st
+
+
+def status(repo: GitRepo, exclude_submodules: bool = True,
+           include_untracked: bool = True) -> WorkingDirStatus:
+    """Full status query (reference: status.rs:131 — include_untracked +
+    recurse_untracked_dirs + exclude_submodules). exclude_submodules is the
+    load-bearing default: it is one of the three layers keeping a giant
+    submodule from stalling the parent (SURVEY §5 invariant #4)."""
+    args = ["status", "--porcelain=v2", "-z"]
+    args.append("--untracked-files=all" if include_untracked else "--untracked-files=no")
+    if exclude_submodules:
+        args.append("--ignore-submodules=all")
+    out = run_git(repo.root, *args, check=False)
+    if not out.ok:
+        return WorkingDirStatus()
+    return working_dir_status_from_porcelain(out.stdout.split("\x00"))
+
+
+def stage_file(repo: GitRepo, path: str) -> None:
+    """Stage one path — `add` for edits/new files, removal staged for
+    deletions (reference: status.rs:153; `git add -A` covers both)."""
+    run_git(repo.root, "add", "-A", "--", path)
+
+
+def stage_all(repo: GitRepo) -> None:
+    run_git(repo.root, "add", "-A", ".")
+
+
+def unstage_file(repo: GitRepo, path: str) -> None:
+    """Unstage one path — newly-added files are removed from the index,
+    others reset to HEAD (reference: status.rs:181)."""
+    if run_git(repo.root, "rev-parse", "--verify", "-q", "HEAD", check=False).ok:
+        run_git(repo.root, "reset", "-q", "HEAD", "--", path, check=False)
+    else:
+        run_git(repo.root, "rm", "--cached", "-q", "--", path, check=False)
+
+
+def unstage_all(repo: GitRepo) -> None:
+    if run_git(repo.root, "rev-parse", "--verify", "-q", "HEAD", check=False).ok:
+        run_git(repo.root, "reset", "-q", "HEAD", "--", ".", check=False)
+    else:
+        run_git(repo.root, "rm", "--cached", "-q", "-r", "--", ".", check=False)
