@@ -1,0 +1,160 @@
+"""Two-tier refresh workers (invariant #2: different *spawns*, not just
+different debounces).
+
+Capability parity with reference src/git_async.rs: `spawn_status_refresh`
+(cheap — main + per-worktree status only, :77-145) vs
+`spawn_repo_state_refresh` (heavy — commit walk + branches + tags +
+worktrees + remotes + submodules + stashes + ahead/behind + fingerprint +
+pre-opened per-worktree repo handles + non-fatal error list, :190-323).
+Results carry the tab_id they were spawned for (invariant #5).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ..gitcore import status as gstatus
+from ..gitcore.repo import MAX_COMMITS, GitRepo, ref_fingerprint
+from ..gitcore.types import (
+    BranchTip,
+    CommitInfo,
+    StashEntry,
+    SubmoduleInfo,
+    TagInfo,
+    WorkingDirStatus,
+    WorktreeInfo,
+)
+from .proxy import EventLoopProxy
+
+__all__ = ["MAX_COMMITS", "StatusResult", "RepoStateResult",
+           "spawn_status_refresh", "spawn_repo_state_refresh"]
+
+
+@dataclass
+class StatusResult:
+    """Cheap refresh payload (reference: git_async.rs:58)."""
+
+    tab_id: int
+    # worktree path → status (the active worktree plus the staging-view one)
+    statuses: dict[str, WorkingDirStatus] = field(default_factory=dict)
+    working_diff_stats: Optional[tuple[int, int]] = None
+    errors: list[str] = field(default_factory=list)
+
+
+@dataclass
+class RepoStateResult:
+    """Heavy refresh payload (reference: git_async.rs:159)."""
+
+    tab_id: int
+    commits: list[CommitInfo] = field(default_factory=list)
+    branch_tips: list[BranchTip] = field(default_factory=list)
+    tags: list[TagInfo] = field(default_factory=list)
+    worktrees: list[WorktreeInfo] = field(default_factory=list)
+    submodules: list[SubmoduleInfo] = field(default_factory=list)
+    stashes: list[StashEntry] = field(default_factory=list)
+    remotes: list[str] = field(default_factory=list)
+    remote_urls: dict[str, str] = field(default_factory=dict)
+    current_branch: Optional[str] = None
+    head_oid: Optional[str] = None
+    repo_state: Optional[str] = None
+    ref_fingerprint: str = ""
+    # Pre-opened handles for linked worktrees so the UI thread never runs
+    # discovery itself (reference pre-opens per-worktree GitRepo handles).
+    worktree_repos: dict[str, GitRepo] = field(default_factory=dict)
+    errors: list[str] = field(default_factory=list)
+    elapsed_ms: float = 0.0
+
+
+def spawn_status_refresh(
+    repo: GitRepo, tab_id: int,
+    worktree_paths: Optional[list[str]] = None,
+    proxy: Optional[EventLoopProxy] = None,
+) -> "queue.Queue[StatusResult]":
+    """Cheap tier: working-dir status for the main workdir (+ named
+    worktrees), nothing else. Never walks commits (invariant #2)."""
+    rx: queue.Queue[StatusResult] = queue.Queue(maxsize=1)
+    paths = list(worktree_paths or [])
+
+    def worker():
+        result = StatusResult(tab_id=tab_id)
+        try:
+            if repo.workdir:
+                result.statuses[repo.workdir] = gstatus.status(repo)
+                result.working_diff_stats = repo.working_tree_diff_stats()
+            for p in paths:
+                if p == repo.workdir or not os.path.isdir(p):
+                    continue
+                try:
+                    result.statuses[p] = gstatus.status(GitRepo.open(p))
+                except Exception as exc:
+                    result.errors.append(f"status({p}): {exc}")
+        except Exception as exc:
+            result.errors.append(str(exc))
+        rx.put(result)
+        if proxy is not None:
+            proxy.send_event()
+
+    threading.Thread(target=worker, daemon=True, name="status-refresh").start()
+    return rx
+
+
+def spawn_repo_state_refresh(
+    repo: GitRepo, tab_id: int,
+    proxy: Optional[EventLoopProxy] = None,
+    max_commits: int = MAX_COMMITS,
+    include_orphans: bool = True,
+) -> "queue.Queue[RepoStateResult]":
+    """Heavy tier: the full repo metadata walk. Partial failures are folded
+    into `errors` without blanking the rest (invariant #10 feeds off this)."""
+    rx: queue.Queue[RepoStateResult] = queue.Queue(maxsize=1)
+
+    def worker():
+        t0 = time.monotonic()
+        result = RepoStateResult(tab_id=tab_id)
+
+        def guard(name, fn, default):
+            try:
+                return fn()
+            except Exception as exc:
+                result.errors.append(f"{name}: {exc}")
+                return default
+
+        result.commits = guard(
+            "commits",
+            (repo.commit_graph_with_orphans if include_orphans else repo.commit_graph),
+            [])
+        result.branch_tips = guard("branch_tips", repo.branch_tips, [])
+        result.tags = guard("tags", repo.tags, [])
+        result.worktrees = guard("worktrees", repo.worktrees, [])
+        result.submodules = guard("submodules", repo.submodules, [])
+        result.stashes = guard("stashes", repo.stashes, [])
+        result.remotes = guard("remotes", repo.remotes, [])
+        for r in result.remotes:
+            url = guard(f"remote_url({r})", lambda r=r: repo.remote_url(r), None)
+            if url:
+                result.remote_urls[r] = url
+        result.current_branch = guard("current_branch", repo.current_branch, None)
+        result.head_oid = guard("head_oid", repo.head_oid, None)
+        result.repo_state = guard("repo_state", repo.repo_state, None)
+        result.ref_fingerprint = guard(
+            "ref_fingerprint",
+            lambda: ref_fingerprint(repo.git_dir, repo.common_dir), "")
+        for wt in result.worktrees:
+            if wt.is_main or not os.path.isdir(wt.path):
+                continue
+            handle = guard(f"worktree_open({wt.name})",
+                           lambda p=wt.path: GitRepo.open(p), None)
+            if handle is not None:
+                result.worktree_repos[wt.path] = handle
+        result.elapsed_ms = (time.monotonic() - t0) * 1000.0
+        rx.put(result)
+        if proxy is not None:
+            proxy.send_event()
+
+    threading.Thread(target=worker, daemon=True, name="state-refresh").start()
+    return rx
