@@ -10,6 +10,13 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The env var alone is NOT enough in this environment: the axon TPU plugin
+# registers itself regardless and grabs the backend, silently sending every
+# test's compile over the TPU tunnel. jax.config is authoritative.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
