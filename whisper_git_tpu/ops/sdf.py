@@ -37,14 +37,30 @@ def _row_dist(is_seed: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(j - left, right - j)
 
 
+_ROW_BLOCK = 16
+
+
 def _edt(is_seed: jnp.ndarray) -> jnp.ndarray:
-    """Exact Euclidean distance to the nearest seed. (H, W) bool → float32."""
+    """Exact Euclidean distance to the nearest seed. (H, W) bool → float32.
+
+    The (H, H, W) min-plus intermediate is chunked over _ROW_BLOCK output
+    rows (lax.map) so peak memory stays at BLOCK·H·W instead of H²·W."""
     H, W = is_seed.shape
-    dx = jnp.minimum(_row_dist(is_seed), _BIG)
-    i = jax.lax.broadcasted_iota(jnp.float32, (H, H), 0)
-    ip = jax.lax.broadcasted_iota(jnp.float32, (H, H), 1)
-    di2 = (i - ip) ** 2                                   # (H, H)
-    d2 = jnp.min(di2[:, :, None] + (dx ** 2)[None, :, :], axis=1)
+    dx2 = jnp.minimum(_row_dist(is_seed), _BIG) ** 2      # (H, W)
+    ip = jax.lax.broadcasted_iota(jnp.float32, (1, H), 1)  # source rows
+
+    block = min(_ROW_BLOCK, H)
+    n_blocks = -(-H // block)
+    pad_h = n_blocks * block
+
+    def row_block(b):
+        i = (b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+             ).astype(jnp.float32)                        # (block, 1)
+        di2 = (i - ip) ** 2                               # (block, H)
+        return jnp.min(di2[:, :, None] + dx2[None, :, :], axis=1)  # (block, W)
+
+    d2 = jax.lax.map(row_block, jnp.arange(n_blocks))      # (n_blocks, block, W)
+    d2 = d2.reshape(pad_h, W)[:H]
     return jnp.sqrt(d2)
 
 
@@ -53,18 +69,25 @@ def signed_distance_field(coverage: jnp.ndarray, max_dist: float = 16.0
                           ) -> jnp.ndarray:
     """coverage: (H, W) float32 in [0,1] → signed distance (H, W) float32,
     positive outside the glyph, negative inside, clamped to ±max_dist."""
-    inside = coverage > 0.5
-    d_to_glyph = _edt(inside)     # 0 inside
-    d_to_bg = _edt(~inside)       # 0 outside
-    sdf = jnp.where(inside, -(d_to_bg - 0.5), d_to_glyph - 0.5)
-    return jnp.clip(sdf, -max_dist, max_dist)
+    return _sdf_impl(coverage, max_dist)
 
 
 @functools.partial(jax.jit, static_argnames=("max_dist",))
 def signed_distance_field_batch(coverage: jnp.ndarray, max_dist: float = 16.0
                                 ) -> jnp.ndarray:
-    """(B, H, W) → (B, H, W): all glyph cells in one dispatch."""
-    return jax.vmap(lambda c: signed_distance_field(c, max_dist))(coverage)
+    """(B, H, W) → (B, H, W): all glyph cells in one dispatch. Sequential
+    over cells (lax.map) — each cell already parallelizes internally, and
+    this keeps atlas-build memory flat."""
+    return jax.lax.map(
+        lambda c: _sdf_impl(c, max_dist), coverage)
+
+
+def _sdf_impl(coverage: jnp.ndarray, max_dist: float) -> jnp.ndarray:
+    inside = coverage > 0.5
+    d_to_glyph = _edt(inside)
+    d_to_bg = _edt(~inside)
+    sdf = jnp.where(inside, -(d_to_bg - 0.5), d_to_glyph - 0.5)
+    return jnp.clip(sdf, -max_dist, max_dist)
 
 
 def sdf_to_u8(sdf: jnp.ndarray, spread: float = 8.0) -> jnp.ndarray:

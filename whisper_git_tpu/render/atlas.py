@@ -1,0 +1,176 @@
+"""SDF font atlas.
+
+Capability parity with the reference's TextRenderer atlas (reference:
+docs/render_engine.md — fontdue rasterization at 2× oversample + custom
+EDT → R8 atlas, glyph metrics map, regular + bold instances). Here:
+
+  1. PIL/FreeType rasterizes ASCII 32-126 (+ common extras) from the
+     bundled DejaVu Sans at ATLAS_FONT_PX with 2× oversampling,
+  2. ops.sdf computes the exact EDT for every glyph cell in ONE batched
+     device dispatch,
+  3. the encoded u8 atlas + metrics are cached to disk keyed by font/size.
+
+The rasterizer samples the atlas bilinearly and maps SDF→coverage with a
+smoothstep whose width tracks the on-screen scale (the fwidth analog).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+ATLAS_FONT_PX = 44          # base glyph size rendered into the atlas
+OVERSAMPLE = 2              # rasterize at 2×, EDT at high res, store at 1×
+CELL = 64                   # atlas cell size in px (must fit glyph + spread)
+SPREAD = 8.0                # SDF spread in atlas pixels
+GRID_COLS = 12
+
+_CHARS = [chr(c) for c in range(32, 127)] + list("…·→✓—•")
+
+
+def _font_path(bold: bool) -> str:
+    import matplotlib
+    fdir = os.path.join(os.path.dirname(matplotlib.__file__),
+                        "mpl-data", "fonts", "ttf")
+    return os.path.join(fdir, "DejaVuSans-Bold.ttf" if bold else "DejaVuSans.ttf")
+
+
+@dataclass
+class Glyph:
+    u: int          # atlas cell origin (px)
+    v: int
+    w: int          # glyph bitmap extent inside the cell (px, atlas scale)
+    h: int
+    bearing_x: float  # quad x offset from the pen position, atlas px
+    bearing_y: float  # quad y offset from the line top, atlas px
+    advance: float    # atlas px
+
+
+@dataclass
+class FontAtlas:
+    texture: np.ndarray          # (H, W) uint8 SDF (128 = edge)
+    glyphs: dict                  # char -> Glyph
+    ascent: float                 # atlas px
+    descent: float
+    font_px: float = float(ATLAS_FONT_PX)
+    spread: float = SPREAD
+
+    def advance(self, ch: str) -> float:
+        g = self.glyphs.get(ch) or self.glyphs.get("?")
+        return g.advance if g else self.font_px * 0.6
+
+    def measure(self, s: str, size: float) -> float:
+        scale = size / self.font_px
+        return sum(self.advance(c) for c in s) * scale
+
+    def line_height(self, size: float) -> float:
+        return (self.ascent + self.descent) * (size / self.font_px) * 1.08
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    path = os.path.join(d, "whisper-git-tpu")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def build_atlas(bold: bool = False, use_cache: bool = True) -> FontAtlas:
+    from PIL import ImageFont
+
+    font_file = _font_path(bold)
+    key = hashlib.md5(
+        f"{font_file}:{ATLAS_FONT_PX}:{OVERSAMPLE}:{CELL}:{SPREAD}:"
+        f"{''.join(_CHARS)}:v2".encode()).hexdigest()[:16]
+    cache = os.path.join(_cache_dir(), f"atlas-{key}.npz")
+    if use_cache and os.path.exists(cache):
+        try:
+            z = np.load(cache, allow_pickle=True)
+            glyphs = {c: Glyph(*row) for c, row in zip(z["chars"], z["meta"])}
+            return FontAtlas(z["texture"], glyphs,
+                             float(z["ascent"]), float(z["descent"]))
+        except Exception:
+            pass
+
+    font = ImageFont.truetype(font_file, ATLAS_FONT_PX * OVERSAMPLE)
+    ascent_o, descent_o = font.getmetrics()
+    os_cell = CELL * OVERSAMPLE
+
+    coverages = []
+    records = []  # (char, w, h, bx, by, adv) at oversampled scale
+    for ch in _CHARS:
+        mask = font.getmask(ch, mode="L")
+        mw, mh = mask.size
+        bbox = font.getbbox(ch)  # (x0, y0, x1, y1) from pen/top origin
+        adv = font.getlength(ch)
+        cell = np.zeros((os_cell, os_cell), np.float32)
+        pad = int(SPREAD * OVERSAMPLE)
+        if mw > 0 and mh > 0:
+            arr = np.asarray(mask, np.float32).reshape(mh, mw) / 255.0
+            cw = min(mw, os_cell - 2 * pad)
+            chh = min(mh, os_cell - 2 * pad)
+            cell[pad:pad + chh, pad:pad + cw] = arr[:chh, :cw]
+        coverages.append(cell)
+        records.append((ch, mw, mh, bbox[0], bbox[1], adv))
+
+    # One batched EDT dispatch for every glyph cell.
+    import jax.numpy as jnp
+
+    from ..ops.sdf import sdf_to_u8, signed_distance_field_batch
+
+    batch = jnp.asarray(np.stack(coverages))
+    sdf = signed_distance_field_batch(batch, max_dist=SPREAD * OVERSAMPLE)
+    enc = np.asarray(sdf_to_u8(sdf / OVERSAMPLE, spread=SPREAD))  # distances → atlas scale
+
+    # Downsample cells to atlas scale by striding (SDF is smooth).
+    enc_small = enc[:, ::OVERSAMPLE, ::OVERSAMPLE]
+
+    n = len(_CHARS)
+    rows = (n + GRID_COLS - 1) // GRID_COLS
+    # 0 = far outside (no ink) in the 128-is-edge encoding.
+    texture = np.zeros((rows * CELL, GRID_COLS * CELL), np.uint8)
+    glyphs: dict[str, Glyph] = {}
+    pad_small = int(SPREAD)
+    for i, (ch, mw, mh, bx0, by0, adv) in enumerate(records):
+        r, c = divmod(i, GRID_COLS)
+        u, v = c * CELL, r * CELL
+        texture[v:v + CELL, u:u + CELL] = enc_small[i]
+        glyphs[ch] = Glyph(
+            u=u, v=v,
+            w=min(mw // OVERSAMPLE + 2 * pad_small, CELL),
+            h=min(mh // OVERSAMPLE + 2 * pad_small, CELL),
+            bearing_x=bx0 / OVERSAMPLE - pad_small,
+            bearing_y=by0 / OVERSAMPLE - pad_small,
+            advance=adv / OVERSAMPLE,
+        )
+    atlas = FontAtlas(texture, glyphs,
+                      ascent=ascent_o / OVERSAMPLE,
+                      descent=descent_o / OVERSAMPLE)
+    if use_cache:
+        try:
+            np.savez_compressed(
+                cache, texture=texture,
+                chars=np.array(_CHARS, dtype=object),
+                meta=np.array([(g.u, g.v, g.w, g.h, g.bearing_x, g.bearing_y,
+                                g.advance) for g in
+                               (glyphs[c] for c in _CHARS)], np.float32),
+                ascent=atlas.ascent, descent=atlas.descent)
+        except Exception:
+            pass
+    return atlas
+
+
+class AtlasMeasurer:
+    """TextMeasurer backed by real atlas metrics (drop-in for ui.layout)."""
+
+    def __init__(self, regular: FontAtlas, bold_atlas: FontAtlas):
+        self.regular = regular
+        self.bold = bold_atlas
+
+    def width(self, s: str, size: float, bold: bool = False) -> float:
+        return (self.bold if bold else self.regular).measure(s, size)
+
+    def height(self, size: float) -> float:
+        return self.regular.line_height(size)

@@ -1,0 +1,69 @@
+"""Renderer facade: atlases + scene compiler + rasterizer in one object.
+
+The per-frame path (the analog of the reference's
+Runner::prepare + render, host.rs:471-516):
+  layout_tree → SceneCompiler.compile → render_scene → (H, W, 4) u8.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..ui.el import El
+from ..ui.layout import LayoutNode, layout_tree
+from .atlas import AtlasMeasurer, build_atlas
+from .rasterizer import render_scene
+from .scene import Scene, SceneCompiler
+
+
+class Renderer:
+    def __init__(self):
+        self.regular = build_atlas(bold=False)
+        self.bold = build_atlas(bold=True)
+        rt, bt = self.regular.texture, self.bold.texture
+        w = max(rt.shape[1], bt.shape[1])
+
+        def pad(t):
+            if t.shape[1] < w:
+                t = np.pad(t, ((0, 0), (0, w - t.shape[1])),
+                           constant_values=0)
+            return t
+
+        self.font_tex = np.concatenate([pad(rt), pad(bt)], axis=0)
+        self.compiler = SceneCompiler(self.regular, self.bold,
+                                      bold_v_offset=rt.shape[0])
+        self.measurer = AtlasMeasurer(self.regular, self.bold)
+
+    def layout(self, el: El, viewport: tuple[float, float]) -> LayoutNode:
+        return layout_tree(el, viewport, self.measurer)
+
+    def compile(self, root: LayoutNode, viewport: tuple[int, int],
+                background: tuple) -> Scene:
+        return self.compiler.compile(root, viewport, background)
+
+    def render(self, el: El, viewport: tuple[int, int],
+               background: Optional[tuple] = None) -> np.ndarray:
+        from ..ui.theme import DARK
+
+        bg = background or DARK.background
+        root = self.layout(el, viewport)
+        scene = self.compile(root, viewport, bg)
+        return render_scene(scene, self.font_tex)
+
+
+_RENDERER: Optional[Renderer] = None
+
+
+def get_renderer() -> Renderer:
+    global _RENDERER
+    if _RENDERER is None:
+        _RENDERER = Renderer()
+    return _RENDERER
+
+
+def save_png(img: np.ndarray, path: str) -> None:
+    from PIL import Image
+
+    Image.fromarray(img, "RGBA").save(path)
