@@ -1,0 +1,4 @@
+from .host.main import main
+import sys
+
+sys.exit(main())

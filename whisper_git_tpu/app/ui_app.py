@@ -1,0 +1,1679 @@
+"""WhisperApp — the application root and state machine.
+
+Capability parity with reference src/ui_app.rs: tab management, the
+15-variant modal set, 13-variant confirm actions, context menus, toasts,
+focus cycling, string-keyed action routing (handle_action, :1004), the
+once-per-frame poll loop (poll_async_ops, :3069) with its safety nets
+(30 s status net :3326, 5 s ref-fingerprint reconciliation :3355), and
+remote-op slot management with error classification and force-push
+retry (:3707-3818).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import time
+from typing import Optional
+
+from ..engine import EventLoopProxy, FsChangeKind
+from ..engine.async_ops import (
+    PushOptions,
+    RebaseOptions,
+    cherry_pick_async,
+    classify_git_error,
+    clone_async,
+    create_worktree_with_post_steps_async,
+    fetch_async,
+    merge_async,
+    merge_ff_only_async,
+    merge_no_ff_async,
+    merge_squash_async,
+    pull_async,
+    pull_rebase_async,
+    push_with_options_async,
+    rebase_with_options_async,
+    remove_submodule_async,
+    revert_async,
+    stash_apply_async,
+    stash_drop_async,
+    stash_pop_async,
+    stash_push_async,
+    worktree_remove_async,
+)
+from ..engine.dirty import DirtyCheckResult, spawn_dirty_checks
+from ..gitcore import refs as grefs
+from ..gitcore import status as gstatus
+from ..gitcore.diff import commit_diff, file_in_commit_diff, working_file_diff
+from ..gitcore.hunk import discard_hunk, stage_hunk, unstage_hunk
+from ..gitcore.repo import GitRepo
+from ..services.config import Config
+from ..ui import El, column, rect, row, stack, text
+from ..ui.theme import DARK as T
+from .repo_tab import RepoTab, TimedOp
+from .views import chrome, dialogs
+from .views.commit_details import commit_details_pane
+from .views.commit_graph import history_view
+from .views.diff import diff_view
+from .views.sidebar import sidebar as sidebar_view
+from .views.staging import staging_well, worktree_picker_overlay
+from .views.welcome import welcome_view
+from .views.widgets import ContextMenuState, MenuItem, Toast, context_menu, toasts_overlay
+
+STATUS_SAFETY_NET_SECS = 30.0   # reference: ui_app.rs:3326
+FINGERPRINT_INTERVAL_SECS = 5.0  # reference: ui_app.rs:3355
+CI_POLL_FAST_SECS = 15.0        # reference: ui_app.rs:114-127
+CI_POLL_SLOW_SECS = 300.0
+CI_FAST_WINDOW_AFTER_PUSH = 300.0
+
+
+class WhisperApp:
+    def __init__(self, config: Optional[Config] = None,
+                 proxy: Optional[EventLoopProxy] = None):
+        self.config = config or Config()
+        self.proxy = proxy
+        self.tabs: list[RepoTab] = []
+        self.active_tab = 0
+        self.focus = "graph"            # graph | sidebar | staging
+        self.focused_input = ""         # subject | body | search | modal keys
+        self.modal: Optional[tuple[str, object]] = None
+        self.context_menu: Optional[ContextMenuState] = None
+        self.worktree_picker_open = False
+        self.toasts: list[Toast] = []
+        self.diff_files = []            # currently shown diff
+        self.diff_source = "commit"
+        self.diff_title = ""
+        self.diff_open = False
+        self.clone_rx: Optional[queue.Queue] = None
+        self.dirty_q: "queue.Queue[DirtyCheckResult]" = queue.Queue()
+        self.selection_text = ""        # clipboard fallback
+        self.quit_requested = False
+        self._last_viewport = (1280.0, 800.0)
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_paths(cls, paths: list[str],
+                   config: Optional[Config] = None) -> "WhisperApp":
+        app = cls(config=config or Config.load())
+        for p in paths:
+            try:
+                app.tabs.append(RepoTab.open(p))
+                app.config.add_recent_repo(p)
+            except Exception as exc:
+                app.toast("error", f"Could not open {p}: {exc}")
+        return app
+
+    @classmethod
+    def with_tabs(cls, tabs: list[RepoTab]) -> "WhisperApp":
+        """Headless constructor with a default Config for hermetic golden
+        dumps (reference: ui_app.rs:463-465)."""
+        app = cls(config=Config())
+        app.tabs = list(tabs)
+        return app
+
+    # -- helpers -------------------------------------------------------------
+
+    def current(self) -> Optional[RepoTab]:
+        if not self.tabs:
+            return None
+        self.active_tab = min(self.active_tab, len(self.tabs) - 1)
+        return self.tabs[self.active_tab]
+
+    def toast(self, kind: str, message: str) -> None:
+        self.toasts.append(Toast(kind, message))
+        self.toasts = [t for t in self.toasts if not t.expired()][-10:]
+
+    def ci_overall_state(self, tab: RepoTab) -> Optional[str]:
+        try:
+            from ..services.ci import overall_of_results
+            return overall_of_results(tab.ci_results.values())
+        except Exception:
+            return None
+
+    def run_sync_op(self, label: str, fn) -> bool:
+        """Run a synchronous libgit-style op, toast on failure, refresh
+        (reference: run_op, ui_app.rs:4312)."""
+        tab = self.current()
+        try:
+            fn()
+        except Exception as exc:
+            self.toast("error", f"{label} failed: {exc}")
+            return False
+        if tab is not None:
+            tab.reopen_repo_handles()
+            tab.trigger_state_refresh(self.proxy)
+            tab.trigger_status_refresh(self.proxy)
+        return True
+
+    def _slot_free(self, tab: RepoTab, slot: str) -> bool:
+        """Single in-flight op per slot (reference: prepare_remote_op busy
+        check, ui_app.rs:3891)."""
+        if getattr(tab, slot) is not None:
+            self.toast("info", "An operation is already running")
+            return False
+        return True
+
+    def _wd(self, tab: RepoTab) -> str:
+        return tab.active_repo().root
+
+    # -- frame protocol ------------------------------------------------------
+
+    def before_build(self) -> None:
+        for tab in self.tabs:
+            if not tab.initial_refresh_done and tab.state_refresh_rx is None:
+                tab.trigger_state_refresh(self.proxy)
+                tab.trigger_status_refresh(self.proxy)
+        self.poll_async_ops()
+
+    def build(self, viewport: tuple[float, float]) -> El:
+        self._last_viewport = viewport
+        layers: list[El] = [self._main_layer()]
+        if self.worktree_picker_open and self.current() is not None:
+            layers.append(rect(
+                worktree_picker_overlay(self.current()),
+                width="fill", height="fill", align="center",
+                route="close-picker", key="picker-scrim"))
+        if self.context_menu is not None:
+            layers.append(context_menu(self.context_menu))
+        if self.modal is not None:
+            layers.append(self._modal_layer())
+        overlay = toasts_overlay(self.toasts)
+        if overlay is not None:
+            layers.append(overlay)
+        return stack(*layers, width="fill", height="fill", fill=T.background)
+
+    def _main_layer(self) -> El:
+        tab = self.current()
+        if tab is None:
+            return welcome_view(self.config.recent_repos)
+        rows: list[El] = [chrome.tab_bar(self)]
+        rows.append(chrome.header_bar(self, tab))
+        crumb = chrome.breadcrumb(self, tab)
+        if crumb is not None:
+            rows.append(crumb)
+        if self.config.show_shortcut_bar:
+            rows.append(chrome.shortcut_bar(self.focus))
+
+        right: El
+        view = tab.active_view()
+        if self.diff_open:
+            right = diff_view(self.diff_files, scroll_offset=tab.diff_scroll,
+                              hscroll=tab.diff_hscroll,
+                              source=self.diff_source, title=self.diff_title)
+        elif tab.selected_oid and tab.commit_detail is not None:
+            right = commit_details_pane(
+                tab, tab.commit_detail,
+                submodule_pins=self._detail_pins(tab))
+        else:
+            right = staging_well(tab, focused_input=self.focused_input,
+                                 ai_busy=tab.ai_op is not None)
+
+        body = row(
+            rect(sidebar_view(tab), width=self.config.sidebar_width,
+                 height="fill"),
+            rect(history_view(tab, show_avatars=self.config.show_avatars),
+                 flex=1, height="fill",
+                 border=T.accent if self.focus == "graph" else None,
+                 border_width=2 if self.focus == "graph" else 0),
+            rect(right, width=self.config.right_panel_width, height="fill"),
+            width="fill", flex=1, gap=1)
+        rows.append(body)
+        return column(*rows, width="fill", height="fill")
+
+    def _detail_pins(self, tab: RepoTab):
+        if tab.selected_oid is None or not tab.submodules:
+            return None
+        try:
+            return grefs.submodules_at_commit(tab.repo, tab.selected_oid)
+        except Exception:
+            return None
+
+    def _modal_layer(self) -> El:
+        kind, form = self.modal
+        tab = self.current()
+        builders = {
+            "settings": lambda: dialogs.settings_modal(self.config),
+            "open-repo": lambda: dialogs.open_repo_modal(form),
+            "confirm": lambda: dialogs.confirm_modal(form),
+            "error": lambda: dialogs.error_modal(form),
+            "clone": lambda: dialogs.clone_modal(
+                form, busy=self.clone_rx is not None),
+            "token": lambda: dialogs.token_modal(form),
+            "branch": lambda: dialogs.branch_modal(form),
+            "tag": lambda: dialogs.tag_modal(form),
+            "pull": lambda: dialogs.pull_modal(form),
+            "push": lambda: dialogs.push_modal(
+                form, tab.remotes if tab else ["origin"]),
+            "merge": lambda: dialogs.merge_modal(form),
+            "rebase": lambda: dialogs.rebase_modal(form),
+            "worktree": lambda: dialogs.worktree_modal(form),
+            "worktrees-manage": lambda: dialogs.worktrees_manage_modal(tab),
+        }
+        builder = builders.get(kind)
+        return builder() if builder else rect(width=0, height=0)
+
+    # ========================================================================
+    # Action routing (reference: handle_action, ui_app.rs:1004-1381).
+    # ========================================================================
+
+    def handle_action(self, route: str, x: float = 0.0, y: float = 0.0
+                      ) -> None:
+        if route is None:
+            return
+        head, _, arg = route.partition(":")
+        tab = self.current()
+        handler = getattr(self, f"_act_{head.replace('-', '_')}", None)
+        if handler is not None:
+            handler(arg, x, y)
+            return
+        # Fallthrough actions that need a tab.
+        if tab is None:
+            return
+        self.toast("info", f"Unhandled action: {route}")
+
+    # -- focus / navigation --------------------------------------------------
+
+    def _act_focus_graph(self, arg, x, y):
+        self.focus = "graph"
+        self.focused_input = ""
+
+    def _act_focus_sidebar(self, arg, x, y):
+        self.focus = "sidebar"
+        self.focused_input = ""
+
+    def _act_focus_staging(self, arg, x, y):
+        self.focus = "staging"
+
+    def _act_focus_staging_commit(self, arg, x, y):
+        self.focus = "staging"
+        self.focused_input = "subject"
+        tab = self.current()
+        if tab:
+            tab.select_commit(None)
+            self.diff_open = False
+
+    def _act_focus_input(self, arg, x, y):
+        self.focused_input = arg
+        if arg in ("subject", "body"):
+            self.focus = "staging"
+
+    def _act_close_menu(self, arg, x, y):
+        self.context_menu = None
+
+    def _act_close_picker(self, arg, x, y):
+        self.worktree_picker_open = False
+
+    def _act_close_modal(self, arg, x, y):
+        self.modal = None
+        self.focused_input = ""
+
+    def _act_close_diff(self, arg, x, y):
+        self.diff_open = False
+
+    def _act_close_details(self, arg, x, y):
+        tab = self.current()
+        if tab:
+            tab.select_commit(None)
+
+    def _act_noop(self, arg, x, y):
+        pass
+
+    # -- tabs ----------------------------------------------------------------
+
+    def _act_tab_select(self, arg, x, y):
+        self.active_tab = int(arg)
+        self.diff_open = False
+
+    def _act_tab_close(self, arg, x, y):
+        i = int(arg)
+        if 0 <= i < len(self.tabs):
+            tab = self.tabs.pop(i)
+            tab.stop_workers()
+            for anc in tab.nav_stack:
+                anc.stop_workers()
+            self.toast("info", f"Closed {tab.title}")
+            if self.active_tab >= len(self.tabs):
+                self.active_tab = max(0, len(self.tabs) - 1)
+
+    def open_repo(self, path: str) -> None:
+        try:
+            tab = RepoTab.open(path)
+        except Exception as exc:
+            self.modal = ("error", dialogs.ErrorState(
+                "Could not open repository", str(exc)))
+            return
+        self.tabs.append(tab)
+        self.active_tab = len(self.tabs) - 1
+        self.config.add_recent_repo(path, tab.title)
+        self.config.save()
+        self.toast("success", f"Opened {tab.title}")
+
+    def _act_open_recent(self, arg, x, y):
+        self.open_repo(arg)
+
+    # -- selection / history -------------------------------------------------
+
+    def _act_select_commit(self, arg, x, y):
+        tab = self.current()
+        if tab is None:
+            return
+        self.focus = "graph"
+        tab.select_commit(arg)
+        self.diff_open = False
+        if tab.selected_oid == arg:
+            try:
+                self.diff_files = commit_diff(tab.repo, arg)
+                self.diff_source = "commit"
+                self.diff_title = f"Commit {arg[:8]}"
+            except Exception:
+                self.diff_files = []
+
+    def _act_jump_to(self, arg, x, y):
+        self._act_select_commit(arg, x, y)
+
+    def _act_view_details(self, arg, x, y):
+        self._act_select_commit(arg, x, y)
+
+    def _act_view_commit_file(self, arg, x, y):
+        tab = self.current()
+        if tab is None or tab.selected_oid is None:
+            return
+        tab.detail_file = arg
+        try:
+            self.diff_files = file_in_commit_diff(tab.repo,
+                                                  tab.selected_oid, arg)
+            self.diff_source = "commit"
+            self.diff_title = arg
+            self.diff_open = True
+        except Exception as exc:
+            self.toast("error", f"Diff failed: {exc}")
+
+    def _act_copy_sha(self, arg, x, y):
+        self.selection_text = arg
+        try:
+            import subprocess
+            for cmd in (["wl-copy"], ["xclip", "-selection", "clipboard"]):
+                try:
+                    subprocess.run(cmd, input=arg.encode(), timeout=2,
+                                   capture_output=True)
+                    break
+                except (OSError, subprocess.TimeoutExpired):
+                    continue
+        except Exception:
+            pass
+        self.toast("success", f"Copied {arg[:12]}")
+
+    # -- sidebar -------------------------------------------------------------
+
+    def _act_sidebar_toggle(self, arg, x, y):
+        tab = self.current()
+        if tab is not None:
+            tab.sidebar_collapsed[arg] = not tab.sidebar_collapsed.get(arg,
+                                                                       False)
+
+    def _act_checkout_branch(self, arg, x, y):
+        tab = self.current()
+        if tab is None:
+            return
+        self.run_sync_op(f"Checkout {arg}",
+                         lambda: grefs.checkout_branch(tab.active_repo(), arg))
+        self.toast("success", f"Checked out {arg}")
+
+    def _act_checkout_remote(self, arg, x, y):
+        tab = self.current()
+        if tab is None:
+            return
+        if self.run_sync_op(
+                f"Checkout {arg}",
+                lambda: grefs.checkout_remote_branch(tab.active_repo(), arg)):
+            self.toast("success", f"Created tracking branch from {arg}")
+
+    def _act_select_worktree(self, arg, x, y):
+        tab = self.current()
+        if tab is not None:
+            tab.select_worktree(arg)
+
+    def _act_pick_worktree(self, arg, x, y):
+        self.worktree_picker_open = False
+        self._act_select_worktree(arg, x, y)
+
+    def _act_open_worktree_picker(self, arg, x, y):
+        self.worktree_picker_open = True
+
+    def _act_apply_stash(self, arg, x, y):
+        tab = self.current()
+        if tab is None or not self._slot_free(tab, "other_op"):
+            return
+        tab.other_op = TimedOp(stash_apply_async(self._wd(tab), arg,
+                                                 self.proxy),
+                               f"Apply {arg}", "Stash")
+
+    def _act_enter_submodule(self, arg, x, y):
+        tab = self.current()
+        if tab is None:
+            return
+        child = tab.enter_submodule(arg)
+        if child is None:
+            self.toast("error", f"Submodule {arg} is not initialized")
+            return
+        self.tabs[self.active_tab] = child
+        self.diff_open = False
+
+    def _act_exit_to_depth(self, arg, x, y):
+        tab = self.current()
+        if tab is None:
+            return
+        target = tab.exit_to_depth(int(arg))
+        if target is not None:
+            self.tabs[self.active_tab] = target
+            self.diff_open = False
+
+    def _act_switch_sibling(self, arg, x, y):
+        tab = self.current()
+        if tab is None:
+            return
+        child = tab.switch_sibling_submodule(arg)
+        if child is not None:
+            self.tabs[self.active_tab] = child
+            self.diff_open = False
+
+    # -- staging -------------------------------------------------------------
+
+    def _act_view_file(self, arg, x, y):
+        tab = self.current()
+        view = tab.active_view() if tab else None
+        if tab is None or view is None:
+            return
+        bucket, _, path = arg.partition(":")
+        view.selected_file = path
+        view.selected_staged = bucket == "staged"
+        try:
+            repo = tab.active_repo()
+            self.diff_files = working_file_diff(repo, path,
+                                                staged=(bucket == "staged"))
+            self.diff_source = "staged" if bucket == "staged" else "unstaged"
+            self.diff_title = path
+            self.diff_open = True
+            tab.select_commit(None)
+        except Exception as exc:
+            self.toast("error", f"Diff failed: {exc}")
+
+    def _act_stage_file(self, arg, x, y):
+        tab = self.current()
+        if tab:
+            self.run_sync_op(f"Stage {arg}",
+                             lambda: gstatus.stage_file(tab.active_repo(), arg))
+
+    def _act_unstage_file(self, arg, x, y):
+        tab = self.current()
+        if tab:
+            self.run_sync_op(
+                f"Unstage {arg}",
+                lambda: gstatus.unstage_file(tab.active_repo(), arg))
+
+    def _act_stage_all(self, arg, x, y):
+        tab = self.current()
+        if tab:
+            self.run_sync_op("Stage all",
+                             lambda: gstatus.stage_all(tab.active_repo()))
+
+    def _act_unstage_all(self, arg, x, y):
+        tab = self.current()
+        if tab:
+            self.run_sync_op("Unstage all",
+                             lambda: gstatus.unstage_all(tab.active_repo()))
+
+    def _act_commit(self, arg, x, y):
+        tab = self.current()
+        view = tab.active_view() if tab else None
+        if tab is None or view is None:
+            return
+        subject = view.draft_subject.strip()
+        if not subject and not view.amend_mode:
+            self.toast("error", "Commit subject is empty")
+            return
+        message = subject
+        if view.draft_body.strip():
+            message += "\n\n" + view.draft_body.strip()
+
+        def do():
+            repo = tab.active_repo()
+            if view.amend_mode:
+                grefs.amend_commit(repo, message)
+            else:
+                repo.commit(message)
+
+        if self.run_sync_op("Commit", do):
+            self.toast("success",
+                       "Amended commit" if view.amend_mode else
+                       f"Committed: {subject[:48]}")
+            view.draft_subject = ""
+            view.draft_body = ""
+            view.amend_mode = False
+            self.focused_input = "subject"  # auto-focus after commit
+
+    def _act_toggle_amend(self, arg, x, y):
+        tab = self.current()
+        view = tab.active_view() if tab else None
+        if tab is None or view is None:
+            return
+        view.amend_mode = not view.amend_mode
+        if view.amend_mode and not view.draft_subject:
+            info = grefs.full_commit_info(tab.active_repo(),
+                                          tab.active_repo().head_oid() or "")
+            if info is not None:
+                parts = info.message.split("\n\n", 1)
+                view.draft_subject = parts[0].strip()
+                view.draft_body = parts[1].strip() if len(parts) > 1 else ""
+
+    def _act_ai_generate(self, arg, x, y):
+        tab = self.current()
+        if tab is None or not self._slot_free(tab, "ai_op"):
+            return
+        from ..services.ai import spawn_generate_async
+        rx = spawn_generate_async(tab.active_repo(), self.proxy,
+                                  provider=self.config.ai_provider)
+        if rx is None:
+            self.toast("error", "Nothing staged to describe")
+            return
+        tab.ai_op = TimedOp(rx, "Generating commit message", "AI")
+
+    # -- hunk ops ------------------------------------------------------------
+
+    def _hunk_at(self, arg) -> Optional[tuple]:
+        fi, _, hi = arg.partition(":")
+        try:
+            f = self.diff_files[int(fi)]
+            return f, f.hunks[int(hi)]
+        except (ValueError, IndexError):
+            return None
+
+    def _act_stage_hunk(self, arg, x, y):
+        tab = self.current()
+        got = self._hunk_at(arg)
+        if tab is None or got is None:
+            return
+        f, hunk = got
+        res = stage_hunk(tab.active_repo(), f.path, hunk)
+        if res.success:
+            self.toast("success", "Hunk staged")
+            self._refresh_working_diff(tab, f.path, staged=False)
+        else:
+            self.toast("error", classify_git_error(res.stderr).message)
+
+    def _act_unstage_hunk(self, arg, x, y):
+        tab = self.current()
+        got = self._hunk_at(arg)
+        if tab is None or got is None:
+            return
+        f, hunk = got
+        res = unstage_hunk(tab.active_repo(), f.path, hunk)
+        if res.success:
+            self.toast("success", "Hunk unstaged")
+            self._refresh_working_diff(tab, f.path, staged=True)
+        else:
+            self.toast("error", classify_git_error(res.stderr).message)
+
+    def _act_confirm_discard_hunk(self, arg, x, y):
+        self.modal = ("confirm", dialogs.ConfirmState(
+            action="discard-hunk", title="Discard hunk?",
+            message="This permanently discards the hunk from the working "
+                    "tree. This cannot be undone.",
+            confirm_label="Discard", payload={"arg": arg}))
+
+    def _refresh_working_diff(self, tab, path, staged):
+        tab.trigger_status_refresh(self.proxy)
+        try:
+            self.diff_files = working_file_diff(tab.active_repo(), path,
+                                                staged=staged)
+            if not any(f.hunks for f in self.diff_files):
+                self.diff_open = False
+        except Exception:
+            self.diff_open = False
+
+    # -- remote ops ----------------------------------------------------------
+
+    def _act_fetch(self, arg, x, y):
+        tab = self.current()
+        if tab is None or not self._slot_free(tab, "fetch_op"):
+            return
+        tab.fetch_op = TimedOp(fetch_async(self._wd(tab), self.proxy),
+                               "Fetching", "Fetch")
+
+    def _act_push(self, arg, x, y):
+        tab = self.current()
+        if tab is None or not self._slot_free(tab, "push_op"):
+            return
+        if not tab.remotes:
+            self.modal = ("error", dialogs.ErrorState(
+                "No remotes", "Add a remote before pushing."))
+            return
+        branch = tab.current_branch
+        if branch is None:
+            self.toast("error", "Cannot push a detached HEAD")
+            return
+        local = next((t for t in tab.branch_tips
+                      if not t.is_remote and t.name == branch), None)
+        opts = PushOptions(remote=tab.remotes[0], branch=branch,
+                           set_upstream=(local is None
+                                         or local.upstream is None))
+        tab.push_op = TimedOp(
+            push_with_options_async(self._wd(tab), opts, self.proxy),
+            f"Pushing {branch}", "Push")
+
+    def _act_force_push(self, arg, x, y):
+        tab = self.current()
+        if tab is None or not self._slot_free(tab, "push_op"):
+            return
+        branch = tab.current_branch or ""
+        opts = PushOptions(remote=tab.remotes[0] if tab.remotes else "origin",
+                           branch=branch, force_with_lease=True)
+        tab.push_op = TimedOp(
+            push_with_options_async(self._wd(tab), opts, self.proxy),
+            f"Force-pushing {branch}", "Push")
+
+    def _act_open_pull_dialog(self, arg, x, y):
+        self.modal = ("pull", dialogs.PullForm())
+
+    def _act_do_pull(self, arg, x, y):
+        tab = self.current()
+        kind_form = self.modal
+        self.modal = None
+        if tab is None or not self._slot_free(tab, "pull_op"):
+            return
+        rebase = bool(kind_form and isinstance(kind_form[1], dialogs.PullForm)
+                      and kind_form[1].rebase)
+        fn = pull_rebase_async if rebase else pull_async
+        tab.pull_op = TimedOp(fn(self._wd(tab), self.proxy),
+                              "Pulling" + (" (rebase)" if rebase else ""),
+                              "Pull")
+
+    def _act_toggle_pull_rebase(self, arg, x, y):
+        if self.modal and self.modal[0] == "pull":
+            self.modal[1].rebase = not self.modal[1].rebase
+
+    # push options dialog
+    def _act_open_push_dialog(self, arg, x, y):
+        self.modal = ("push", dialogs.PushForm())
+
+    def _act_push_remote(self, arg, x, y):
+        if self.modal and self.modal[0] == "push":
+            self.modal[1].remote = arg
+
+    def _act_toggle_push_force(self, arg, x, y):
+        if self.modal and self.modal[0] == "push":
+            self.modal[1].force_with_lease = not self.modal[1].force_with_lease
+
+    def _act_toggle_push_upstream(self, arg, x, y):
+        if self.modal and self.modal[0] == "push":
+            self.modal[1].set_upstream = not self.modal[1].set_upstream
+
+    def _act_toggle_push_tags(self, arg, x, y):
+        if self.modal and self.modal[0] == "push":
+            self.modal[1].push_tags = not self.modal[1].push_tags
+
+    def _act_do_push_options(self, arg, x, y):
+        tab = self.current()
+        form = self.modal[1] if self.modal else dialogs.PushForm()
+        self.modal = None
+        if tab is None or not self._slot_free(tab, "push_op"):
+            return
+        branch = tab.current_branch or ""
+        opts = PushOptions(remote=form.remote, branch=branch,
+                           force_with_lease=form.force_with_lease,
+                           set_upstream=form.set_upstream,
+                           push_tags=form.push_tags)
+        tab.push_op = TimedOp(
+            push_with_options_async(self._wd(tab), opts, self.proxy),
+            f"Pushing {branch}", "Push")
+
+    # -- merge / rebase ------------------------------------------------------
+
+    def _act_open_merge_dialog(self, arg, x, y):
+        self.modal = ("merge", dialogs.MergeForm(branch=arg))
+
+    def _act_merge_strategy(self, arg, x, y):
+        if self.modal and self.modal[0] == "merge":
+            self.modal[1].strategy = arg
+
+    def _act_do_merge(self, arg, x, y):
+        tab = self.current()
+        form = self.modal[1] if self.modal else None
+        self.modal = None
+        if tab is None or form is None or not self._slot_free(tab, "other_op"):
+            return
+        fn = {"default": merge_async, "no-ff": merge_no_ff_async,
+              "ff-only": merge_ff_only_async,
+              "squash": merge_squash_async}[form.strategy]
+        tab.other_op = TimedOp(fn(self._wd(tab), form.branch, self.proxy),
+                               f"Merging {form.branch}", "Merge")
+
+    def _act_open_rebase_dialog(self, arg, x, y):
+        self.modal = ("rebase", dialogs.RebaseForm(onto=arg))
+
+    def _act_toggle_rebase_autostash(self, arg, x, y):
+        if self.modal and self.modal[0] == "rebase":
+            self.modal[1].autostash = not self.modal[1].autostash
+
+    def _act_toggle_rebase_merges(self, arg, x, y):
+        if self.modal and self.modal[0] == "rebase":
+            self.modal[1].rebase_merges = not self.modal[1].rebase_merges
+
+    def _act_do_rebase(self, arg, x, y):
+        tab = self.current()
+        form = self.modal[1] if self.modal else None
+        self.modal = None
+        if tab is None or form is None or not self._slot_free(tab, "other_op"):
+            return
+        opts = RebaseOptions(onto=form.onto, autostash=form.autostash,
+                             rebase_merges=form.rebase_merges)
+        tab.other_op = TimedOp(
+            rebase_with_options_async(self._wd(tab), opts, self.proxy),
+            f"Rebasing onto {form.onto}", "Rebase")
+
+    # -- stash ---------------------------------------------------------------
+
+    def _act_stash_push(self, arg, x, y):
+        tab = self.current()
+        if tab is None or not self._slot_free(tab, "other_op"):
+            return
+        tab.other_op = TimedOp(stash_push_async(self._wd(tab), None,
+                                                self.proxy),
+                               "Stashing changes", "Stash")
+
+    def _act_stash_pop(self, arg, x, y):
+        tab = self.current()
+        if tab is None or not self._slot_free(tab, "other_op"):
+            return
+        tab.other_op = TimedOp(stash_pop_async(self._wd(tab), self.proxy),
+                               "Popping stash", "Stash")
+
+    # -- dialogs: open -------------------------------------------------------
+
+    def _act_open_settings(self, arg, x, y):
+        self.modal = ("settings", None)
+
+    def _act_open_repo_dialog(self, arg, x, y):
+        self.modal = ("open-repo", dialogs.OpenRepoForm())
+        self.focused_input = "path"
+
+    def _act_open_clone_dialog(self, arg, x, y):
+        self.modal = ("clone", dialogs.CloneForm())
+        self.focused_input = "url"
+
+    def _act_open_token_dialog(self, arg, x, y):
+        self.modal = ("token", dialogs.TokenForm(editing=arg == "edit"))
+        self.focused_input = "token"
+
+    def _act_open_branch_dialog(self, arg, x, y):
+        self.modal = ("branch", dialogs.BranchForm(at_oid=arg or None))
+        self.focused_input = "name"
+
+    def _act_open_tag_dialog(self, arg, x, y):
+        self.modal = ("tag", dialogs.TagForm(at_oid=arg or None))
+        self.focused_input = "name"
+
+    def _act_open_worktree_dialog(self, arg, x, y):
+        self.modal = ("worktree", dialogs.WorktreeForm())
+        self.focused_input = "branch"
+
+    def _act_open_worktrees_manage(self, arg, x, y):
+        self.modal = ("worktrees-manage", None)
+
+    # -- dialogs: submit -----------------------------------------------------
+
+    def _act_do_open_repo(self, arg, x, y):
+        form = self.modal[1] if self.modal else None
+        self.modal = None
+        if form and form.path:
+            self.open_repo(os.path.expanduser(form.path))
+
+    def _act_do_clone(self, arg, x, y):
+        form = self.modal[1] if self.modal else None
+        if form is None or self.clone_rx is not None:
+            return
+        dest = os.path.expanduser(form.dest)
+        self.clone_rx = clone_async(form.url, dest, self.proxy)
+        self.toast("info", f"Cloning {form.url}…")
+
+    def _act_do_save_token(self, arg, x, y):
+        form = self.modal[1] if self.modal else None
+        self.modal = None
+        if form is None:
+            return
+        from ..services.token_store import set_token
+        host = form.host or ("github.com" if form.provider == "github"
+                             else "gitlab.com")
+        if set_token(form.provider, host, form.token):
+            if form.provider == "gitlab" and form.host:
+                self.config.register_gitlab_host(form.host)
+                self.config.save()
+            self.toast("success", f"Token saved for {host}")
+        else:
+            self.toast("error", "Could not store token")
+
+    def _act_token_provider(self, arg, x, y):
+        if self.modal and self.modal[0] == "token":
+            self.modal[1].provider = arg
+
+    def _act_do_create_branch(self, arg, x, y):
+        tab = self.current()
+        form = self.modal[1] if self.modal else None
+        self.modal = None
+        if tab is None or form is None or not form.name:
+            return
+        at = form.at_oid or tab.head_oid
+        if self.run_sync_op(
+                f"Create branch {form.name}",
+                lambda: grefs.create_branch_at(tab.active_repo(), form.name,
+                                               at)):
+            self.toast("success", f"Created branch {form.name}")
+
+    def _act_do_create_tag(self, arg, x, y):
+        tab = self.current()
+        form = self.modal[1] if self.modal else None
+        self.modal = None
+        if tab is None or form is None or not form.name:
+            return
+        at = form.at_oid or tab.head_oid
+        if self.run_sync_op(
+                f"Create tag {form.name}",
+                lambda: grefs.create_tag_at(tab.active_repo(), form.name, at,
+                                            form.message or None)):
+            self.toast("success", f"Created tag {form.name}")
+
+    def _act_do_create_worktree(self, arg, x, y):
+        tab = self.current()
+        form = self.modal[1] if self.modal else None
+        self.modal = None
+        if tab is None or form is None or not self._slot_free(tab, "other_op"):
+            return
+        path = os.path.expanduser(form.path)
+        tab.other_op = TimedOp(
+            create_worktree_with_post_steps_async(
+                self._wd(tab), path, form.branch, self.proxy,
+                base=form.base or None),
+            f"Creating worktree {form.branch}", "Worktree")
+
+    # -- settings toggles ----------------------------------------------------
+
+    def _toggle_setting(self, attr):
+        setattr(self.config, attr, not getattr(self.config, attr))
+        self.config.save()
+
+    def _act_toggle_avatars(self, arg, x, y):
+        self._toggle_setting("show_avatars")
+
+    def _act_toggle_scroll_speed(self, arg, x, y):
+        self._toggle_setting("scroll_speed_fast")
+
+    def _act_toggle_row_size(self, arg, x, y):
+        self._toggle_setting("row_size_large")
+
+    def _act_toggle_shortcut_bar(self, arg, x, y):
+        self._toggle_setting("show_shortcut_bar")
+
+    # -- context menus (reference: ui_app.rs:4546-4788) ----------------------
+
+    def _act_menu_commit(self, arg, x, y):
+        oid = arg
+        self.context_menu = ContextMenuState(
+            items=[
+                MenuItem("Copy SHA", f"copy-sha:{oid}"),
+                MenuItem("View Details", f"view-details:{oid}"),
+                MenuItem("Checkout (detached)", f"checkout-detached:{oid}",
+                         separator_before=True),
+                MenuItem("Create Branch here…", f"open-branch-dialog:{oid}"),
+                MenuItem("Create Tag here…", f"open-tag-dialog:{oid}"),
+                MenuItem("Cherry-pick", f"confirm-cherry-pick:{oid}",
+                         separator_before=True),
+                MenuItem("Revert…", f"confirm-revert:{oid}"),
+                MenuItem("Reset Soft here…", f"confirm-reset:soft:{oid}",
+                         separator_before=True),
+                MenuItem("Reset Mixed here…", f"confirm-reset:mixed:{oid}"),
+                MenuItem("Reset Hard here…", f"confirm-reset:hard:{oid}",
+                         destructive=True),
+            ], x=x, y=y, target=f"commit:{oid}")
+
+    def _act_menu_branch(self, arg, x, y):
+        self.context_menu = ContextMenuState(
+            items=[
+                MenuItem("Checkout", f"checkout-branch:{arg}"),
+                MenuItem("Merge into Current…", f"open-merge-dialog:{arg}"),
+                MenuItem("Rebase Current onto…", f"open-rebase-dialog:{arg}"),
+                MenuItem("Rename…", f"open-rename-branch:{arg}",
+                         separator_before=True),
+                MenuItem("Delete", f"confirm-delete-branch:{arg}",
+                         destructive=True),
+            ], x=x, y=y, target=f"branch:{arg}")
+
+    def _act_menu_remote_branch(self, arg, x, y):
+        self.context_menu = ContextMenuState(
+            items=[
+                MenuItem("Checkout as local branch", f"checkout-remote:{arg}"),
+                MenuItem("Delete on remote", f"confirm-delete-remote:{arg}",
+                         destructive=True),
+            ], x=x, y=y, target=f"remote:{arg}")
+
+    def _act_menu_tag(self, arg, x, y):
+        self.context_menu = ContextMenuState(
+            items=[
+                MenuItem("Push tag", f"push-tag:{arg}"),
+                MenuItem("Delete", f"confirm-delete-tag:{arg}",
+                         destructive=True),
+            ], x=x, y=y, target=f"tag:{arg}")
+
+    def _act_menu_stash(self, arg, x, y):
+        self.context_menu = ContextMenuState(
+            items=[
+                MenuItem("Apply", f"apply-stash:{arg}"),
+                MenuItem("Pop", f"pop-stash:{arg}"),
+                MenuItem("Drop", f"confirm-drop-stash:{arg}",
+                         destructive=True),
+            ], x=x, y=y, target=f"stash:{arg}")
+
+    def _act_menu_worktree(self, arg, x, y):
+        self.context_menu = ContextMenuState(
+            items=[
+                MenuItem("Switch to", f"select-worktree:{arg}"),
+                MenuItem("Open in Terminal", f"open-terminal:{arg}"),
+                MenuItem("Remove", f"confirm-remove-worktree:{arg}",
+                         destructive=True),
+            ], x=x, y=y, target=f"worktree:{arg}")
+
+    def _act_menu_submodule(self, arg, x, y):
+        self.context_menu = ContextMenuState(
+            items=[
+                MenuItem("Open", f"enter-submodule:{arg}"),
+                MenuItem("Open in Terminal", f"open-terminal:{arg}"),
+                MenuItem("Update", f"update-submodule:{arg}"),
+                MenuItem("Remove", f"confirm-remove-submodule:{arg}",
+                         destructive=True),
+            ], x=x, y=y, target=f"submodule:{arg}")
+
+    def _act_menu_file(self, arg, x, y):
+        bucket, _, path = arg.partition(":")
+        items = [MenuItem("View Diff", f"view-file:{bucket}:{path}")]
+        if bucket == "staged":
+            items.append(MenuItem("Unstage", f"unstage-file:{path}"))
+        else:
+            items.append(MenuItem("Stage", f"stage-file:{path}"))
+        items.append(MenuItem("Discard", f"confirm-discard-file:{path}",
+                              destructive=True))
+        self.context_menu = ContextMenuState(items=items, x=x, y=y,
+                                             target=f"file:{path}")
+
+    # -- confirms (reference: ConfirmAction, ui_app.rs:170-209) --------------
+
+    def _confirm(self, action: str, title: str, message: str,
+                 label: str = "Confirm", **payload):
+        self.context_menu = None
+        self.modal = ("confirm", dialogs.ConfirmState(
+            action=action, title=title, message=message,
+            confirm_label=label, payload=payload))
+
+    def _act_confirm_cherry_pick(self, arg, x, y):
+        self._confirm("cherry-pick", "Cherry-pick commit?",
+                      f"Apply commit {arg[:8]} onto the current branch.",
+                      "Cherry-pick", oid=arg)
+
+    def _act_confirm_revert(self, arg, x, y):
+        self._confirm("revert", "Revert commit?",
+                      f"Create a new commit reverting {arg[:8]}.",
+                      "Revert", oid=arg)
+
+    def _act_confirm_reset(self, arg, x, y):
+        mode, _, oid = arg.partition(":")
+        warnings = {
+            "soft": "Moves HEAD; index and working tree are kept.",
+            "mixed": "Moves HEAD and resets the index; files are kept.",
+            "hard": "DESTROYS all uncommitted changes. This cannot be "
+                    "undone.",
+        }
+        self._confirm("reset", f"Reset ({mode}) to {oid[:8]}?",
+                      warnings[mode], f"Reset {mode}", mode=mode, oid=oid)
+
+    def _act_confirm_delete_branch(self, arg, x, y):
+        self._confirm("delete-branch", "Delete branch?",
+                      f"Delete local branch {arg!r}.", "Delete", name=arg)
+
+    def _act_confirm_delete_remote(self, arg, x, y):
+        self._confirm("delete-remote-branch", "Delete remote branch?",
+                      f"Delete {arg!r} on the remote. This affects everyone "
+                      "using the remote.", "Delete", name=arg)
+
+    def _act_confirm_delete_tag(self, arg, x, y):
+        self._confirm("delete-tag", "Delete tag?",
+                      f"Delete tag {arg!r} locally.", "Delete", name=arg)
+
+    def _act_confirm_drop_stash(self, arg, x, y):
+        self._confirm("drop-stash", "Drop stash?",
+                      f"Permanently delete {arg}.", "Drop", ref=arg)
+
+    def _act_confirm_remove_worktree(self, arg, x, y):
+        self._confirm("remove-worktree", "Remove worktree?",
+                      f"Remove the worktree at {arg}. Uncommitted changes "
+                      "there will be lost.", "Remove", path=arg)
+
+    def _act_confirm_remove_submodule(self, arg, x, y):
+        self._confirm("remove-submodule", "Remove submodule?",
+                      f"Deinit and remove submodule {arg!r}.", "Remove",
+                      path=arg)
+
+    def _act_confirm_discard_file(self, arg, x, y):
+        self._confirm("discard-file", "Discard changes?",
+                      f"Discard all changes to {arg!r}. This cannot be "
+                      "undone.", "Discard", path=arg)
+
+    def _act_do_confirm(self, arg, x, y):
+        if self.modal is None or self.modal[0] != "confirm":
+            return
+        state = self.modal[1]
+        self.modal = None
+        tab = self.current()
+        if tab is None:
+            return
+        p = state.payload
+        wd = self._wd(tab)
+        if state.action == "cherry-pick" and self._slot_free(tab, "other_op"):
+            tab.other_op = TimedOp(cherry_pick_async(wd, p["oid"], self.proxy),
+                                   f"Cherry-picking {p['oid'][:8]}",
+                                   "Cherry-pick")
+        elif state.action == "revert" and self._slot_free(tab, "other_op"):
+            tab.other_op = TimedOp(revert_async(wd, p["oid"], self.proxy),
+                                   f"Reverting {p['oid'][:8]}", "Revert")
+        elif state.action == "reset":
+            if self.run_sync_op(
+                    f"Reset {p['mode']}",
+                    lambda: grefs.reset(tab.active_repo(), p["oid"],
+                                        p["mode"])):
+                self.toast("success", f"Reset ({p['mode']}) to "
+                           f"{p['oid'][:8]}")
+        elif state.action == "delete-branch":
+            if self.run_sync_op(
+                    f"Delete {p['name']}",
+                    lambda: grefs.delete_branch(tab.active_repo(), p["name"],
+                                                force=True)):
+                self.toast("success", f"Deleted branch {p['name']}")
+        elif state.action == "delete-remote-branch":
+            from ..engine.async_ops import delete_remote_branch_async
+            remote, _, branch = p["name"].partition("/")
+            if self._slot_free(tab, "other_op"):
+                tab.other_op = TimedOp(
+                    delete_remote_branch_async(wd, remote, branch,
+                                               self.proxy),
+                    f"Deleting {p['name']}", "Delete")
+        elif state.action == "delete-tag":
+            if self.run_sync_op(
+                    f"Delete tag {p['name']}",
+                    lambda: grefs.delete_tag(tab.active_repo(), p["name"])):
+                self.toast("success", f"Deleted tag {p['name']}")
+        elif state.action == "drop-stash" and self._slot_free(tab, "other_op"):
+            tab.other_op = TimedOp(stash_drop_async(wd, p["ref"], self.proxy),
+                                   f"Dropping {p['ref']}", "Stash")
+        elif state.action == "remove-worktree" and self._slot_free(tab,
+                                                                   "other_op"):
+            tab.other_op = TimedOp(
+                worktree_remove_async(wd, p["path"], force=True,
+                                      proxy=self.proxy),
+                "Removing worktree", "Worktree")
+        elif state.action == "remove-submodule" and self._slot_free(
+                tab, "other_op"):
+            tab.other_op = TimedOp(
+                remove_submodule_async(wd, p["path"], self.proxy),
+                f"Removing submodule {p['path']}", "Submodule")
+        elif state.action == "discard-file":
+            if self.run_sync_op(
+                    f"Discard {p['path']}",
+                    lambda: grefs.discard_file(tab.active_repo(), p["path"])):
+                self.toast("success", f"Discarded {p['path']}")
+        elif state.action == "discard-hunk":
+            got = self._hunk_at(p["arg"])
+            if got is not None:
+                f, hunk = got
+                res = discard_hunk(tab.active_repo(), f.path, hunk)
+                if res.success:
+                    self.toast("success", "Hunk discarded")
+                    self._refresh_working_diff(tab, f.path, staged=False)
+                else:
+                    self.toast("error",
+                               classify_git_error(res.stderr).message)
+        elif state.action == "force-push":
+            self._act_force_push("", 0, 0)
+
+    # -- misc menu follow-ups ------------------------------------------------
+
+    def _act_checkout_detached(self, arg, x, y):
+        tab = self.current()
+        if tab and self.run_sync_op(
+                f"Checkout {arg[:8]}",
+                lambda: grefs.checkout_detached(tab.active_repo(), arg)):
+            self.toast("success", f"Checked out {arg[:8]} (detached)")
+
+    def _act_pop_stash(self, arg, x, y):
+        tab = self.current()
+        self.context_menu = None
+        if tab and self._slot_free(tab, "other_op"):
+            from ..engine.async_ops import stash_pop_index_async
+            tab.other_op = TimedOp(
+                stash_pop_index_async(self._wd(tab), arg, self.proxy),
+                f"Popping {arg}", "Stash")
+
+    def _act_push_tag(self, arg, x, y):
+        tab = self.current()
+        self.context_menu = None
+        if tab and tab.remotes and self._slot_free(tab, "other_op"):
+            from ..engine.async_ops import push_refspec_async
+            tab.other_op = TimedOp(
+                push_refspec_async(self._wd(tab), tab.remotes[0],
+                                   f"refs/tags/{arg}", self.proxy),
+                f"Pushing tag {arg}", "Push")
+
+    def _act_update_submodule(self, arg, x, y):
+        tab = self.current()
+        self.context_menu = None
+        if tab and self._slot_free(tab, "other_op"):
+            from ..engine.async_ops import submodule_update_async
+            tab.other_op = TimedOp(
+                submodule_update_async(self._wd(tab), arg, self.proxy),
+                f"Updating submodule {arg}", "Submodule")
+
+    def _act_open_terminal(self, arg, x, y):
+        self.context_menu = None
+        import subprocess
+        full = arg
+        tab = self.current()
+        if tab and tab.repo.workdir and not os.path.isabs(arg):
+            full = os.path.join(tab.repo.workdir, arg)
+        for term in (["x-terminal-emulator"], ["gnome-terminal"],
+                     ["konsole"], ["xterm"]):
+            try:
+                subprocess.Popen(term, cwd=full,
+                                 stdout=subprocess.DEVNULL,
+                                 stderr=subprocess.DEVNULL)
+                return
+            except OSError:
+                continue
+        self.toast("error", "No terminal emulator found")
+
+    def _act_open_rename_branch(self, arg, x, y):
+        self.context_menu = None
+        form = dialogs.BranchForm(name=arg)
+        form.at_oid = None
+        self.modal = ("branch", form)
+        # Reuse the branch dialog; submit routes to rename when the name
+        # differs from the original — tracked via payload on the form.
+        form.rename_from = arg  # type: ignore[attr-defined]
+        self.focused_input = "name"
+
+    # ========================================================================
+    # Poll loop (reference: poll_async_ops, ui_app.rs:3069-3650).
+    # ========================================================================
+
+    def poll_async_ops(self) -> None:
+        now = time.monotonic()
+        for tab in self.tabs:
+            self._poll_tab(tab, now)
+        self._poll_clone()
+        self._poll_dirty_checks()
+
+    def _poll_tab(self, tab: RepoTab, now: float) -> None:
+        self._poll_op_slots(tab)
+        self._poll_state_refresh(tab)
+        self._poll_status_refresh(tab)
+        self._poll_watcher(tab)
+        self._poll_safety_nets(tab, now)
+        self._poll_ci(tab, now)
+
+    def _poll_op_slots(self, tab: RepoTab) -> None:
+        for slot in ("fetch_op", "push_op", "pull_op", "other_op"):
+            op: Optional[TimedOp] = getattr(tab, slot)
+            if op is None:
+                continue
+            try:
+                result = op.rx.get_nowait()
+            except queue.Empty:
+                continue
+            setattr(tab, slot, None)
+            tab.reopen_repo_handles()
+            tab.trigger_state_refresh(self.proxy)
+            tab.trigger_status_refresh(self.proxy)
+            if result.success:
+                msg = op.label.replace("ing", "ed", 1) if "ing" in op.label \
+                    else f"{op.label} done"
+                if result.stderr.strip():
+                    self.toast("info", f"{msg} — {result.stderr.strip()[:80]}")
+                else:
+                    self.toast("success", msg)
+                if slot == "push_op":
+                    tab.last_push_time = time.monotonic()
+                    tab.last_ci_fetch = 0.0  # immediate CI fetch
+            else:
+                err = classify_git_error(result.stderr)
+                if err.retryable and slot == "push_op":
+                    self.modal = ("confirm", dialogs.ConfirmState(
+                        action="force-push", title="Push rejected",
+                        message=err.message,
+                        confirm_label="Force push (with lease)"))
+                else:
+                    self.modal = ("error", dialogs.ErrorState(
+                        f"{op.verb or 'Operation'} failed", err.message))
+        # AI slot (separate payload type).
+        if tab.ai_op is not None:
+            try:
+                payload = tab.ai_op.rx.get_nowait()
+            except queue.Empty:
+                payload = None
+            if payload is not None:
+                tab.ai_op = None
+                view = tab.active_view()
+                if payload.get("ok") and view is not None:
+                    view.draft_subject = payload.get("subject", "")
+                    view.draft_body = payload.get("body", "")
+                    self.toast("success", "Commit message generated")
+                else:
+                    self.toast("error",
+                               payload.get("error", "AI generation failed"))
+
+    def _poll_state_refresh(self, tab: RepoTab) -> None:
+        if tab.state_refresh_rx is None:
+            return
+        try:
+            result = tab.state_refresh_rx.get_nowait()
+        except queue.Empty:
+            return
+        # Invariant #5: stale-result rejection by tab_id.
+        if result.tab_id != tab.tab_id:
+            tab.state_refresh_rx = None
+            return
+        effects = tab.apply_state_result(result)
+        for err in effects.toast_errors:
+            self.toast("error", err[:120])
+        if effects.fetch_diff_stats:
+            self._trigger_diff_stats(tab)
+        if effects.spawn_dirty_checks:
+            spawn_dirty_checks(
+                tab.repo, tab.tab_id,
+                [s.path for s in tab.submodules],
+                [wt.path for wt in tab.worktrees if not wt.is_main],
+                self.dirty_q, self.proxy)
+        if effects.update_watcher_paths and tab.watcher is not None:
+            tab.watcher.update_worktree_watches(
+                [wt.path for wt in tab.worktrees if not wt.is_main])
+            if tab.repo.workdir:
+                tab.watcher.update_submodule_paths(
+                    [os.path.join(tab.repo.workdir, s.path)
+                     for s in tab.submodules])
+        tab.trigger_watcher_init(self.proxy)
+
+    def _poll_status_refresh(self, tab: RepoTab) -> None:
+        if tab.status_rx is not None:
+            try:
+                result = tab.status_rx.get_nowait()
+            except queue.Empty:
+                return
+            if result.tab_id != tab.tab_id:
+                tab.status_rx = None
+                return
+            tab.apply_status_result(result)
+            # Invariant: events arriving mid-scan trigger a replay.
+            if tab.status_dirty:
+                tab.status_dirty = False
+                tab.trigger_status_refresh(self.proxy)
+
+    def _poll_watcher(self, tab: RepoTab) -> None:
+        if tab.watcher_init_rx is not None:
+            try:
+                tab.watcher = tab.watcher_init_rx.get_nowait()
+                tab.watcher_init_rx = None
+            except queue.Empty:
+                pass
+        # Drain all pending events, keep the max priority (coalescing —
+        # reference: dispatch_watcher_events_at, ui_app.rs:3379).
+        best: Optional[FsChangeKind] = None
+        while True:
+            try:
+                kind = tab.watcher_events_q.get_nowait()
+            except queue.Empty:
+                break
+            if best is None or kind > best:
+                best = kind
+        if best is None:
+            return
+        if best is FsChangeKind.WORKING_TREE:
+            tab.trigger_status_refresh(self.proxy)
+            spawn_dirty_checks(
+                tab.repo, tab.tab_id, [],
+                [wt.path for wt in tab.worktrees if not wt.is_main],
+                self.dirty_q, self.proxy)
+        else:
+            # GitMetadata / WorktreeStructure → reopen + heavy refresh
+            # (invariant #7 + #2).
+            tab.reopen_repo_handles()
+            tab.trigger_state_refresh(self.proxy)
+            tab.trigger_status_refresh(self.proxy)
+
+    def _poll_safety_nets(self, tab: RepoTab, now: float) -> None:
+        # 30 s status safety net (invariant #9).
+        if (tab.initial_refresh_done
+                and now - tab.last_status_query > STATUS_SAFETY_NET_SECS):
+            tab.trigger_status_refresh(self.proxy)
+        # 5 s ref-fingerprint reconciliation (invariant #8) — cheap, runs on
+        # the frame thread like the reference (~0.5 ms).
+        if (tab.initial_refresh_done
+                and now - tab.last_fingerprint_check > FINGERPRINT_INTERVAL_SECS):
+            tab.last_fingerprint_check = now
+            try:
+                from ..gitcore.repo import ref_fingerprint
+                fp = ref_fingerprint(tab.repo.git_dir, tab.repo.common_dir)
+            except Exception:
+                return
+            if tab.last_fingerprint and fp != tab.last_fingerprint:
+                tab.reopen_repo_handles()
+                tab.trigger_state_refresh(self.proxy)
+            tab.last_fingerprint = fp
+        # Diff-stats drain.
+        if tab.diff_stats_rx is not None:
+            try:
+                stats = tab.diff_stats_rx.get_nowait()
+                tab.diff_stats_rx = None
+                tab.apply_diff_stats(stats)
+            except queue.Empty:
+                pass
+
+    def _trigger_diff_stats(self, tab: RepoTab) -> None:
+        """Chunked diff-stat worker (reference: compute_diff_stats_async,
+        git/mod.rs:783)."""
+        if tab.diff_stats_rx is not None:
+            return
+        need = [c.oid for c in tab.commits
+                if not c.is_synthetic and c.additions is None][:500]
+        if not need:
+            return
+        import threading
+
+        rx: queue.Queue = queue.Queue(maxsize=1)
+
+        def worker():
+            try:
+                stats = tab.repo.diff_stats_for_commits(need)
+            except Exception:
+                stats = {}
+            rx.put(stats)
+            if self.proxy:
+                self.proxy.send_event()
+
+        threading.Thread(target=worker, daemon=True,
+                         name="diff-stats").start()
+        tab.diff_stats_rx = rx
+
+    def _poll_ci(self, tab: RepoTab, now: float) -> None:
+        try:
+            from ..services import ci_poll
+        except ImportError:
+            return
+        ci_poll.poll(self, tab, now)
+
+    def _poll_clone(self) -> None:
+        if self.clone_rx is None:
+            return
+        try:
+            result = self.clone_rx.get_nowait()
+        except queue.Empty:
+            return
+        self.clone_rx = None
+        if result.success:
+            self.modal = None
+            self.open_repo(result.stdout)
+        else:
+            self.modal = ("error", dialogs.ErrorState(
+                "Clone failed", classify_git_error(result.stderr).message))
+
+    def _poll_dirty_checks(self) -> None:
+        """Global dirty-check queue routed by tab_id; results for closed
+        tabs drop silently (invariant #5; reference: ui_app.rs:3503)."""
+        live = {t.tab_id: t for t in self.tabs}
+        for t in self.tabs:
+            for anc in t.nav_stack:
+                live[anc.tab_id] = anc
+        while True:
+            try:
+                result = self.dirty_q.get_nowait()
+            except queue.Empty:
+                return
+            tab = live.get(result.tab_id)
+            if tab is None or result.error:
+                continue
+            tab.apply_dirty_check_result(result.kind, result.key,
+                                         result.dirty)
+
+    # ========================================================================
+    # Keyboard (reference README keyboard map).
+    # ========================================================================
+
+    def on_text(self, s: str) -> None:
+        """Printable text lands in the focused input."""
+        if not self.focused_input:
+            return
+        tab = self.current()
+        if self.focused_input in ("subject", "body") and tab is not None:
+            view = tab.active_view()
+            if view is None:
+                return
+            attr = "draft_subject" if self.focused_input == "subject" \
+                else "draft_body"
+            setattr(view, attr, getattr(view, attr) + s)
+        elif self.focused_input == "search" and tab is not None:
+            tab.search_query += s
+        elif self.modal is not None and self.modal[1] is not None:
+            form = self.modal[1]
+            if hasattr(form, self.focused_input):
+                setattr(form, self.focused_input,
+                        getattr(form, self.focused_input) + s)
+
+    def _backspace(self) -> None:
+        tab = self.current()
+        if self.focused_input in ("subject", "body") and tab is not None:
+            view = tab.active_view()
+            if view:
+                attr = ("draft_subject" if self.focused_input == "subject"
+                        else "draft_body")
+                setattr(view, attr, getattr(view, attr)[:-1])
+        elif self.focused_input == "search" and tab is not None:
+            tab.search_query = tab.search_query[:-1]
+        elif self.modal is not None and self.modal[1] is not None:
+            form = self.modal[1]
+            if hasattr(form, self.focused_input):
+                setattr(form, self.focused_input,
+                        getattr(form, self.focused_input)[:-1])
+
+    def on_key(self, key: str, ctrl: bool = False, shift: bool = False
+               ) -> None:
+        tab = self.current()
+        # Escape ladder: menu → modal → picker → search → diff → details.
+        if key == "Escape":
+            if self.context_menu is not None:
+                self.context_menu = None
+            elif self.modal is not None:
+                self.modal = None
+            elif self.worktree_picker_open:
+                self.worktree_picker_open = False
+            elif tab is not None and tab.search_active:
+                tab.search_active = False
+                tab.search_query = ""
+                self.focused_input = ""
+            elif self.diff_open:
+                self.diff_open = False
+            elif tab is not None and tab.selected_oid:
+                tab.select_commit(None)
+            else:
+                self.quit_requested = True
+            return
+        if key == "Backspace":
+            self._backspace()
+            return
+        if key == "Enter" and self.modal is not None:
+            kind = self.modal[0]
+            submit = {"open-repo": "do-open-repo", "clone": "do-clone",
+                      "branch": "do-create-branch", "tag": "do-create-tag",
+                      "confirm": "do-confirm", "token": "do-save-token",
+                      "worktree": "do-create-worktree",
+                      "pull": "do-pull", "merge": "do-merge",
+                      "rebase": "do-rebase", "push": "do-push-options"}
+            if kind in submit:
+                self.handle_action(submit[kind])
+            return
+        # Context-menu keyboard nav.
+        if self.context_menu is not None:
+            menu = self.context_menu
+            if key in ("j", "Down"):
+                menu.selected_index = min(menu.selected_index + 1,
+                                          len(menu.items) - 1)
+            elif key in ("k", "Up"):
+                menu.selected_index = max(menu.selected_index - 1, 0)
+            elif key in ("Enter", " "):
+                route = menu.items[menu.selected_index].route
+                self.context_menu = None
+                self.handle_action(route)
+            return
+        # Global chords.
+        if ctrl and key.lower() == "o":
+            self._act_open_repo_dialog("", 0, 0)
+            return
+        if ctrl and key.lower() == "w":
+            self._act_tab_close(str(self.active_tab), 0, 0)
+            return
+        if ctrl and key == "Tab":
+            if self.tabs:
+                step = -1 if shift else 1
+                self.active_tab = (self.active_tab + step) % len(self.tabs)
+            return
+        if ctrl and shift and key.lower() == "s":
+            self._act_stash_pop("", 0, 0)
+            return
+        if ctrl and key.lower() == "s" and not self._typing():
+            self._act_stash_push("", 0, 0)
+            return
+        if ctrl and shift and key.lower() == "a":
+            self._act_toggle_amend("", 0, 0)
+            return
+        if ctrl and key == "Enter":
+            self._act_commit("", 0, 0)
+            return
+        if key == "Tab" and not ctrl:
+            if self.focus == "staging":
+                order = ["subject", "body", "", ""]
+                try:
+                    idx = order.index(self.focused_input)
+                except ValueError:
+                    idx = -1
+                self.focused_input = order[(idx + 1) % 2]
+            else:
+                cycle = ["graph", "staging", "sidebar"]
+                self.focus = cycle[(cycle.index(self.focus) + 1)
+                                   % len(cycle)]
+                self.focused_input = ""
+            return
+        if tab is None:
+            return
+        # Search.
+        if self.focus == "graph" and (key == "/" or (ctrl and key.lower() == "f")):
+            tab.search_active = True
+            self.focused_input = "search"
+            return
+        if self._typing():
+            if len(key) == 1 and not ctrl:
+                self.on_text(key)
+            return
+        # Graph navigation.
+        if self.focus == "graph":
+            selectable = [c.oid for c in tab.commits if not c.is_synthetic]
+            if key in ("j", "Down", "k", "Up", "PageDown", "PageUp"):
+                if not selectable:
+                    return
+                cur = (selectable.index(tab.selected_oid)
+                       if tab.selected_oid in selectable else -1)
+                step = {"j": 1, "Down": 1, "k": -1, "Up": -1,
+                        "PageDown": 20, "PageUp": -20}[key]
+                nxt = max(0, min(len(selectable) - 1,
+                                 cur + step if cur >= 0 else 0))
+                tab.select_commit(selectable[nxt])
+                self._scroll_selected_into_view(tab)
+            elif key == "Enter" and tab.selected_oid:
+                self._act_select_commit(tab.selected_oid, 0, 0)
+        elif self.focus == "sidebar":
+            keys = self._sidebar_keys(tab)
+            if not keys:
+                return
+            cur = (keys.index(tab.selected_sidebar_key)
+                   if tab.selected_sidebar_key in keys else -1)
+            if key in ("j", "Down"):
+                tab.selected_sidebar_key = keys[min(len(keys) - 1, cur + 1)]
+            elif key in ("k", "Up"):
+                tab.selected_sidebar_key = keys[max(0, cur - 1)]
+            elif key == "Enter" and tab.selected_sidebar_key:
+                self._sidebar_activate(tab)
+            elif key == "d" and tab.selected_sidebar_key:
+                kind, _, name = tab.selected_sidebar_key.partition(":")
+                if kind == "branch":
+                    self._act_confirm_delete_branch(name, 0, 0)
+
+    def _typing(self) -> bool:
+        return bool(self.focused_input)
+
+    def _scroll_selected_into_view(self, tab: RepoTab) -> None:
+        if tab.selected_oid is None:
+            return
+        idx = next((i for i, c in enumerate(tab.commits)
+                    if c.oid == tab.selected_oid), None)
+        if idx is None or idx >= len(tab.graph_layout.row_tops):
+            return
+        top = tab.graph_layout.row_tops[idx]
+        rh = tab.graph_layout.row_heights[idx]
+        view_h = self._last_viewport[1] - 130
+        if top < tab.history_scroll:
+            tab.history_scroll = top
+        elif top + rh > tab.history_scroll + view_h:
+            tab.history_scroll = top + rh - view_h
+
+    def _sidebar_keys(self, tab: RepoTab) -> list[str]:
+        keys = [f"branch:{t.name}" for t in tab.branch_tips
+                if not t.is_remote]
+        keys += [f"remote:{t.name}" for t in tab.branch_tips if t.is_remote]
+        keys += [f"tag:{t.name}" for t in tab.tags]
+        keys += [f"worktree:{w.path}" for w in tab.worktrees]
+        keys += [f"stash:{s.ref_name}" for s in tab.stashes]
+        return keys
+
+    def _sidebar_activate(self, tab: RepoTab) -> None:
+        kind, _, name = (tab.selected_sidebar_key or "").partition(":")
+        if kind == "branch":
+            self._act_checkout_branch(name, 0, 0)
+        elif kind == "remote":
+            self._act_checkout_remote(name, 0, 0)
+        elif kind == "tag":
+            tag = next((t for t in tab.tags if t.name == name), None)
+            if tag:
+                self._act_select_commit(tag.oid, 0, 0)
+        elif kind == "worktree":
+            self._act_select_worktree(name, 0, 0)
+        elif kind == "stash":
+            self._act_apply_stash(name, 0, 0)
+
+    def on_scroll(self, dy: float, x: float, y: float) -> None:
+        tab = self.current()
+        if tab is None:
+            return
+        speed = 2.0 if self.config.scroll_speed_fast else 1.0
+        sidebar_w = self.config.sidebar_width
+        right_w = self.config.right_panel_width
+        vw = self._last_viewport[0]
+        if x < sidebar_w:
+            tab.sidebar_scroll = max(0.0, tab.sidebar_scroll + dy * speed)
+        elif x > vw - right_w and self.diff_open:
+            tab.diff_scroll = max(0.0, tab.diff_scroll + dy * speed)
+        else:
+            tab.history_scroll = max(
+                0.0, min(tab.history_scroll + dy * speed,
+                         max(0.0, tab.graph_layout.total_height - 200)))

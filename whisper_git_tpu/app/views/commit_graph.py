@@ -1,0 +1,214 @@
+"""History view: virtualized commit rows with graph lanes, pills,
+search dimming, zebra striping, diff-stat chips and CI dots.
+
+Capability parity with reference src/commit_graph.rs:981-1504 (build_row,
+history_view, commit_matches_query) on top of ops.lanes geometry.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Optional
+
+from ...gitcore.types import CommitInfo, format_relative_time
+from ...ops.lanes import LANE_COLORS, MAX_VISIBLE_LANES, LANE_WIDTH
+from ...ui import El, column, path, rect, row, scroll, spacer, stack, text
+from ...ui.theme import DARK as T
+
+NODE_RADIUS = 4.5
+IDENTICON_COLORS = [
+    (0.85, 0.42, 0.42, 1.0), (0.46, 0.78, 0.50, 1.0), (0.92, 0.62, 0.30, 1.0),
+    (0.68, 0.50, 0.84, 1.0), (0.87, 0.80, 0.33, 1.0), (0.37, 0.79, 0.79, 1.0),
+    (0.36, 0.61, 0.84, 1.0), (0.71, 0.62, 0.89, 1.0),
+]
+
+
+def commit_matches_query(commit: CommitInfo, query: str) -> bool:
+    """Match subject, author name, and SHA (reference: commit_graph.rs:1509)."""
+    q = query.lower().strip()
+    if not q:
+        return True
+    return (q in commit.summary.lower()
+            or q in commit.author_name.lower()
+            or commit.oid.lower().startswith(q))
+
+
+def identicon(email: str, name: str, size: float = 20.0) -> El:
+    """Deterministic colored-initial fallback avatar
+    (reference: commit_graph.rs:83-123 — 8-color hash)."""
+    key = email or name or "?"
+    color = IDENTICON_COLORS[sum(key.encode()) % len(IDENTICON_COLORS)]
+    initial = (name or email or "?").strip()[:1].upper() or "?"
+    return rect(text(initial, font_size=size * 0.55, bold=True,
+                     color=(1, 1, 1, 0.92)),
+                width=size, height=size, radius=size / 2, fill=color,
+                align="center")
+
+
+def _pills_for(tab, commit: CommitInfo) -> list[El]:
+    pills: list[El] = []
+
+    def pill(label: str, color, outline_only: bool = False):
+        pills.append(rect(
+            text(label, font_size=10, color=(1, 1, 1, 0.95) if not outline_only
+                 else color, bold=True),
+            fill=(color[0], color[1], color[2], 0.28) if outline_only else
+            (color[0], color[1], color[2], 0.85),
+            border=color, border_width=1.0,
+            radius=T.radius_pill, padding=(1, 6, 1, 6), height=16))
+
+    if tab.pinned_oid and commit.oid == tab.pinned_oid:
+        pill("PINNED", T.pill_worktree)
+    if commit.is_orphan:
+        pill("ORPHAN", T.pill_orphan, outline_only=True)
+    if commit.synthetic_worktree:
+        pill(f"WT:{commit.synthetic_worktree}", T.pill_worktree,
+             outline_only=True)
+    head = tab.head_oid
+    for tip in tab.branch_tips:
+        if tip.oid != commit.oid:
+            continue
+        if tip.is_remote:
+            pill(tip.name, T.pill_remote)
+        elif tip.is_head:
+            pill(tip.name, T.pill_head)
+        else:
+            pill(tip.name, T.pill_local)
+    for tag in tab.tags:
+        if tag.oid == commit.oid:
+            pill(tag.name, T.pill_tag)
+    if head and commit.oid == head and not any(
+            t.is_head and t.oid == head for t in tab.branch_tips):
+        pill("HEAD", T.pill_head)  # detached
+    return pills[:5]
+
+
+def _ci_dots(tab, commit: CommitInfo) -> Optional[El]:
+    rollup = tab.ci_rollups.get(commit.oid)
+    if rollup is None:
+        return None
+    dots = []
+    color_map = {"success": T.success, "failure": T.danger,
+                 "pending": T.warning}
+    for state in getattr(rollup, "states", []):
+        c = color_map.get(state, T.text_muted)
+        dots.append(rect(width=6, height=6, radius=3, fill=c))
+    if not dots:
+        return None
+    return row(*dots, gap=3, align="center")
+
+
+def build_row(tab, index: int, segments_by_row: dict,
+              show_avatars: bool = True, now: Optional[int] = None) -> El:
+    """One history row (reference: commit_graph.rs:981-1195): graph cell |
+    pills | summary | chip | author | CI | relative time."""
+    commit = tab.commits[index]
+    layout = tab.graph_layout
+    rh = layout.row_heights[index] if index < len(layout.row_heights) else 28.0
+    row_top = layout.row_tops[index] if index < len(layout.row_tops) else 0.0
+    graph_w = max(layout.graph_width(), LANE_WIDTH)
+
+    # Graph cell prims in row-local coordinates.
+    prims = []
+    for seg in segments_by_row.get(index, ()):
+        color = LANE_COLORS[min(seg.lane, MAX_VISIBLE_LANES - 1)
+                            % len(LANE_COLORS)]
+        if seg.kind == "vline":
+            x, y0, y1 = seg.data
+            prims.append(("vline", x, y0 - row_top, y1 - row_top, 2.0, color))
+        elif seg.kind == "cubic":
+            pts = [(p[0], p[1] - row_top) for p in seg.data]
+            prims.append(("cubic", *pts, 2.0, color))
+        else:  # node
+            cx, cy = seg.data
+            node_color = (T.pill_orphan if commit.is_orphan else
+                          T.pill_worktree if commit.is_synthetic else color)
+            prims.append(("circle", cx, cy - row_top,
+                          NODE_RADIUS + (1.0 if commit.oid == tab.selected_oid
+                                         else 0.0), node_color))
+
+    selected = commit.oid == tab.selected_oid
+    dimmed = (tab.search_active and tab.search_query
+              and not commit_matches_query(commit, tab.search_query))
+    opacity = 0.3 if dimmed else 1.0
+
+    zebra = (T.surface if index % 2 == 1 else T.background)
+    bg = (T.surface_hover if selected else
+          (0.92, 0.75, 0.25, 0.10) if commit.is_synthetic else zebra)
+
+    cells: list[El] = [path(prims, width=graph_w + 8, height=rh)]
+    pills = _pills_for(tab, commit)
+    mid: list[El] = []
+    if pills:
+        mid.append(row(*pills, gap=4, align="center"))
+    summary_color = ((0.92, 0.75, 0.25, 1.0) if commit.is_synthetic
+                     else T.text)
+    mid.append(text(commit.summary[:90], color=summary_color,
+                    font_size=T.font_size, opacity=opacity))
+    cells.append(row(*mid, gap=6, align="center", flex=1, clip=True))
+
+    right: list[El] = []
+    if commit.additions is not None and not commit.is_synthetic:
+        right.append(rect(
+            text(f"+{commit.additions} −{commit.deletions}", font_size=10,
+                 color=T.text_muted),
+            fill=(1, 1, 1, 0.06), radius=4, padding=(1, 5, 1, 5)))
+    if not commit.is_synthetic:
+        if show_avatars:
+            right.append(identicon(commit.author_email, commit.author_name))
+        right.append(text(commit.author_name[:20], color=T.text_muted,
+                          font_size=T.font_size_small, opacity=opacity))
+    dots = _ci_dots(tab, commit)
+    if dots is not None:
+        right.append(dots)
+    right.append(text(format_relative_time(commit.timestamp, now),
+                      color=T.text_muted, font_size=T.font_size_small,
+                      opacity=opacity))
+    cells.append(row(*right, gap=8, align="center"))
+
+    return rect(
+        row(*cells, gap=8, align="center", width="fill", height="fill",
+            padding=(0, 10, 0, 6)),
+        width="fill", height=rh, fill=bg,
+        route=None if commit.is_synthetic else f"select-commit:{commit.oid}",
+        route_right=None if commit.is_synthetic else f"menu-commit:{commit.oid}",
+        key=f"commit:{commit.oid}")
+
+
+def history_view(tab, show_avatars: bool = True,
+                 now: Optional[int] = None) -> El:
+    """The virtualized history list (reference: commit_graph.rs:1308)."""
+    if not tab.commits:
+        label = ("Loading…" if not tab.initial_refresh_done
+                 else "No commits yet")
+        return rect(text(label, color=T.text_muted),
+                    fill=T.background, width="fill", height="fill",
+                    align="center", key="history")
+
+    segments_by_row: dict[int, list] = defaultdict(list)
+    for seg in tab.graph_segments:
+        segments_by_row[seg.row].append(seg)
+
+    heights = list(tab.graph_layout.row_heights)
+
+    def build(i: int) -> El:
+        return build_row(tab, i, segments_by_row, show_avatars, now)
+
+    body = scroll(len(tab.commits), build, offset=tab.history_scroll,
+                  row_heights=heights, width="fill", flex=1,
+                  key="history-scroll")
+
+    parts: list[El] = []
+    if tab.search_active:
+        parts.append(rect(
+            row(text("/", color=T.accent, bold=True),
+                text(tab.search_query or "type to filter…",
+                     color=T.text if tab.search_query else T.text_muted),
+                gap=6, align="center"),
+            fill=T.surface_raised, border=T.accent, border_width=1,
+            radius=4, padding=(4, 8, 4, 8), width="fill", height=28,
+            key="search-bar"))
+    parts.append(body)
+    return rect(column(*parts, width="fill", height="fill"),
+                fill=T.background, width="fill", height="fill",
+                clip=True, key="history", route="focus-graph")

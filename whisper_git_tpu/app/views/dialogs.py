@@ -1,0 +1,377 @@
+"""Modal dialogs: Settings, OpenRepo, Confirm, Error, Clone, Token (GitHub
++ per-host GitLab), Branch, Tag, PullPicker, PushPicker, MergeOptions,
+RebaseOptions, Worktree create, Worktrees manage.
+
+Capability parity with reference src/dialogs.rs:14-27 (the 14 modal keys)
+and its form structs (CloneForm/TokenForm/BranchForm/TagForm/PullForm/
+PushForm/MergeForm+MergeStrategy/RebaseForm/WorktreeForm).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ...ui import El, column, rect, row, spacer, text
+from ...ui.theme import DARK as T
+
+
+# -- form state --------------------------------------------------------------
+
+@dataclass
+class CloneForm:
+    url: str = ""
+    dest: str = ""
+    focused: str = "url"
+
+
+@dataclass
+class TokenForm:
+    provider: str = "github"   # github | gitlab
+    host: str = ""             # for self-hosted gitlab
+    token: str = ""
+    focused: str = "token"
+    editing: bool = False
+
+
+@dataclass
+class BranchForm:
+    name: str = ""
+    at_oid: Optional[str] = None
+
+
+@dataclass
+class TagForm:
+    name: str = ""
+    message: str = ""
+    at_oid: Optional[str] = None
+    focused: str = "name"
+
+
+@dataclass
+class PullForm:
+    rebase: bool = False
+
+
+@dataclass
+class PushForm:
+    remote: str = "origin"
+    force_with_lease: bool = False
+    set_upstream: bool = False
+    push_tags: bool = False
+
+
+@dataclass
+class MergeForm:
+    branch: str = ""
+    strategy: str = "default"  # default | no-ff | ff-only | squash
+
+
+@dataclass
+class RebaseForm:
+    onto: str = ""
+    autostash: bool = True
+    rebase_merges: bool = False
+
+
+@dataclass
+class WorktreeForm:
+    path: str = ""
+    branch: str = ""
+    base: str = ""
+    focused: str = "branch"
+
+
+@dataclass
+class OpenRepoForm:
+    path: str = ""
+
+
+@dataclass
+class ConfirmState:
+    action: str               # the ConfirmAction key
+    title: str
+    message: str
+    confirm_label: str = "Confirm"
+    destructive: bool = True
+    payload: dict = field(default_factory=dict)
+
+
+@dataclass
+class ErrorState:
+    title: str
+    message: str
+
+
+# -- building blocks ---------------------------------------------------------
+
+def _modal_frame(title: str, body: list[El], width: float = 420,
+                 key: str = "modal") -> El:
+    header = row(text(title, font_size=T.font_size_large, bold=True,
+                      color=T.text_bright),
+                 spacer(),
+                 rect(text("✕", color=T.text_muted),
+                      route="close-modal", radius=3, padding=(0, 6, 0, 6),
+                      hover_fill=T.surface_hover),
+                 align="center", width="fill")
+    card = rect(column(header, *body, gap=10, width="fill",
+                       padding=(14, 16, 14, 16)),
+                fill=T.surface_raised, border=T.border_light, border_width=1,
+                radius=10, width=width, shadow=True, key=key)
+    return rect(card, width="fill", height="fill", align="center",
+                fill=(0, 0, 0, 0.45), route="close-modal",
+                key="modal-scrim")
+
+
+def _field(label: str, value: str, input_key: str, focused: str,
+           placeholder: str = "", secret: bool = False) -> El:
+    shown = ("•" * len(value)) if (secret and value) else value
+    is_focused = focused == input_key
+    return column(
+        text(label, font_size=10, bold=True, color=T.text_muted),
+        rect(text((shown or placeholder) + ("▏" if is_focused else ""),
+                  color=T.text if value else T.text_muted,
+                  font_size=T.font_size),
+             fill=T.background, radius=4, padding=(5, 8, 5, 8),
+             border=T.accent if is_focused else T.border, border_width=1,
+             width="fill", height=27, clip=True,
+             route=f"focus-input:{input_key}"),
+        gap=3, width="fill")
+
+
+def _buttons(confirm_label: str, confirm_route: str,
+             destructive: bool = False, enabled: bool = True) -> El:
+    return row(
+        spacer(),
+        rect(text("Cancel", color=T.text), fill=T.surface_hover, radius=5,
+             padding=(5, 12, 5, 12), route="close-modal"),
+        rect(text(confirm_label, bold=True,
+                  color=T.text_bright if enabled else T.text_muted),
+             fill=(T.danger if destructive else T.accent) if enabled
+             else T.surface_raised,
+             radius=5, padding=(5, 12, 5, 12),
+             route=confirm_route if enabled else None,
+             key="modal-confirm"),
+        gap=8, width="fill")
+
+
+def _checkbox(label: str, checked: bool, route: str) -> El:
+    box = rect(text("✓" if checked else "", font_size=10, bold=True,
+                    color=T.text_bright),
+               width=16, height=16, radius=3,
+               fill=T.accent if checked else T.background,
+               border=T.border_light, border_width=1, align="center")
+    return rect(row(box, text(label, color=T.text, font_size=T.font_size),
+                    gap=8, align="center"),
+                route=route, padding=(2, 2, 2, 2), radius=4,
+                hover_fill=(1, 1, 1, 0.04))
+
+
+def _radio(label: str, selected: bool, route: str) -> El:
+    dot = rect(rect(width=8, height=8, radius=4,
+                    fill=T.accent if selected else (0, 0, 0, 0)),
+               width=16, height=16, radius=8, align="center",
+               border=T.accent if selected else T.border_light,
+               border_width=1)
+    return rect(row(dot, text(label, color=T.text, font_size=T.font_size),
+                    gap=8, align="center"),
+                route=route, padding=(2, 2, 2, 2), radius=4,
+                hover_fill=(1, 1, 1, 0.04))
+
+
+# -- the modals --------------------------------------------------------------
+
+def settings_modal(config) -> El:
+    body = [
+        _checkbox("Show avatars", config.show_avatars, "toggle-avatars"),
+        _checkbox("Fast scroll (2×)", config.scroll_speed_fast,
+                  "toggle-scroll-speed"),
+        _checkbox("Large rows (1.5×)", config.row_size_large,
+                  "toggle-row-size"),
+        _checkbox("Show shortcut bar", config.show_shortcut_bar,
+                  "toggle-shortcut-bar"),
+        text("Settings are saved to ~/.config/whisper-git/settings.json",
+             font_size=10, color=T.text_muted),
+    ]
+    return _modal_frame("Settings", body, key="modal-settings")
+
+
+def open_repo_modal(form: OpenRepoForm) -> El:
+    body = [
+        _field("Repository path", form.path, "path", "path",
+               placeholder="/path/to/repo"),
+        _buttons("Open", "do-open-repo", enabled=bool(form.path)),
+    ]
+    return _modal_frame("Open Repository", body, key="modal-open-repo")
+
+
+def confirm_modal(state: ConfirmState) -> El:
+    body = [
+        text(state.message, color=T.text, wrap=True, width="fill"),
+        _buttons(state.confirm_label, "do-confirm",
+                 destructive=state.destructive),
+    ]
+    return _modal_frame(state.title, body, key="modal-confirm-dialog")
+
+
+def error_modal(state: ErrorState) -> El:
+    body = [
+        text(state.message, color=T.text, wrap=True, width="fill"),
+        row(spacer(),
+            rect(text("OK", bold=True, color=T.text_bright), fill=T.accent,
+                 radius=5, padding=(5, 14, 5, 14), route="close-modal"),
+            width="fill"),
+    ]
+    return _modal_frame(state.title or "Error", body, key="modal-error")
+
+
+def clone_modal(form: CloneForm, busy: bool = False) -> El:
+    body = [
+        _field("Repository URL", form.url, "url", form.focused,
+               placeholder="https://github.com/user/repo.git"),
+        _field("Destination", form.dest, "dest", form.focused,
+               placeholder="~/src/repo"),
+        (text("Cloning…", color=T.accent) if busy else
+         _buttons("Clone", "do-clone",
+                  enabled=bool(form.url and form.dest))),
+    ]
+    return _modal_frame("Clone Repository", body, key="modal-clone")
+
+
+def token_modal(form: TokenForm) -> El:
+    body = [
+        row(_radio("GitHub", form.provider == "github",
+                   "token-provider:github"),
+            _radio("GitLab", form.provider == "gitlab",
+                   "token-provider:gitlab"),
+            gap=14),
+    ]
+    if form.provider == "gitlab":
+        body.append(_field("Host", form.host, "host", form.focused,
+                           placeholder="gitlab.com"))
+    body += [
+        _field("Access token", form.token, "token", form.focused,
+               secret=True, placeholder="ghp_… / glpat-…"),
+        text("Stored in the system keychain.", font_size=10,
+             color=T.text_muted),
+        _buttons("Save token", "do-save-token",
+                 enabled=bool(form.token)),
+    ]
+    title = "Edit CI Token" if form.editing else "Add CI Token"
+    return _modal_frame(title, body, key="modal-token")
+
+
+def branch_modal(form: BranchForm) -> El:
+    at = f" at {form.at_oid[:8]}" if form.at_oid else ""
+    body = [
+        _field("Branch name", form.name, "name", "name",
+               placeholder="feature/thing"),
+        _buttons("Create" + at, "do-create-branch",
+                 enabled=bool(form.name)),
+    ]
+    return _modal_frame("Create Branch", body, key="modal-branch")
+
+
+def tag_modal(form: TagForm) -> El:
+    at = f" at {form.at_oid[:8]}" if form.at_oid else ""
+    body = [
+        _field("Tag name", form.name, "name", form.focused,
+               placeholder="v1.0.0"),
+        _field("Message (annotated if set)", form.message, "message",
+               form.focused),
+        _buttons("Create" + at, "do-create-tag", enabled=bool(form.name)),
+    ]
+    return _modal_frame("Create Tag", body, key="modal-tag")
+
+
+def pull_modal(form: PullForm) -> El:
+    body = [
+        _checkbox("Rebase instead of merge", form.rebase, "toggle-pull-rebase"),
+        _buttons("Pull", "do-pull", destructive=False),
+    ]
+    return _modal_frame("Pull Options", body, key="modal-pull")
+
+
+def push_modal(form: PushForm, remotes: list[str]) -> El:
+    body: list[El] = []
+    if len(remotes) > 1:
+        body.append(row(*[_radio(r, form.remote == r, f"push-remote:{r}")
+                          for r in remotes[:4]], gap=12))
+    body += [
+        _checkbox("Force with lease", form.force_with_lease,
+                  "toggle-push-force"),
+        _checkbox("Set upstream", form.set_upstream, "toggle-push-upstream"),
+        _checkbox("Include tags", form.push_tags, "toggle-push-tags"),
+        _buttons("Push", "do-push-options",
+                 destructive=form.force_with_lease),
+    ]
+    return _modal_frame("Push Options", body, key="modal-push")
+
+
+def merge_modal(form: MergeForm) -> El:
+    body = [
+        text(f"Merge {form.branch!r} into the current branch", color=T.text),
+        _radio("Default (fast-forward when possible)",
+               form.strategy == "default", "merge-strategy:default"),
+        _radio("Always create a merge commit (--no-ff)",
+               form.strategy == "no-ff", "merge-strategy:no-ff"),
+        _radio("Fast-forward only (--ff-only)",
+               form.strategy == "ff-only", "merge-strategy:ff-only"),
+        _radio("Squash", form.strategy == "squash", "merge-strategy:squash"),
+        _buttons("Merge", "do-merge", destructive=False),
+    ]
+    return _modal_frame("Merge Options", body, key="modal-merge")
+
+
+def rebase_modal(form: RebaseForm) -> El:
+    body = [
+        text(f"Rebase the current branch onto {form.onto!r}", color=T.text),
+        _checkbox("Autostash", form.autostash, "toggle-rebase-autostash"),
+        _checkbox("Preserve merges (--rebase-merges)", form.rebase_merges,
+                  "toggle-rebase-merges"),
+        _buttons("Rebase", "do-rebase"),
+    ]
+    return _modal_frame("Rebase Options", body, key="modal-rebase")
+
+
+def worktree_modal(form: WorktreeForm) -> El:
+    body = [
+        _field("New branch", form.branch, "branch", form.focused,
+               placeholder="feature/thing"),
+        _field("Path", form.path, "path", form.focused,
+               placeholder="../repo-feature"),
+        _field("Base (optional)", form.base, "base", form.focused,
+               placeholder="main"),
+        _buttons("Create worktree", "do-create-worktree",
+                 enabled=bool(form.branch and form.path)),
+    ]
+    return _modal_frame("New Worktree", body, key="modal-worktree")
+
+
+def worktrees_manage_modal(tab) -> El:
+    body: list[El] = []
+    for wt in tab.worktrees:
+        view = tab.worktree_views.get(wt.path)
+        cells = [text(wt.name, color=T.text, bold=wt.is_main),
+                 text(wt.branch or "detached", font_size=10,
+                      color=T.text_muted)]
+        if view and view.dirty:
+            cells.append(rect(width=7, height=7, radius=3.5, fill=T.warning))
+        cells.append(spacer())
+        if not wt.is_main:
+            cells.append(rect(text("Remove", font_size=10, color=T.danger),
+                              route=f"confirm-remove-worktree:{wt.path}",
+                              radius=3, padding=(1, 6, 1, 6),
+                              hover_fill=T.surface_hover))
+        body.append(rect(row(*cells, gap=8, align="center", width="fill",
+                             height="fill"),
+                         width="fill", height=28, radius=4,
+                         padding=(2, 8, 2, 8),
+                         hover_fill=T.surface_hover))
+    body.append(row(spacer(),
+                    rect(text("New worktree…", color=T.accent),
+                         route="open-worktree-dialog", radius=4,
+                         padding=(3, 8, 3, 8), hover_fill=T.surface_hover),
+                    width="fill"))
+    return _modal_frame("Worktrees", body, width=480,
+                        key="modal-worktrees-manage")

@@ -1,0 +1,145 @@
+"""Branch sidebar: collapsible LOCAL / REMOTE / TAGS / SUBMODULES /
+WORKTREES / STASHES sections with count badges, per-remote grouping,
+current-branch highlight, create affordances and context-menu routes.
+
+Capability parity with reference src/sidebar.rs (+ README feature list:
+six sections, keyboard nav, ahead/behind, delete affordances).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ...ui import El, column, rect, row, spacer, text
+from ...ui.theme import DARK as T
+
+SECTIONS = ["local", "remote", "tags", "submodules", "worktrees", "stashes"]
+
+
+def _section_header(tab, key: str, label: str, count: int,
+                    create_route: str | None = None) -> El:
+    collapsed = tab.sidebar_collapsed.get(key, False)
+    arrow = "▸" if collapsed else "▾"
+    items = [
+        text(f"{arrow} {label}", font_size=11, bold=True, color=T.text_muted),
+        rect(text(str(count), font_size=10, color=T.text_muted),
+             fill=(1, 1, 1, 0.08), radius=7, padding=(0, 5, 0, 5)),
+        spacer(),
+    ]
+    if create_route:
+        items.append(rect(text("+", color=T.text_muted, font_size=12),
+                          route=create_route, radius=4,
+                          padding=(0, 4, 0, 4),
+                          hover_fill=T.surface_hover))
+    return rect(row(*items, gap=6, align="center", width="fill"),
+                fill=T.surface_raised, radius=4, width="fill", height=24,
+                padding=(2, 6, 2, 6), route=f"sidebar-toggle:{key}",
+                key=f"sidebar-section:{key}")
+
+
+def _item(label: str, route: str, *, selected=False, current=False,
+          badge: str = "", dirty=False, route_right: str | None = None,
+          muted=False) -> El:
+    fg = (T.accent if current else T.text_muted if muted else T.text)
+    cells: list[El] = []
+    if current:
+        cells.append(rect(width=3, height="fill", fill=T.accent, radius=1))
+    cells.append(text(label[:34], font_size=T.font_size, color=fg,
+                      bold=current))
+    if dirty:
+        cells.append(rect(width=7, height=7, radius=3.5, fill=T.warning))
+    cells.append(spacer())
+    if badge:
+        cells.append(text(badge, font_size=10, color=T.text_muted))
+    return rect(row(*cells, gap=6, align="center", width="fill",
+                    height="fill"),
+                width="fill", height=24, radius=4,
+                fill=T.surface_hover if selected else None,
+                hover_fill=T.surface_hover,
+                padding=(2, 6, 2, 8), route=route, route_right=route_right,
+                key=route)
+
+
+def sidebar(tab) -> El:
+    """reference: sidebar.rs:18."""
+    rows: list[El] = []
+
+    local = [t for t in tab.branch_tips if not t.is_remote]
+    rows.append(_section_header(tab, "local", "LOCAL", len(local),
+                                "open-branch-dialog"))
+    if not tab.sidebar_collapsed.get("local", False):
+        for tip in local:
+            badge = ""
+            if tip.ahead or tip.behind:
+                parts = []
+                if tip.ahead:
+                    parts.append(f"↑{tip.ahead}")
+                if tip.behind:
+                    parts.append(f"↓{tip.behind}")
+                badge = " ".join(parts)
+            rows.append(_item(
+                tip.name, f"checkout-branch:{tip.name}",
+                current=tip.is_head,
+                selected=tab.selected_sidebar_key == f"branch:{tip.name}",
+                badge=badge, route_right=f"menu-branch:{tip.name}"))
+
+    remotes = [t for t in tab.branch_tips if t.is_remote]
+    by_remote: dict[str, list] = defaultdict(list)
+    for tip in remotes:
+        remote = tip.name.split("/", 1)[0]
+        by_remote[remote].append(tip)
+    rows.append(_section_header(tab, "remote", "REMOTE", len(remotes)))
+    if not tab.sidebar_collapsed.get("remote", False):
+        for remote in sorted(by_remote):
+            gkey = f"remote-group:{remote}"
+            collapsed = tab.sidebar_collapsed.get(gkey, False)
+            rows.append(_item(("▸ " if collapsed else "▾ ") + remote,
+                              f"sidebar-toggle:{gkey}", muted=True))
+            if not collapsed:
+                for tip in by_remote[remote]:
+                    rows.append(_item(
+                        "  " + tip.name.split("/", 1)[1],
+                        f"checkout-remote:{tip.name}",
+                        selected=tab.selected_sidebar_key == f"remote:{tip.name}",
+                        route_right=f"menu-remote-branch:{tip.name}"))
+
+    rows.append(_section_header(tab, "tags", "TAGS", len(tab.tags),
+                                "open-tag-dialog"))
+    if not tab.sidebar_collapsed.get("tags", False):
+        for tag in tab.tags:
+            rows.append(_item(tag.name, f"jump-to:{tag.oid}",
+                              selected=tab.selected_sidebar_key == f"tag:{tag.name}",
+                              route_right=f"menu-tag:{tag.name}"))
+
+    rows.append(_section_header(tab, "submodules", "SUBMODULES",
+                                len(tab.submodules)))
+    if not tab.sidebar_collapsed.get("submodules", False):
+        for sub in tab.submodules:
+            rows.append(_item(sub.name, f"enter-submodule:{sub.path}",
+                              dirty=tab.submodule_dirty.get(sub.path, False),
+                              route_right=f"menu-submodule:{sub.path}",
+                              muted=not sub.initialized))
+
+    rows.append(_section_header(tab, "worktrees", "WORKTREES",
+                                len(tab.worktrees),
+                                "open-worktree-dialog"))
+    if not tab.sidebar_collapsed.get("worktrees", False):
+        for wt in tab.worktrees:
+            view = tab.worktree_views.get(wt.path)
+            rows.append(_item(
+                wt.name + (" (main)" if wt.is_main else ""),
+                f"select-worktree:{wt.path}",
+                current=wt.path == tab.active_worktree,
+                dirty=bool(view and view.dirty),
+                badge=wt.branch or "detached",
+                route_right=f"menu-worktree:{wt.path}"))
+
+    rows.append(_section_header(tab, "stashes", "STASHES", len(tab.stashes)))
+    if not tab.sidebar_collapsed.get("stashes", False):
+        for st in tab.stashes:
+            rows.append(_item(st.summary[:30], f"apply-stash:{st.ref_name}",
+                              route_right=f"menu-stash:{st.ref_name}"))
+
+    return rect(column(*rows, gap=2, width="fill", padding=(6, 6, 6, 6)),
+                fill=T.surface, width="fill", height="fill", clip=True,
+                key="sidebar", route="focus-sidebar")

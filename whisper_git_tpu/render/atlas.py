@@ -28,7 +28,12 @@ CELL = 64                   # atlas cell size in px (must fit glyph + spread)
 SPREAD = 8.0                # SDF spread in atlas pixels
 GRID_COLS = 12
 
-_CHARS = [chr(c) for c in range(32, 127)] + list("…·→✓—•")
+_CHARS = list(dict.fromkeys(
+    [chr(c) for c in range(32, 127)]              # ASCII
+    + [chr(c) for c in range(0xA1, 0x100)]        # Latin-1 supplement
+    + list("…·→✓—–•✕⚙▸▾▴◂↑↓⟳›‹▏●○■□†‡€™")         # UI symbols
+    + list("‘’“”„−±≈≠≤≥")                          # punctuation/math
+))
 
 
 def _font_path(bold: bool) -> str:
@@ -83,7 +88,7 @@ def build_atlas(bold: bool = False, use_cache: bool = True) -> FontAtlas:
     font_file = _font_path(bold)
     key = hashlib.md5(
         f"{font_file}:{ATLAS_FONT_PX}:{OVERSAMPLE}:{CELL}:{SPREAD}:"
-        f"{''.join(_CHARS)}:v2".encode()).hexdigest()[:16]
+        f"{''.join(_CHARS)}:v3".encode()).hexdigest()[:16]
     cache = os.path.join(_cache_dir(), f"atlas-{key}.npz")
     if use_cache and os.path.exists(cache):
         try:

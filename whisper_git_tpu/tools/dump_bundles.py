@@ -1,0 +1,185 @@
+"""Golden scene dumps: build fixture WhisperApps for every view / modal /
+menu state and write `<scene>.svg` + `<scene>.tree.txt` + `<scene>.lint.txt`
+per scene.
+
+Capability parity with reference src/bin/dump_bundles.rs:20-76 — the
+CPU-only regression artifacts; the lint report is the gate
+(`grep -c MissingSurfaceFill out/*.lint.txt` must be zero,
+docs/aetna-port.md:258-279).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
+
+from ..app.repo_tab import RepoTab
+from ..app.ui_app import WhisperApp
+from ..app.views import dialogs
+from ..host.main import SCREENSHOT_STATES, apply_screenshot_state
+from ..services.config import Config
+from ..ui.dump import to_svg, to_tree_text
+from ..ui.layout import layout_tree
+from ..ui.lint import run_lints
+
+VIEWPORT = (1280.0, 800.0)
+
+
+def make_fixture_repo(base_dir: str) -> str:
+    """A deterministic throwaway repo with branches, a merge, a tag, a
+    stash and staged + unstaged changes."""
+    path = os.path.join(base_dir, "fixture-repo")
+    env = dict(os.environ, GIT_TERMINAL_PROMPT="0",
+               GIT_AUTHOR_DATE="2026-01-01T12:00:00",
+               GIT_COMMITTER_DATE="2026-01-01T12:00:00")
+
+    def git(*args):
+        subprocess.run(["git", "-C", path, *args], check=True,
+                       capture_output=True, env=env)
+
+    os.makedirs(path, exist_ok=True)
+    subprocess.run(["git", "init", "-b", "main", path], check=True,
+                   capture_output=True, env=env)
+    git("config", "user.email", "fixture@example.com")
+    git("config", "user.name", "Fixture Author")
+    with open(os.path.join(path, "README.md"), "w") as f:
+        f.write("# Fixture\n\nhello\n")
+    git("add", ".")
+    git("commit", "-m", "initial commit")
+    git("checkout", "-b", "feature/widgets")
+    with open(os.path.join(path, "widget.py"), "w") as f:
+        f.write("def widget():\n    return 42\n")
+    git("add", ".")
+    git("commit", "-m", "add widget module")
+    git("checkout", "main")
+    with open(os.path.join(path, "main.py"), "w") as f:
+        f.write("print('main')\n")
+    git("add", ".")
+    git("commit", "-m", "add main entry")
+    git("merge", "feature/widgets", "-m", "merge feature/widgets")
+    git("tag", "-a", "v0.1.0", "-m", "first release")
+    with open(os.path.join(path, "README.md"), "a") as f:
+        f.write("\nstash me\n")
+    git("stash", "push", "-m", "wip notes")
+    with open(os.path.join(path, "staged.txt"), "w") as f:
+        f.write("staged content\n")
+    git("add", "staged.txt")
+    with open(os.path.join(path, "README.md"), "a") as f:
+        f.write("\nunstaged edit\n")
+    return path
+
+
+def build_scenes(repo_path: str) -> dict[str, WhisperApp]:
+    """One fixture app per scene (reference: dump_bundles scenes :78+)."""
+    scenes: dict[str, WhisperApp] = {}
+
+    def fresh() -> WhisperApp:
+        tab = RepoTab.open(repo_path)
+        tab.refresh_sync()
+        app = WhisperApp.with_tabs([tab])
+        return app
+
+    for state in SCREENSHOT_STATES:
+        app = (WhisperApp.with_tabs([]) if state == "welcome" else fresh())
+        apply_screenshot_state(app, state)
+        scenes[state] = app
+
+    # Extra scenes beyond the CLI states.
+    app = fresh()
+    app._act_view_file("unstaged:README.md", 0, 0)
+    scenes["working-diff"] = app
+
+    app = fresh()
+    tab = app.current()
+    if tab.commits:
+        app._act_select_commit(tab.commits[0].oid, 0, 0)
+    scenes["commit-details"] = app
+
+    app = fresh()
+    app.focus = "staging"
+    app.focused_input = "subject"
+    view = app.current().active_view()
+    if view:
+        view.draft_subject = "Improve widget rendering performance"
+        view.draft_body = "Batch the glyph uploads per frame."
+    scenes["staging-draft"] = app
+
+    app = fresh()
+    second = RepoTab.open(repo_path)
+    second.refresh_sync()
+    second.title = "second-tab"
+    app.tabs.append(second)
+    scenes["multi-tab"] = app
+
+    app = fresh()
+    app.toast("success", "Pushed main to origin")
+    app.toast("error", "Fetch failed: network unreachable")
+    app.toast("info", "3 new commits on origin/main")
+    scenes["toasts"] = app
+
+    app = fresh()
+    app.modal = ("push", dialogs.PushForm())
+    scenes["push-options"] = app
+
+    app = fresh()
+    app.modal = ("merge", dialogs.MergeForm(branch="feature/widgets"))
+    scenes["merge-options"] = app
+
+    app = fresh()
+    app.modal = ("rebase", dialogs.RebaseForm(onto="main"))
+    scenes["rebase-options"] = app
+
+    app = fresh()
+    app.modal = ("worktree", dialogs.WorktreeForm(branch="feature/x", path="../fixture-x"))
+    scenes["worktree-create"] = app
+
+    app = fresh()
+    app.modal = ("worktrees-manage", None)
+    scenes["worktrees-manage"] = app
+
+    app = fresh()
+    app.modal = ("branch", dialogs.BranchForm(name="feature/new"))
+    scenes["branch-dialog"] = app
+
+    app = fresh()
+    app.modal = ("tag", dialogs.TagForm(name="v0.2.0", message="next release"))
+    scenes["tag-dialog"] = app
+
+    app = fresh()
+    app.modal = ("pull", dialogs.PullForm(rebase=True))
+    scenes["pull-options"] = app
+
+    return scenes
+
+
+def dump_all(out_dir: str, repo_path: str | None = None) -> int:
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = None
+    if repo_path is None:
+        tmp = tempfile.mkdtemp(prefix="wgit-dump-")
+        repo_path = make_fixture_repo(tmp)
+    scenes = build_scenes(repo_path)
+    for name, app in scenes.items():
+        tree = app.build(VIEWPORT)
+        root = layout_tree(tree, VIEWPORT)
+        with open(os.path.join(out_dir, f"{name}.svg"), "w") as f:
+            f.write(to_svg(root, *VIEWPORT))
+        with open(os.path.join(out_dir, f"{name}.tree.txt"), "w") as f:
+            f.write(to_tree_text(root))
+        findings = run_lints(root)
+        with open(os.path.join(out_dir, f"{name}.lint.txt"), "w") as f:
+            for finding in findings:
+                f.write(f"{finding.rule}: {finding.message} "
+                        f"@({finding.x:.0f},{finding.y:.0f})\n")
+        for tab in app.tabs:
+            tab.stop_workers()
+    return len(scenes)
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "out/bundles"
+    n = dump_all(out)
+    print(f"wrote {n} scenes to {out}")
