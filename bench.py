@@ -1,0 +1,134 @@
+"""Benchmark: end-to-end frame rendering of the git client's history view.
+
+The reference (a Rust/Vulkan git GUI) publishes no performance numbers
+(BASELINE.md); its implied target is fluid 60 fps continuous redraw. This
+bench builds a realistic fixture repository (~240 commits with branch/
+merge topology), runs the real app pipeline (state → El tree → layout →
+scene compile → TPU rasterization → frame assembly) at 1280×800, and
+reports end-to-end frames/sec. vs_baseline is the ratio to the 60 fps
+target (>1.0 beats it).
+
+Prints ONE JSON line: {"metric","value","unit","vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+VIEWPORT = (1280, 800)
+TARGET_FPS = 60.0
+WARMUP = 3
+ITERS = 20
+
+
+def build_history_repo(base: str, n_commits: int = 240) -> str:
+    path = os.path.join(base, "bench-repo")
+    env = dict(os.environ, GIT_TERMINAL_PROMPT="0")
+
+    def git(*args, check=True):
+        return subprocess.run(["git", "-C", path, *args], check=check,
+                              capture_output=True, env=env)
+
+    os.makedirs(path, exist_ok=True)
+    subprocess.run(["git", "init", "-q", "-b", "main", path], check=True,
+                   capture_output=True, env=env)
+    git("config", "user.email", "bench@example.com")
+    git("config", "user.name", "Bench Author")
+    git("commit", "--allow-empty", "-m", "initial commit")
+    ts = 1_700_000_000
+    i = 0
+    while i < n_commits:
+        env["GIT_AUTHOR_DATE"] = env["GIT_COMMITTER_DATE"] = str(ts + i * 3600)
+        if i % 17 == 13:
+            git("checkout", "-q", "-b", f"feature/{i}")
+            git("commit", "--allow-empty", "-m",
+                f"feature work {i}: adjust widget layout and colors")
+            i += 1
+            git("checkout", "-q", "main")
+            env["GIT_AUTHOR_DATE"] = env["GIT_COMMITTER_DATE"] = str(
+                ts + i * 3600)
+            git("merge", "--no-ff", "-m", f"merge feature/{i - 1}",
+                f"feature/{i - 1}")
+        else:
+            git("commit", "--allow-empty", "-m",
+                f"commit {i}: fix rendering of lane {i % 6} and tidy up the "
+                "status pills")
+        i += 1
+    git("tag", "v1.0")
+    with open(os.path.join(path, "dirty.txt"), "w") as f:
+        f.write("uncommitted\n")
+    return path
+
+
+def main() -> int:
+    import jax
+
+    t_setup = time.time()
+    tmp = tempfile.mkdtemp(prefix="wgit-bench-")
+    repo_path = build_history_repo(tmp)
+
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+    from whisper_git_tpu.render.rasterizer import render_scene_device
+    from whisper_git_tpu.render.renderer import get_renderer
+    from whisper_git_tpu.ui.theme import DARK
+
+    tab = RepoTab.open(repo_path)
+    tab.refresh_sync(include_orphans=False)
+    app = WhisperApp.with_tabs([tab])
+    renderer = get_renderer()
+
+    device = jax.devices()[0]
+    print(f"# setup {time.time() - t_setup:.1f}s | device {device.platform} "
+          f"({device.device_kind}) | {len(tab.commits)} commits",
+          file=sys.stderr)
+
+    font_dev = renderer.font_tex_device()
+
+    def frame():
+        """One full frame: state → El tree → layout → scene compile →
+        device rasterization to the presented u8 framebuffer. Like the
+        reference's swapchain present, the frame stays device-resident —
+        readback is a screenshot concern, not a frame cost."""
+        tree = app.build((float(VIEWPORT[0]), float(VIEWPORT[1])))
+        root = renderer.layout(tree, VIEWPORT)
+        scene = renderer.compile(root, VIEWPORT, DARK.background)
+        img = render_scene_device(scene, font_dev,
+                                  renderer.image_atlas_device())
+        return img
+
+    for _ in range(WARMUP):
+        img = frame()
+        jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        # Scroll each frame so the scene actually changes (no caching wins).
+        tab.history_scroll = (i * 17) % 400
+        img = frame()
+        jax.block_until_ready(img)
+    elapsed = time.perf_counter() - t0
+    fps = ITERS / elapsed
+
+    assert img.shape == (VIEWPORT[1], VIEWPORT[0], 4)
+    print(f"# frame (device-complete) {fps:.1f} fps "
+          f"({elapsed / ITERS * 1000:.1f} ms/frame)", file=sys.stderr)
+
+    for tb in app.tabs:
+        tb.stop_workers()
+
+    print(json.dumps({
+        "metric": "history_view_frame_render",
+        "value": round(fps, 2),
+        "unit": "frames/sec (1280x800, end-to-end)",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,201 @@
+"""Mesh-sharded rendering: the frame pipeline over `jax.sharding.Mesh`.
+
+Two parallel axes, following the scaling-book recipe (pick a mesh,
+annotate shardings, let XLA insert collectives):
+
+  dp — data parallel over independent frames (scenes): each device group
+       renders different frames (golden-dump sweeps, animation batches).
+  sp — spatial parallel over framebuffer tiles within one frame: the tile
+       axis is sharded, command buffers + atlases are replicated, and the
+       assembled frame is the all-gather of tile outputs (XLA inserts it
+       from the out_spec).
+
+The per-tile kernel is exactly the single-chip rasterizer body, so
+single-chip and multi-chip paths cannot drift apart.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render import rasterizer as R
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None
+              ) -> Mesh:
+    """Build a (dp, sp) mesh over the available devices. dp defaults to 1
+    (pure spatial sharding)."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = np.array(devices[:n])
+    dp = dp or 1
+    assert n % dp == 0, f"{n} devices not divisible by dp={dp}"
+    return Mesh(devices.reshape(dp, n // dp), ("dp", "sp"))
+
+
+def _pad_tiles(bins: np.ndarray, t_pad: int) -> np.ndarray:
+    t = bins.shape[0]
+    if t == t_pad:
+        return bins
+    pad = np.full((t_pad - t,) + bins.shape[1:], -1, bins.dtype)
+    return np.concatenate([bins, pad], axis=0)
+
+
+def render_scene_sharded(scene, font_tex: np.ndarray, mesh: Mesh
+                         ) -> np.ndarray:
+    """Single frame, tile axis sharded over the mesh's 'sp' axis.
+    Returns (H, W, 4) uint8 on the host."""
+    tiles_x = -(-scene.width // R.TILE_W)
+    tiles_y = -(-scene.height // R.TILE_H)
+    T = tiles_y * tiles_x
+    sp = mesh.shape["sp"] * mesh.shape["dp"]  # use the whole mesh spatially
+    T_pad = math.ceil(T / sp) * sp
+
+    layer_data = []
+    layer_sig = []
+    for lb in scene.layers:
+        s_bins, _ = R._bin_commands(R._shape_boxes(lb.shapes, lb.n_shapes),
+                                    lb.n_shapes, tiles_y, tiles_x,
+                                    R.K_SHAPES)
+        g_bins, _ = R._bin_commands(R._quad_boxes(lb.glyphs, lb.n_glyphs),
+                                    lb.n_glyphs, tiles_y, tiles_x,
+                                    R.K_GLYPHS)
+        i_bins, _ = R._bin_commands(R._quad_boxes(lb.images, lb.n_images),
+                                    lb.n_images, tiles_y, tiles_x,
+                                    R.K_IMAGES)
+        layer_data.append((
+            jnp.asarray(lb.shapes), jnp.asarray(lb.shape_clips),
+            jnp.asarray(lb.glyphs), jnp.asarray(lb.glyph_colors),
+            jnp.asarray(lb.glyph_clips),
+            jnp.asarray(lb.images), jnp.asarray(lb.image_clips),
+            jnp.asarray(_pad_tiles(s_bins, T_pad)),
+            jnp.asarray(_pad_tiles(g_bins, T_pad)),
+            jnp.asarray(_pad_tiles(i_bins, T_pad))))
+        layer_sig.append((lb.n_shapes > 0, lb.n_glyphs > 0, lb.n_images > 0))
+
+    tiles = render_tiles_sharded(
+        tuple(layer_data), jnp.asarray(font_tex),
+        jnp.asarray(scene.image_atlas), tuple(scene.background[:3]),
+        tiles_y, tiles_x, tuple(layer_sig), mesh, t_pad=T_pad)
+    tiles = np.asarray(tiles)[:T]
+    return R.assemble_image(tiles, tiles_y, tiles_x, scene.height,
+                            scene.width)
+
+
+def render_tiles_sharded(layer_data, font_tex, image_atlas, background,
+                         tiles_y: int, tiles_x: int, layer_sig: tuple,
+                         mesh: Mesh, t_pad: int):
+    """shard_map over the tile axis: bins sharded on ('dp','sp') jointly,
+    everything else replicated; output tiles sharded the same way."""
+    spatial = ("dp", "sp")
+
+    # Specs: bins (indices 7..9 of each layer tuple) shard on tiles; the
+    # command buffers and textures replicate.
+    def layer_spec(i):
+        return tuple(P(spatial) if j >= 7 else P() for j in range(10))
+
+    in_specs = (tuple(layer_spec(i) for i in range(len(layer_sig))),
+                P(), P())
+    out_spec = P(spatial)
+
+    def shard_fn(ld, ftex, iatlas):
+        # Each shard owns a contiguous slice of tiles; reconstruct global
+        # tile ids from the shard offset so pixel coordinates are right.
+        idx_dp = jax.lax.axis_index("dp")
+        idx_sp = jax.lax.axis_index("sp")
+        n_sp = mesh.shape["sp"]
+        shard_id = idx_dp * n_sp + idx_sp
+        local_t = t_pad // (mesh.shape["dp"] * n_sp)
+        tile0 = shard_id * local_t
+        return _render_tile_slice(ld, ftex, iatlas, background, tiles_x,
+                                  layer_sig, tile0, local_t)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_spec, check_vma=False)
+    return fn(layer_data, font_tex, image_atlas)
+
+
+def _render_tile_slice(layer_data, font_tex, image_atlas, background,
+                       tiles_x: int, layer_sig: tuple, tile0, local_t: int):
+    """Rasterize `local_t` tiles starting at global tile id `tile0`. The
+    body reuses the single-chip passes (R._shapes_pass etc.)."""
+    yy = jax.lax.broadcasted_iota(jnp.float32, (R.TILE_H, R.TILE_W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (R.TILE_H, R.TILE_W), 1)
+
+    bins_flat = []
+    for li in range(len(layer_sig)):
+        bins_flat += [layer_data[li][7], layer_data[li][8],
+                      layer_data[li][9]]
+
+    local_ids = jnp.arange(local_t)
+    global_ids = tile0 + local_ids
+    org_x = (global_ids % tiles_x).astype(jnp.float32) * R.TILE_W
+    org_y = (global_ids // tiles_x).astype(jnp.float32) * R.TILE_H
+
+    def tile_fn(ox, oy, *tile_bins):
+        px = xx + ox + 0.5
+        py = yy + oy + 0.5
+        fb = jnp.zeros((R.TILE_H, R.TILE_W, 4), jnp.float32)
+        fb = fb.at[..., :3].set(jnp.asarray(background[:3], jnp.float32))
+        fb = fb.at[..., 3].set(1.0)
+        for li, (has_s, has_g, has_i) in enumerate(layer_sig):
+            (shapes, shape_clips, glyphs, glyph_colors, glyph_clips,
+             images, image_clips) = layer_data[li][:7]
+            s_bins, g_bins, i_bins = (tile_bins[3 * li],
+                                      tile_bins[3 * li + 1],
+                                      tile_bins[3 * li + 2])
+            if has_s:
+                fb = R._shapes_pass(fb, px, py, shapes, shape_clips, s_bins)
+            if has_i:
+                fb = R._images_pass(fb, px, py, images, image_clips, i_bins,
+                                    image_atlas)
+            if has_g:
+                fb = R._glyphs_pass(fb, px, py, glyphs, glyph_colors,
+                                    glyph_clips, g_bins, font_tex)
+        return fb
+
+    return jax.vmap(tile_fn)(org_x, org_y, *bins_flat)
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-frame step (the dp axis): B scenes with identical buffer
+# shapes rendered in one sharded dispatch — the "training step" analog.
+# ---------------------------------------------------------------------------
+
+def render_batch_sharded(batched_layer_data, font_tex, image_atlas,
+                         background, tiles_y: int, tiles_x: int,
+                         layer_sig: tuple, mesh: Mesh):
+    """batched_layer_data: like layer_data but every array has a leading
+    frame axis B (divisible by mesh dp). Frames shard over 'dp'; tiles
+    shard over 'sp'. Returns (B, T, TH, TW, 4) float32."""
+    def layer_spec():
+        # Commands: (B, N, …) shard B on dp. Bins: (B, T, K) shard B on dp
+        # and T on sp.
+        return tuple(P("dp", "sp") if j >= 7 else P("dp")
+                     for j in range(10))
+
+    in_specs = (tuple(layer_spec() for _ in layer_sig), P(), P())
+    out_specs = P("dp", "sp")
+
+    def shard_fn(ld, ftex, iatlas):
+        n_sp = mesh.shape["sp"]
+        idx_sp = jax.lax.axis_index("sp")
+        t_total = ld[0][7].shape[1] * n_sp
+        local_t = t_total // n_sp
+        tile0 = idx_sp * local_t
+
+        def one_frame(frame_ld):
+            return _render_tile_slice(frame_ld, ftex, iatlas, background,
+                                      tiles_x, layer_sig, tile0, local_t)
+
+        return jax.vmap(one_frame)(ld)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    return fn(batched_layer_data, font_tex, image_atlas)

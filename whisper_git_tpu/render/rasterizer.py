@@ -33,6 +33,25 @@ K_IMAGES = 32
 SDF_SPREAD = 8.0  # must match atlas.SPREAD
 
 
+def _coarse_buckets() -> bool:
+    """On real accelerators, compile time (possibly over a network tunnel)
+    dwarfs the cost of scanning padded command slots, so bucket ladders are
+    coarse to keep jit signatures stable across frames. On CPU (tests),
+    fine ladders keep the scan short."""
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def _k_trim(occ: int, cap: int) -> int:
+    if _coarse_buckets():
+        return 64 if occ <= 64 else cap
+    k = 8
+    while k < occ:
+        k *= 2
+    return min(k, cap)
+
+
 def _bin_commands(boxes: np.ndarray, n: int, tiles_y: int, tiles_x: int,
                   k: int) -> tuple[np.ndarray, int]:
     """boxes: (N, 4) x0,y0,x1,y1. Returns (T, k) int32 index lists padded
@@ -61,13 +80,9 @@ def _bin_commands(boxes: np.ndarray, n: int, tiles_y: int, tiles_x: int,
                     fill[t] += 1
                 else:
                     overflow += 1
-    # Trim to the bucketed max occupancy: the scan length is the dominant
-    # per-tile cost, so don't pay for empty padded slots.
+    # Trim to a bucketed max occupancy (see _k_trim for the ladder).
     occ = int(fill.max()) if T else 0
-    k_used = 8
-    while k_used < occ:
-        k_used *= 2
-    return bins[:, :min(k_used, k)], overflow
+    return bins[:, :_k_trim(occ, k)], overflow
 
 
 def _shape_boxes(shapes: np.ndarray, n: int) -> np.ndarray:
@@ -148,50 +163,51 @@ def _shapes_pass(fb, px, py, shapes, clips, bins):
     return fb
 
 
-def _bilinear_u8(tex, fy, fx):
-    """Bilinear sample of a (H, W) or (H, W, C) uint8 texture."""
-    H, W = tex.shape[0], tex.shape[1]
-    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, W - 1)
-    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, H - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    wx = jnp.clip(fx - x0, 0.0, 1.0)
-    wy = jnp.clip(fy - y0, 0.0, 1.0)
-    if tex.ndim == 2:
-        t00 = tex[y0, x0].astype(jnp.float32)
-        t01 = tex[y0, x1].astype(jnp.float32)
-        t10 = tex[y1, x0].astype(jnp.float32)
-        t11 = tex[y1, x1].astype(jnp.float32)
-    else:
-        t00 = tex[y0, x0].astype(jnp.float32)
-        t01 = tex[y0, x1].astype(jnp.float32)
-        t10 = tex[y1, x0].astype(jnp.float32)
-        t11 = tex[y1, x1].astype(jnp.float32)
-        wx = wx[..., None]
-        wy = wy[..., None]
-    top = t00 * (1 - wx) + t01 * wx
-    bot = t10 * (1 - wx) + t11 * wx
-    return top * (1 - wy) + bot * wy
+CELL = 64  # atlas cell extent (matches atlas.CELL / scene image tile)
+
+
+def _sample_weights(pix, origin, extent, atlas_extent):
+    """Bilinear resampling weight matrix W (P, CELL) such that
+    (W @ patch) evaluates the patch at fractional atlas coordinates —
+    turning texture sampling into a dense matmul (MXU) instead of a
+    per-pixel gather (which TPUs execute abysmally).
+
+    pix: (P,) screen coords; origin: quad origin; extent: quad size;
+    atlas_extent: the sampled region size in atlas px."""
+    s = (pix - origin) / jnp.maximum(extent, 1e-6) * atlas_extent - 0.5
+    j = jax.lax.broadcasted_iota(jnp.float32, (1, CELL), 1)
+    w = jnp.clip(1.0 - jnp.abs(s[:, None] - j), 0.0, 1.0)
+    inside = ((s > -1.0) & (s < atlas_extent)).astype(jnp.float32)
+    return w * inside[:, None]
 
 
 def _glyphs_pass(fb, px, py, glyphs, colors, clips, bins, font_tex):
+    """SDF glyph compositing. Per glyph: dynamic_slice its atlas cell
+    (contiguous → fast), then two small matmuls resample it onto the
+    tile's pixel grid. No gathers anywhere."""
+    th, tw = px.shape
+    py1 = py[:, 0]
+    px1 = px[0, :]
+    ftex = font_tex.astype(jnp.float32)
+
     def body(fb, idx):
         i = jnp.maximum(idx, 0)
         g = glyphs[i]
         valid = (idx >= 0).astype(jnp.float32)
         clip = _clip_mask(px, py, clips[i]) * valid
         x, y, w, h, u, v, uw, uh = (g[j] for j in range(8))
-        sx = (px - x) / jnp.maximum(w, 1e-6)
-        sy = (py - y) / jnp.maximum(h, 1e-6)
-        inside = ((sx >= 0) & (sx < 1) & (sy >= 0) & (sy < 1)).astype(jnp.float32)
-        fx = u + sx * uw
-        fy = v + sy * uh
-        enc = _bilinear_u8(font_tex, fy, fx)
+        patch = jax.lax.dynamic_slice(
+            ftex, (v.astype(jnp.int32), u.astype(jnp.int32)), (CELL, CELL))
+        wy = _sample_weights(py1, y, h, uh)          # (TH, CELL)
+        wx = _sample_weights(px1, x, w, uw)          # (TW, CELL)
+        enc = jnp.dot(jnp.dot(wy, patch, preferred_element_type=jnp.float32),
+                      wx.T, preferred_element_type=jnp.float32)
         sdf_atlas = (128.0 - enc) * (SDF_SPREAD / 128.0)   # atlas px
-        screen_scale = w / jnp.maximum(uw, 1e-6)           # screen px / atlas px
+        screen_scale = w / jnp.maximum(uw, 1e-6)
         d = sdf_atlas * screen_scale
-        # smoothstep AA with ~0.7px transition (the fwidth analog).
-        cov = jnp.clip(0.5 - d / 0.7, 0.0, 1.0) * inside * clip
+        # smoothstep AA with ~0.7px transition (the fwidth analog). Pixels
+        # outside the quad got zero weights → enc 0 → d = +spread → cov 0.
+        cov = jnp.clip(0.5 - d / 0.7, 0.0, 1.0) * clip
         col = colors[i]
         fb = _over(fb, col[:3][None, None, :], cov * col[3])
         return fb, None
@@ -201,19 +217,26 @@ def _glyphs_pass(fb, px, py, glyphs, colors, clips, bins, font_tex):
 
 
 def _images_pass(fb, px, py, images, clips, bins, image_atlas):
+    """Image-quad compositing via the same matmul-resampling trick,
+    per RGBA channel."""
+    py1 = py[:, 0]
+    px1 = px[0, :]
+    atlas = image_atlas.astype(jnp.float32)
+
     def body(fb, idx):
         i = jnp.maximum(idx, 0)
         g = images[i]
         valid = (idx >= 0).astype(jnp.float32)
         clip = _clip_mask(px, py, clips[i]) * valid
         x, y, w, h, u, v, uw, uh = (g[j] for j in range(8))
-        sx = (px - x) / jnp.maximum(w, 1e-6)
-        sy = (py - y) / jnp.maximum(h, 1e-6)
-        inside = ((sx >= 0) & (sx < 1) & (sy >= 0) & (sy < 1)).astype(jnp.float32)
-        fx = u + sx * uw
-        fy = v + sy * uh
-        rgba = _bilinear_u8(image_atlas, fy, fx) / 255.0
-        a = rgba[..., 3] * inside * clip
+        patch = jax.lax.dynamic_slice(
+            atlas, (v.astype(jnp.int32), u.astype(jnp.int32), 0),
+            (CELL, CELL, 4))
+        wy = _sample_weights(py1, y, h, uh)
+        wx = _sample_weights(px1, x, w, uw)
+        rgba = jnp.einsum("pj,jkc,qk->pqc", wy, patch, wx,
+                          preferred_element_type=jnp.float32) / 255.0
+        a = rgba[..., 3] * clip
         fb = _over(fb, rgba[..., :3], a)
         return fb, None
 
@@ -223,9 +246,15 @@ def _images_pass(fb, px, py, images, clips, bins, image_atlas):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_y", "tiles_x", "layer_sig"))
+    static_argnames=("background", "tiles_y", "tiles_x", "layer_sig"))
 def _render_tiles(layer_data, font_tex, image_atlas, background,
                   tiles_y: int, tiles_x: int, layer_sig: tuple):
+    return _render_tiles_impl(layer_data, font_tex, image_atlas, background,
+                              tiles_y, tiles_x, layer_sig)
+
+
+def _render_tiles_impl(layer_data, font_tex, image_atlas, background,
+                       tiles_y: int, tiles_x: int, layer_sig: tuple):
     """layer_data: tuple per layer of
     (shapes, shape_clips, glyphs, glyph_colors, glyph_clips, images,
      image_clips, shape_bins, glyph_bins, image_bins) — the bins are
@@ -281,12 +310,28 @@ class RenderStats:
     overflow: int = 0
 
 
-def render_scene(scene: Scene, font_tex: np.ndarray) -> np.ndarray:
-    """Rasterize a compiled Scene → (H, W, 4) uint8."""
+# ---------------------------------------------------------------------------
+# Packed frame path: the whole frame's command data crosses to the device
+# as exactly TWO arrays (one f32 blob, one i32 blob), unpacked on-device
+# with static offsets. This matters enormously when the device is reached
+# through an RPC tunnel — per-transfer latency, not bandwidth, dominates.
+# ---------------------------------------------------------------------------
+
+# (rows, cols) of every f32 part per layer, in blob order.
+_F32_PARTS = (("shapes", 16), ("shape_clips", 4), ("glyphs", 8),
+              ("glyph_colors", 4), ("glyph_clips", 4), ("images", 8),
+              ("image_clips", 4))
+
+
+def pack_scene(scene: Scene) -> tuple[np.ndarray, np.ndarray, tuple, int, int]:
+    """→ (blob_f32, blob_i32, meta, tiles_y, tiles_x). `meta` is the static
+    unpack signature: per layer (ns_cap, ng_cap, ni_cap, ks, kg, ki,
+    has_s, has_g, has_i)."""
     tiles_x = -(-scene.width // TILE_W)
     tiles_y = -(-scene.height // TILE_H)
-    layer_data = []
-    layer_sig = []
+    f32_parts: list[np.ndarray] = []
+    i32_parts: list[np.ndarray] = []
+    meta = []
     for lb in scene.layers:
         s_bins, _ = _bin_commands(_shape_boxes(lb.shapes, lb.n_shapes),
                                   lb.n_shapes, tiles_y, tiles_x, K_SHAPES)
@@ -294,15 +339,71 @@ def render_scene(scene: Scene, font_tex: np.ndarray) -> np.ndarray:
                                   lb.n_glyphs, tiles_y, tiles_x, K_GLYPHS)
         i_bins, _ = _bin_commands(_quad_boxes(lb.images, lb.n_images),
                                   lb.n_images, tiles_y, tiles_x, K_IMAGES)
-        layer_data.append((
-            jnp.asarray(lb.shapes), jnp.asarray(lb.shape_clips),
-            jnp.asarray(lb.glyphs), jnp.asarray(lb.glyph_colors),
-            jnp.asarray(lb.glyph_clips),
-            jnp.asarray(lb.images), jnp.asarray(lb.image_clips),
-            jnp.asarray(s_bins), jnp.asarray(g_bins), jnp.asarray(i_bins)))
-        layer_sig.append((lb.n_shapes > 0, lb.n_glyphs > 0, lb.n_images > 0))
-    tiles = _render_tiles(tuple(layer_data), jnp.asarray(font_tex),
-                          jnp.asarray(scene.image_atlas),
-                          tuple(scene.background[:3]),
-                          tiles_y, tiles_x, tuple(layer_sig))
-    return assemble_image(tiles, tiles_y, tiles_x, scene.height, scene.width)
+        f32_parts += [lb.shapes, lb.shape_clips, lb.glyphs, lb.glyph_colors,
+                      lb.glyph_clips, lb.images, lb.image_clips]
+        i32_parts += [s_bins, g_bins, i_bins]
+        meta.append((lb.shapes.shape[0], lb.glyphs.shape[0],
+                     lb.images.shape[0], s_bins.shape[1], g_bins.shape[1],
+                     i_bins.shape[1], lb.n_shapes > 0, lb.n_glyphs > 0,
+                     lb.n_images > 0))
+    blob_f32 = np.concatenate([p.ravel() for p in f32_parts])
+    blob_i32 = np.concatenate([p.ravel() for p in i32_parts])
+    return blob_f32, blob_i32, tuple(meta), tiles_y, tiles_x
+
+
+def unpack_layers(blob_f32, blob_i32, meta: tuple, T: int):
+    """Device-side unpack (runs under jit; slicing is free)."""
+    layer_data = []
+    layer_sig = []
+    fo = 0
+    io = 0
+    for (ns, ng, ni, ks, kg, ki, has_s, has_g, has_i) in meta:
+        parts = []
+        for cap, cols in ((ns, 16), (ns, 4), (ng, 8), (ng, 4), (ng, 4),
+                          (ni, 8), (ni, 4)):
+            parts.append(blob_f32[fo:fo + cap * cols].reshape(cap, cols))
+            fo += cap * cols
+        bins = []
+        for k in (ks, kg, ki):
+            bins.append(blob_i32[io:io + T * k].reshape(T, k))
+            io += T * k
+        layer_data.append(tuple(parts) + tuple(bins))
+        layer_sig.append((has_s, has_g, has_i))
+    return tuple(layer_data), tuple(layer_sig)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_y", "tiles_x", "meta", "background",
+                              "height", "width"))
+def _render_packed(blob_f32, blob_i32, font_tex, image_atlas,
+                   background: tuple, tiles_y: int, tiles_x: int,
+                   meta: tuple, height: int, width: int):
+    """Full frame on-device: rasterize tiles, assemble, quantize to u8.
+    The u8 conversion and assembly stay on-device so a frame never crosses
+    the link as f32 tiles (the presented framebuffer lives device-side,
+    like the reference's swapchain image; readback is screenshot-only)."""
+    layer_data, layer_sig = unpack_layers(blob_f32, blob_i32, meta,
+                                          tiles_y * tiles_x)
+    tiles = _render_tiles_impl(layer_data, font_tex, image_atlas, background,
+                               tiles_y, tiles_x, layer_sig)
+    img = tiles.reshape(tiles_y, tiles_x, TILE_H, TILE_W, 4)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE_H,
+                                               tiles_x * TILE_W, 4)
+    img = img[:height, :width]
+    return jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+
+def render_scene_device(scene: Scene, font_tex, image_atlas=None):
+    """Rasterize → device-resident (H, W, 4) uint8 frame (no readback)."""
+    blob_f32, blob_i32, meta, tiles_y, tiles_x = pack_scene(scene)
+    atlas = image_atlas if image_atlas is not None else scene.image_atlas
+    return _render_packed(jnp.asarray(blob_f32), jnp.asarray(blob_i32),
+                          jnp.asarray(font_tex), jnp.asarray(atlas),
+                          tuple(float(c) for c in scene.background[:3]),
+                          tiles_y, tiles_x, meta,
+                          scene.height, scene.width)
+
+
+def render_scene(scene: Scene, font_tex, image_atlas=None) -> np.ndarray:
+    """Rasterize a compiled Scene → host (H, W, 4) uint8 (screenshot path)."""
+    return np.asarray(render_scene_device(scene, font_tex, image_atlas))

@@ -35,6 +35,27 @@ class Renderer:
         self.compiler = SceneCompiler(self.regular, self.bold,
                                       bold_v_offset=rt.shape[0])
         self.measurer = AtlasMeasurer(self.regular, self.bold)
+        # Device-resident copies — transferred once, reused every frame
+        # (per-frame data crosses as two packed blobs; see rasterizer).
+        self._font_tex_dev = None
+        self._image_atlas_dev = None
+        self._image_atlas_version = -1
+
+    def font_tex_device(self):
+        import jax.numpy as jnp
+
+        if self._font_tex_dev is None:
+            self._font_tex_dev = jnp.asarray(self.font_tex)
+        return self._font_tex_dev
+
+    def image_atlas_device(self):
+        import jax.numpy as jnp
+
+        if (self._image_atlas_dev is None
+                or self._image_atlas_version != self.compiler.atlas_version):
+            self._image_atlas_dev = jnp.asarray(self.compiler.image_atlas)
+            self._image_atlas_version = self.compiler.atlas_version
+        return self._image_atlas_dev
 
     def layout(self, el: El, viewport: tuple[float, float]) -> LayoutNode:
         return layout_tree(el, viewport, self.measurer)
@@ -50,7 +71,8 @@ class Renderer:
         bg = background or DARK.background
         root = self.layout(el, viewport)
         scene = self.compile(root, viewport, bg)
-        return render_scene(scene, self.font_tex)
+        return render_scene(scene, self.font_tex_device(),
+                            self.image_atlas_device())
 
 
 _RENDERER: Optional[Renderer] = None

@@ -32,7 +32,11 @@ S_BORD = 11  # 11-14 border rgba
 
 
 def _bucket(n: int) -> int:
-    for b in (64, 256, 1024, 4096, 16384, 65536):
+    from .rasterizer import _coarse_buckets
+
+    ladder = ((256, 4096, 65536) if _coarse_buckets()
+              else (64, 256, 1024, 4096, 16384, 65536))
+    for b in ladder:
         if n <= b:
             return b
     return ((n + 4095) // 4096) * 4096
@@ -123,6 +127,7 @@ class SceneCompiler:
         self.image_atlas = np.zeros((n, n, 4), np.uint8)
         self._image_slots: dict[int, int] = {}  # id(array) -> slot
         self._next_slot = 0
+        self.atlas_version = 0  # bumped on writes so device copies refresh
 
     # -- image atlas --------------------------------------------------------
 
@@ -143,6 +148,7 @@ class SceneCompiler:
             r, c = divmod(slot, self.IMG_GRID)
             self.image_atlas[r * self.IMG_TILE:(r + 1) * self.IMG_TILE,
                              c * self.IMG_TILE:(c + 1) * self.IMG_TILE] = tile
+            self.atlas_version += 1
         r, c = divmod(slot, self.IMG_GRID)
         return c * self.IMG_TILE, r * self.IMG_TILE
 
