@@ -131,6 +131,7 @@ class RepoTab:
         self.ai_op: Optional[TimedOp] = None
 
         # Refresh machinery.
+        self.commit_limit = 1000  # grows as the user scrolls (infinite scroll)
         self.state_refresh_rx: Optional[queue.Queue] = None
         self.status_rx: Optional[queue.Queue] = None
         self.status_dirty = False       # event arrived mid-scan → replay
@@ -192,7 +193,7 @@ class RepoTab:
         if self.state_refresh_rx is not None:
             return
         self.state_refresh_rx = spawn_repo_state_refresh(
-            self.repo, self.tab_id, proxy)
+            self.repo, self.tab_id, proxy, max_commits=self.commit_limit)
 
     def trigger_status_refresh(self, proxy: Optional[EventLoopProxy] = None,
                                ) -> None:

@@ -86,6 +86,11 @@ class WhisperApp:
         self.diff_open = False
         self.clone_rx: Optional[queue.Queue] = None
         self.dirty_q: "queue.Queue[DirtyCheckResult]" = queue.Queue()
+        from ..services.avatar import AvatarCache
+        self.avatar_cache = AvatarCache(
+            proxy=proxy,
+            enabled=self.config.show_avatars
+            and not os.environ.get("WGIT_SKIP_AVATARS"))
         self.selection_text = ""        # clipboard fallback
         self.quit_requested = False
         self._last_viewport = (1280.0, 800.0)
@@ -200,7 +205,8 @@ class WhisperApp:
         if self.diff_open:
             right = diff_view(self.diff_files, scroll_offset=tab.diff_scroll,
                               hscroll=tab.diff_hscroll,
-                              source=self.diff_source, title=self.diff_title)
+                              source=self.diff_source, title=self.diff_title,
+                              mode=self.config.diff_mode)
         elif tab.selected_oid and tab.commit_detail is not None:
             right = commit_details_pane(
                 tab, tab.commit_detail,
@@ -212,7 +218,8 @@ class WhisperApp:
         body = row(
             rect(sidebar_view(tab), width=self.config.sidebar_width,
                  height="fill"),
-            rect(history_view(tab, show_avatars=self.config.show_avatars),
+            rect(history_view(tab, show_avatars=self.config.show_avatars,
+                              avatar_cache=self.avatar_cache),
                  flex=1, height="fill",
                  border=T.accent if self.focus == "graph" else None,
                  border_width=2 if self.focus == "graph" else 0),
@@ -913,6 +920,27 @@ class WhisperApp:
 
     def _act_toggle_shortcut_bar(self, arg, x, y):
         self._toggle_setting("show_shortcut_bar")
+
+    def _act_toggle_diff_mode(self, arg, x, y):
+        self.config.diff_mode = ("split" if self.config.diff_mode == "unified"
+                                 else "unified")
+        self.config.save()
+
+    def _act_pane_resize(self, arg, x, y):
+        """Resizable pane dividers (reference: resizable pane widths +
+        drag state, ui_app.rs struct). arg: '<pane>:<delta>'."""
+        pane, _, delta = arg.partition(":")
+        try:
+            d = float(delta)
+        except ValueError:
+            return
+        attr = {"sidebar": "sidebar_width",
+                "right": "right_panel_width"}.get(pane)
+        if attr is None:
+            return
+        value = getattr(self.config, attr) + d
+        setattr(self.config, attr, max(140.0, min(700.0, value)))
+        self.config.save()
 
     # -- context menus (reference: ui_app.rs:4546-4788) ----------------------
 
@@ -1677,3 +1705,12 @@ class WhisperApp:
             tab.history_scroll = max(
                 0.0, min(tab.history_scroll + dy * speed,
                          max(0.0, tab.graph_layout.total_height - 200)))
+            # Infinite scroll: nearing the bottom raises the walk cap and
+            # refreshes (reference README: "loads more commits as you
+            # scroll down"; walk cap per refresh stays MAX_COMMITS-sized).
+            near_bottom = (tab.history_scroll
+                           > tab.graph_layout.total_height - 2000)
+            real = sum(1 for c in tab.commits if not c.is_synthetic)
+            if near_bottom and real >= tab.commit_limit:
+                tab.commit_limit += 1000
+                tab.trigger_state_refresh(self.proxy)

@@ -99,7 +99,8 @@ def _ci_dots(tab, commit: CommitInfo) -> Optional[El]:
 
 
 def build_row(tab, index: int, segments_by_row: dict,
-              show_avatars: bool = True, now: Optional[int] = None) -> El:
+              show_avatars: bool = True, now: Optional[int] = None,
+              avatar_cache=None) -> El:
     """One history row (reference: commit_graph.rs:981-1195): graph cell |
     pills | summary | chip | author | CI | relative time."""
     commit = tab.commits[index]
@@ -155,7 +156,16 @@ def build_row(tab, index: int, segments_by_row: dict,
             fill=(1, 1, 1, 0.06), radius=4, padding=(1, 5, 1, 5)))
     if not commit.is_synthetic:
         if show_avatars:
-            right.append(identicon(commit.author_email, commit.author_name))
+            # Real Gravatar when the cache has it; identicon fallback
+            # (reference: identicon fallback avatars, commit_graph.rs:83).
+            arr = (avatar_cache.get(commit.author_email)
+                   if avatar_cache is not None else None)
+            if arr is not None:
+                from ...ui import image
+                right.append(image(arr, width=20, height=20))
+            else:
+                right.append(identicon(commit.author_email,
+                                       commit.author_name))
         right.append(text(commit.author_name[:20], color=T.text_muted,
                           font_size=T.font_size_small, opacity=opacity))
     dots = _ci_dots(tab, commit)
@@ -176,7 +186,7 @@ def build_row(tab, index: int, segments_by_row: dict,
 
 
 def history_view(tab, show_avatars: bool = True,
-                 now: Optional[int] = None) -> El:
+                 now: Optional[int] = None, avatar_cache=None) -> El:
     """The virtualized history list (reference: commit_graph.rs:1308)."""
     if not tab.commits:
         label = ("Loading…" if not tab.initial_refresh_done
@@ -192,7 +202,8 @@ def history_view(tab, show_avatars: bool = True,
     heights = list(tab.graph_layout.row_heights)
 
     def build(i: int) -> El:
-        return build_row(tab, i, segments_by_row, show_avatars, now)
+        return build_row(tab, i, segments_by_row, show_avatars, now,
+                         avatar_cache)
 
     body = scroll(len(tab.commits), build, offset=tab.history_scroll,
                   row_heights=heights, width="fill", flex=1,

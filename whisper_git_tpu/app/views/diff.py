@@ -47,6 +47,57 @@ def build_diff_rows(files: list[DiffFile]) -> list[DiffRowModel]:
     return rows
 
 
+@dataclass(frozen=True)
+class SplitRowModel:
+    """One row of the split (side-by-side) stream: old on the left, new on
+    the right (reference: DiffMode::Split, widgets/diff.rs:76)."""
+
+    kind: str  # "file" | "hunk" | "pair"
+    file_index: int
+    hunk_index: int = -1
+    left: Optional[DiffLine] = None
+    right: Optional[DiffLine] = None
+    label: str = ""
+
+
+def build_split_rows(files: list[DiffFile]) -> list[SplitRowModel]:
+    """Pair −/+ runs positionally (same pairing as the word-level
+    highlighter) so changed lines face each other; context lines mirror."""
+    rows: list[SplitRowModel] = []
+    for fi, f in enumerate(files):
+        label = f.path if not f.old_path else f"{f.old_path} → {f.path}"
+        rows.append(SplitRowModel("file", fi, label=label))
+        if f.is_binary:
+            rows.append(SplitRowModel("pair", fi, label="(binary file)"))
+            continue
+        for hi, h in enumerate(f.hunks):
+            rows.append(SplitRowModel("hunk", fi, hi, label=h.header))
+            lines = list(h.lines)
+            i = 0
+            while i < len(lines):
+                ln = lines[i]
+                if ln.origin == " ":
+                    rows.append(SplitRowModel("pair", fi, hi, left=ln,
+                                              right=ln))
+                    i += 1
+                    continue
+                j = i
+                while j < len(lines) and lines[j].origin == "-":
+                    j += 1
+                k = j
+                while k < len(lines) and lines[k].origin == "+":
+                    k += 1
+                minus = lines[i:j]
+                plus = lines[j:k]
+                for n in range(max(len(minus), len(plus))):
+                    rows.append(SplitRowModel(
+                        "pair", fi, hi,
+                        left=minus[n] if n < len(minus) else None,
+                        right=plus[n] if n < len(plus) else None))
+                i = k
+    return rows
+
+
 def _line_el(model: DiffRowModel, hscroll: float) -> El:
     line = model.line
     if line is None:
@@ -116,14 +167,46 @@ def _hunk_header_el(model: DiffRowModel, fi: int, hi: int,
         padding=(1, 8, 1, 8))
 
 
+def _split_cell(line: Optional[DiffLine], kind: str) -> El:
+    if line is None:
+        return rect(width="fill", height="fill", fill=(1, 1, 1, 0.03))
+    wash = hl = None
+    if line.origin == "+":
+        wash, hl = T.diff_add_bg, T.diff_add_hl
+    elif line.origin == "-":
+        wash, hl = T.diff_del_bg, T.diff_del_hl
+    no = line.old_lineno if kind == "left" else line.new_lineno
+    cells: list[El] = [text(str(no or "").rjust(4), font_size=10,
+                            color=T.text_muted, width=34)]
+    if line.highlights and hl is not None:
+        start, end = line.highlights[0]
+        raw = line.content.encode()
+        cells.append(row(
+            text(raw[:start].decode("utf-8", "replace"),
+                 font_size=MONO_SIZE, color=T.text),
+            rect(text(raw[start:end].decode("utf-8", "replace"),
+                      font_size=MONO_SIZE, color=T.text_bright),
+                 fill=hl, radius=2),
+            text(raw[end:].decode("utf-8", "replace"),
+                 font_size=MONO_SIZE, color=T.text),
+            align="center"))
+    else:
+        cells.append(text(line.content, font_size=MONO_SIZE, color=T.text))
+    return rect(row(*cells, gap=4, align="center", height="fill"),
+                width="fill", height="fill", fill=wash, clip=True)
+
+
 def diff_view(files: list[DiffFile], scroll_offset: float = 0.0,
               hscroll: float = 0.0, source: str = "commit",
-              title: str = "") -> El:
-    """The diff pane. source: "commit" | "staged" | "unstaged"."""
+              title: str = "", mode: str = "unified") -> El:
+    """The diff pane. source: "commit" | "staged" | "unstaged";
+    mode: "unified" | "split"."""
     if not files:
         return rect(text("No changes", color=T.text_muted),
                     fill=T.background, width="fill", height="fill",
                     align="center", key="diff")
+    if mode == "split":
+        return _split_diff_view(files, scroll_offset, source, title)
     rows = build_diff_rows(files)
 
     def build(i: int) -> El:
@@ -149,18 +232,64 @@ def diff_view(files: list[DiffFile], scroll_offset: float = 0.0,
         heights.append(ROW_H + 8 if m.kind == "file"
                        else ROW_H + 4 if m.kind == "hunk" else ROW_H)
 
-    header = rect(
+    header = _diff_header(title, "unified")
+    return rect(
+        column(header,
+               scroll(len(rows), build, offset=scroll_offset,
+                      row_heights=heights, width="fill", flex=1,
+                      key="diff-scroll"),
+               width="fill", height="fill"),
+        fill=T.background, width="fill", height="fill", clip=True,
+        key="diff")
+
+
+def _diff_header(title: str, mode: str) -> El:
+    other = "split" if mode == "unified" else "unified"
+    return rect(
         row(text(title or "Diff", font_size=T.font_size, bold=True,
                  color=T.text),
             spacer(),
+            rect(text(other.capitalize(), font_size=10, color=T.accent),
+                 route="toggle-diff-mode", radius=3, padding=(1, 6, 1, 6),
+                 hover_fill=T.surface_hover, key="diff-mode-toggle"),
             rect(text("✕", font_size=11, color=T.text_muted),
                  route="close-diff", radius=3, padding=(0, 5, 0, 5),
                  hover_fill=T.surface_hover),
-            align="center", width="fill"),
+            gap=8, align="center", width="fill"),
         width="fill", height=26, padding=(3, 8, 3, 8), fill=T.surface_raised)
 
+
+def _split_diff_view(files: list[DiffFile], scroll_offset: float,
+                     source: str, title: str) -> El:
+    rows = build_split_rows(files)
+
+    def build(i: int) -> El:
+        model = rows[i]
+        if model.kind == "file":
+            f = files[model.file_index]
+            return rect(
+                row(text(model.label, font_size=T.font_size, bold=True,
+                         color=T.text),
+                    spacer(),
+                    text(f"+{f.additions} −{f.deletions}", font_size=10,
+                         color=T.text_muted),
+                    gap=8, align="center", width="fill", height="fill"),
+                width="fill", height=ROW_H + 8, fill=T.surface_raised,
+                padding=(2, 8, 2, 8), radius=4)
+        if model.kind == "hunk":
+            return _hunk_header_el(model, model.file_index,
+                                   model.hunk_index, source)
+        return rect(
+            row(_split_cell(model.left, "left"),
+                rect(width=1, height="fill", fill=T.border),
+                _split_cell(model.right, "right"),
+                width="fill", height="fill"),
+            width="fill", height=ROW_H)
+
+    heights = [ROW_H + 8 if m.kind == "file"
+               else ROW_H + 4 if m.kind == "hunk" else ROW_H for m in rows]
     return rect(
-        column(header,
+        column(_diff_header(title, "split"),
                scroll(len(rows), build, offset=scroll_offset,
                       row_heights=heights, width="fill", flex=1,
                       key="diff-scroll"),

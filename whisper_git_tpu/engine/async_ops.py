@@ -40,10 +40,15 @@ def run_git_async(workdir: str, args: Sequence[str],
     rx: queue.Queue[RemoteOpResult] = queue.Queue(maxsize=1)
 
     def worker():
+        from ..services import crash_log
+
+        crash_log.breadcrumb(f"git op start: {' '.join(args[:3])}")
         try:
             result = _run(workdir, args)
         except Exception as exc:  # worker must never die silently
             result = RemoteOpResult(success=False, stderr=f"worker error: {exc}")
+        crash_log.breadcrumb(
+            f"git op done: {' '.join(args[:3])} ok={result.success}")
         rx.put(result)
         if proxy is not None:
             proxy.send_event()

@@ -114,7 +114,10 @@ def spawn_repo_state_refresh(
     rx: queue.Queue[RepoStateResult] = queue.Queue(maxsize=1)
 
     def worker():
+        from ..services import crash_log
+
         t0 = time.monotonic()
+        crash_log.breadcrumb(f"state refresh start (tab {tab_id})")
         result = RepoStateResult(tab_id=tab_id)
 
         def guard(name, fn, default):
@@ -152,6 +155,9 @@ def spawn_repo_state_refresh(
             if handle is not None:
                 result.worktree_repos[wt.path] = handle
         result.elapsed_ms = (time.monotonic() - t0) * 1000.0
+        crash_log.breadcrumb(
+            f"state refresh done (tab {tab_id}, {len(result.commits)} "
+            f"commits, {result.elapsed_ms:.0f} ms)")
         rx.put(result)
         if proxy is not None:
             proxy.send_event()

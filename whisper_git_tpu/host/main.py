@@ -136,6 +136,13 @@ def main(argv: list[str] | None = None) -> int:
         app = WhisperApp.from_paths(paths, config=Config())
         for tab in app.tabs:
             tab.refresh_sync()  # sync full refresh — no event loop
+        # Blocking avatar prefetch so the frame shows real avatars
+        # (reference: prefetch_avatars_for_screenshot, main.rs:307;
+        # WGIT_SKIP_AVATARS skips it).
+        for tab in app.tabs:
+            emails = list({c.author_email for c in tab.commits
+                           if c.author_email})[:20]
+            app.avatar_cache.prefetch_sync(emails, timeout=3.0)
         if args.screenshot_state:
             apply_screenshot_state(app, args.screenshot_state)
         w, h = (int(v) for v in args.size.lower().split("x"))
