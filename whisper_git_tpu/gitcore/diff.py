@@ -70,10 +70,17 @@ def intra_line_highlight(old: str, new: str) -> tuple[tuple[int, int], tuple[int
     return (oa, ob), (na, nb)
 
 
+# Above this many pairs, highlight computation runs batched on the
+# accelerator (ops.diffword) in one dispatch instead of per-pair Python.
+_BATCH_THRESHOLD = 64
+
+
 def compute_intra_line_highlights(lines: list[DiffLine]) -> list[DiffLine]:
     """Pair consecutive runs of '-' then '+' lines positionally and compute
-    highlights for each pair (reference: diff.rs:135)."""
-    out: list[DiffLine] = []
+    highlights for each pair (reference: diff.rs:135). Large diffs batch
+    all pairs through one device dispatch."""
+    # First pass: collect paired indices.
+    pair_idx: list[tuple[int, int]] = []  # (minus_index, plus_index)
     i = 0
     n = len(lines)
     while i < n:
@@ -84,24 +91,33 @@ def compute_intra_line_highlights(lines: list[DiffLine]) -> list[DiffLine]:
             k = j
             while k < n and lines[k].origin == "+":
                 k += 1
-            minus = lines[i:j]
-            plus = lines[j:k]
-            pairs = min(len(minus), len(plus))
-            for idx in range(pairs):
-                (oa, ob), (na, nb) = intra_line_highlight(
-                    minus[idx].content, plus[idx].content)
-                minus[idx] = DiffLine(minus[idx].origin, minus[idx].content,
-                                      minus[idx].old_lineno, minus[idx].new_lineno,
-                                      ((oa, ob),) if ob > oa else ())
-                plus[idx] = DiffLine(plus[idx].origin, plus[idx].content,
-                                     plus[idx].old_lineno, plus[idx].new_lineno,
-                                     ((na, nb),) if nb > na else ())
-            out.extend(minus)
-            out.extend(plus)
+            for idx in range(min(j - i, k - j)):
+                pair_idx.append((i + idx, j + idx))
             i = k
         else:
-            out.append(lines[i])
             i += 1
+    if not pair_idx:
+        return lines
+
+    if len(pair_idx) >= _BATCH_THRESHOLD:
+        from ..ops.diffword import batched_highlights
+
+        ranges = batched_highlights([lines[a].content for a, _ in pair_idx],
+                                    [lines[b].content for _, b in pair_idx])
+    else:
+        ranges = [intra_line_highlight(lines[a].content, lines[b].content)
+                  for a, b in pair_idx]
+
+    out = list(lines)
+    for ((a, b), ((oa, ob), (na, nb))) in zip(pair_idx, ranges):
+        if ob > oa:
+            out[a] = DiffLine(out[a].origin, out[a].content,
+                              out[a].old_lineno, out[a].new_lineno,
+                              ((oa, ob),))
+        if nb > na:
+            out[b] = DiffLine(out[b].origin, out[b].content,
+                              out[b].old_lineno, out[b].new_lineno,
+                              ((na, nb),))
     return out
 
 

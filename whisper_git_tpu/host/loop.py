@@ -32,6 +32,8 @@ def next_wake_timeout(app: WhisperApp, now: float) -> float:
 
 
 def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
+    import sys
+
     proxy = EventLoopProxy()
     app.proxy = proxy
     dump_path = os.environ.get("WGIT_FRAME_DUMP")
@@ -40,22 +42,56 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
         from ..render.renderer import get_renderer
 
         renderer = get_renderer()
-    frames = 0
-    while not app.quit_requested:
-        app.before_build()
-        tree = app.build((app.config.window_width, app.config.window_height))
-        if renderer is not None:
-            from ..render.renderer import save_png
-            from ..ui.theme import DARK
 
-            img = renderer.render(tree, (int(app.config.window_width),
-                                         int(app.config.window_height)),
-                                  DARK.background)
-            save_png(img, dump_path)
-        frames += 1
-        if max_frames is not None and frames >= max_frames:
-            break
-        proxy.wait(timeout=next_wake_timeout(app, time.monotonic()))
-    for tab in app.tabs:
-        tab.stop_workers()
+    interactive = sys.stdin.isatty() and not os.environ.get("WGIT_NO_INPUT")
+    term_ctx = None
+    term = None
+    if interactive:
+        from .term_input import TerminalInput
+
+        term_ctx = TerminalInput()
+        term = term_ctx.__enter__()
+
+    frames = 0
+    try:
+        while not app.quit_requested:
+            app.before_build()
+            tree = app.build((app.config.window_width,
+                              app.config.window_height))
+            if renderer is not None:
+                from ..render.renderer import save_png
+                from ..ui.theme import DARK
+
+                img = renderer.render(tree, (int(app.config.window_width),
+                                             int(app.config.window_height)),
+                                      DARK.background)
+                save_png(img, dump_path)
+            frames += 1
+            if max_frames is not None and frames >= max_frames:
+                break
+            timeout = next_wake_timeout(app, time.monotonic())
+            if term is not None:
+                from .term_input import dispatch
+
+                # Drain keys while waiting out the frame budget.
+                deadline = time.monotonic() + timeout
+                got_key = False
+                while time.monotonic() < deadline:
+                    ev = term.poll(timeout=min(
+                        0.05, max(0.0, deadline - time.monotonic())))
+                    if ev is not None:
+                        dispatch(app, ev)
+                        got_key = True
+                        break
+                    if proxy.pending():
+                        break
+                if not got_key:
+                    proxy.wait(timeout=0.0)
+            else:
+                proxy.wait(timeout=timeout)
+    finally:
+        if term_ctx is not None:
+            term_ctx.__exit__(None, None, None)
+        for tab in app.tabs:
+            tab.stop_workers()
     return 0
