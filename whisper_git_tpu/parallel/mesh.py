@@ -69,11 +69,22 @@ def render_scene_sharded(scene, font_tex: np.ndarray, mesh: Mesh
         i_bins, _ = R._bin_commands(R._quad_boxes(lb.images, lb.n_images),
                                     lb.n_images, tiles_y, tiles_x,
                                     R.K_IMAGES)
+        # Round-trip through the single-chip path's int16 quantization so
+        # sharded output stays bit-identical to render_scene.
+        def q(name, cols, scale, arr):
+            s = R._part_scale(name, cols, scale)
+            return jnp.asarray(
+                np.clip(arr * s, -32767.0, 32767.0).astype(np.int16)
+                .astype(np.float32) / s)
+
         layer_data.append((
-            jnp.asarray(lb.shapes), jnp.asarray(lb.shape_clips),
-            jnp.asarray(lb.glyphs), jnp.asarray(lb.glyph_colors),
-            jnp.asarray(lb.glyph_clips),
-            jnp.asarray(lb.images), jnp.asarray(lb.image_clips),
+            q("shapes", 16, None, lb.shapes),
+            q("shape_clips", 4, 4.0, lb.shape_clips),
+            q("glyphs", 8, 8.0, lb.glyphs),
+            q("glyph_colors", 4, 8192.0, lb.glyph_colors),
+            q("glyph_clips", 4, 4.0, lb.glyph_clips),
+            q("images", 8, 8.0, lb.images),
+            q("image_clips", 4, 4.0, lb.image_clips),
             jnp.asarray(_pad_tiles(s_bins, T_pad)),
             jnp.asarray(_pad_tiles(g_bins, T_pad)),
             jnp.asarray(_pad_tiles(i_bins, T_pad))))

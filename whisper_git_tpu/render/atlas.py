@@ -63,13 +63,46 @@ class FontAtlas:
     font_px: float = float(ATLAS_FONT_PX)
     spread: float = SPREAD
 
+    def __post_init__(self):
+        # Vectorized lookup tables: codepoint → metrics row. Text emission
+        # and measurement run as numpy ops over whole strings.
+        max_cp = max(ord(c) for c in self.glyphs) + 1
+        fallback = self.glyphs.get("?")
+        # columns: u, v, w, h, bearing_x, bearing_y, advance, known
+        self.lut = np.zeros((max_cp, 8), np.float32)
+        if fallback is not None:
+            self.lut[:, :7] = (fallback.u, fallback.v, fallback.w,
+                               fallback.h, fallback.bearing_x,
+                               fallback.bearing_y, fallback.advance)
+        for c, g in self.glyphs.items():
+            cp = ord(c)
+            self.lut[cp] = (g.u, g.v, g.w, g.h, g.bearing_x, g.bearing_y,
+                            g.advance, 1.0)
+        self.max_cp = max_cp
+        self._measure_cache: dict = {}
+
+    def codepoints(self, s: str) -> np.ndarray:
+        cps = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
+        return np.where(cps < self.max_cp, cps, ord("?"))
+
     def advance(self, ch: str) -> float:
         g = self.glyphs.get(ch) or self.glyphs.get("?")
         return g.advance if g else self.font_px * 0.6
 
     def measure(self, s: str, size: float) -> float:
-        scale = size / self.font_px
-        return sum(self.advance(c) for c in s) * scale
+        """Memoized: view strings (timestamps, names, labels) recur across
+        frames, so steady-state layout mostly hits this cache."""
+        if not s:
+            return 0.0
+        cache = self._measure_cache
+        total = cache.get(s)
+        if total is None:
+            cps = self.codepoints(s)
+            total = float(self.lut[cps, 6].sum())
+            if len(cache) > 100_000:
+                cache.clear()
+            cache[s] = total
+        return total * (size / self.font_px)
 
     def line_height(self, size: float) -> float:
         return (self.ascent + self.descent) * (size / self.font_px) * 1.08

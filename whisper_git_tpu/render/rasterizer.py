@@ -55,34 +55,57 @@ def _k_trim(occ: int, cap: int) -> int:
 def _bin_commands(boxes: np.ndarray, n: int, tiles_y: int, tiles_x: int,
                   k: int) -> tuple[np.ndarray, int]:
     """boxes: (N, 4) x0,y0,x1,y1. Returns (T, k) int32 index lists padded
-    with -1 (in submission order), plus overflow count."""
+    with -1 (in submission order), plus overflow count.
+
+    Fully vectorized: (tile, command) pairs are built with numpy for every
+    span size, stably sorted by tile (preserving submission order within a
+    tile), then scattered into the bins array by per-tile rank."""
     T = tiles_y * tiles_x
-    bins = np.full((T, k), -1, np.int32)
-    fill = np.zeros(T, np.int32)
-    overflow = 0
     if n == 0:
-        return bins[:, :8], 0
+        return np.full((T, 8), -1, np.int32), 0
     b = boxes[:n]
-    tx0 = np.clip((b[:, 0] // TILE_W).astype(int), 0, tiles_x - 1)
-    ty0 = np.clip((b[:, 1] // TILE_H).astype(int), 0, tiles_y - 1)
-    tx1 = np.clip((b[:, 2] // TILE_W).astype(int), 0, tiles_x - 1)
-    ty1 = np.clip((b[:, 3] // TILE_H).astype(int), 0, tiles_y - 1)
-    skip = (b[:, 2] < 0) | (b[:, 3] < 0) | (b[:, 0] > tiles_x * TILE_W) | (b[:, 1] > tiles_y * TILE_H)
-    for i in range(n):
-        if skip[i]:
-            continue
-        for ty in range(ty0[i], ty1[i] + 1):
-            base = ty * tiles_x
-            for tx in range(tx0[i], tx1[i] + 1):
-                t = base + tx
-                if fill[t] < k:
-                    bins[t, fill[t]] = i
-                    fill[t] += 1
-                else:
-                    overflow += 1
-    # Trim to a bucketed max occupancy (see _k_trim for the ladder).
-    occ = int(fill.max()) if T else 0
-    return bins[:, :_k_trim(occ, k)], overflow
+    tx0 = np.clip((b[:, 0] // TILE_W).astype(np.int64), 0, tiles_x - 1)
+    ty0 = np.clip((b[:, 1] // TILE_H).astype(np.int64), 0, tiles_y - 1)
+    tx1 = np.clip((b[:, 2] // TILE_W).astype(np.int64), 0, tiles_x - 1)
+    ty1 = np.clip((b[:, 3] // TILE_H).astype(np.int64), 0, tiles_y - 1)
+    keep = ~((b[:, 2] < 0) | (b[:, 3] < 0)
+             | (b[:, 0] > tiles_x * TILE_W) | (b[:, 1] > tiles_y * TILE_H))
+
+    spans_x = tx1 - tx0 + 1
+    spans_y = ty1 - ty0 + 1
+    max_sx = int(spans_x[keep].max()) if keep.any() else 1
+    max_sy = int(spans_y[keep].max()) if keep.any() else 1
+
+    tiles_list = []
+    cmds_list = []
+    idx = np.arange(n, dtype=np.int64)
+    for dy in range(max_sy):
+        for dx in range(max_sx):
+            mask = keep & (dy < spans_y) & (dx < spans_x)
+            if not mask.any():
+                continue
+            t = (ty0[mask] + dy) * tiles_x + (tx0[mask] + dx)
+            tiles_list.append(t)
+            cmds_list.append(idx[mask])
+    if not tiles_list:
+        return np.full((T, 8), -1, np.int32), 0
+    tiles_all = np.concatenate(tiles_list)
+    cmds_all = np.concatenate(cmds_list)
+    # Stable sort by (tile, cmd) keeps submission order within each tile.
+    order = np.lexsort((cmds_all, tiles_all))
+    tiles_all = tiles_all[order]
+    cmds_all = cmds_all[order]
+
+    counts = np.bincount(tiles_all, minlength=T)
+    starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+    rank = np.arange(len(tiles_all)) - starts[tiles_all]
+    occ = int(counts.max())
+    k_used = _k_trim(occ, k)
+    fit = rank < k_used
+    overflow = int((~fit).sum())
+    bins = np.full((T, k_used), -1, np.int32)
+    bins[tiles_all[fit], rank[fit]] = cmds_all[fit].astype(np.int32)
+    return bins, overflow
 
 
 def _shape_boxes(shapes: np.ndarray, n: int) -> np.ndarray:
@@ -317,19 +340,35 @@ class RenderStats:
 # through an RPC tunnel — per-transfer latency, not bandwidth, dominates.
 # ---------------------------------------------------------------------------
 
-# (rows, cols) of every f32 part per layer, in blob order.
-_F32_PARTS = (("shapes", 16), ("shape_clips", 4), ("glyphs", 8),
-              ("glyph_colors", 4), ("glyph_clips", 4), ("images", 8),
-              ("image_clips", 4))
+# (name, cols, quantization scale) of every command part per layer, in
+# blob order. Commands cross the link as int16 fixed-point — geometry at
+# 1/8 px (range ±4095 px), clip rects at 1/4 px (range ±8191 px), colors
+# at 1/8192 (range covers premultiplied 0..1) — halving frame bytes on
+# latency-bound links. De-quantization is one elementwise multiply on
+# device.
+_PART_SPECS = (("shapes", 16, None), ("shape_clips", 4, 4.0),
+               ("glyphs", 8, 8.0), ("glyph_colors", 4, 8192.0),
+               ("glyph_clips", 4, 4.0), ("images", 8, 8.0),
+               ("image_clips", 4, 4.0))
+
+# Shapes mix geometry and color columns: per-column scales.
+_SHAPE_COL_SCALE = np.array(
+    [8.0] * 7 + [8192.0] * 4 + [8192.0] * 4 + [8.0], np.float32)
 
 
-def pack_scene(scene: Scene) -> tuple[np.ndarray, np.ndarray, tuple, int, int]:
-    """→ (blob_f32, blob_i32, meta, tiles_y, tiles_x). `meta` is the static
-    unpack signature: per layer (ns_cap, ng_cap, ni_cap, ks, kg, ki,
-    has_s, has_g, has_i)."""
+def _part_scale(name: str, cols: int, scale) -> np.ndarray:
+    if name == "shapes":
+        return _SHAPE_COL_SCALE
+    return np.full((cols,), scale, np.float32)
+
+
+def pack_scene(scene: Scene) -> tuple[np.ndarray, tuple, int, int]:
+    """→ (fused_blob_i32, meta, tiles_y, tiles_x). `meta` is the static
+    unpack signature: (i16_words, then per layer (ns_cap, ng_cap, ni_cap,
+    ks, kg, ki, has_s, has_g, has_i))."""
     tiles_x = -(-scene.width // TILE_W)
     tiles_y = -(-scene.height // TILE_H)
-    f32_parts: list[np.ndarray] = []
+    i16_parts: list[np.ndarray] = []
     i32_parts: list[np.ndarray] = []
     meta = []
     for lb in scene.layers:
@@ -339,29 +378,52 @@ def pack_scene(scene: Scene) -> tuple[np.ndarray, np.ndarray, tuple, int, int]:
                                   lb.n_glyphs, tiles_y, tiles_x, K_GLYPHS)
         i_bins, _ = _bin_commands(_quad_boxes(lb.images, lb.n_images),
                                   lb.n_images, tiles_y, tiles_x, K_IMAGES)
-        f32_parts += [lb.shapes, lb.shape_clips, lb.glyphs, lb.glyph_colors,
-                      lb.glyph_clips, lb.images, lb.image_clips]
-        i32_parts += [s_bins, g_bins, i_bins]
+        arrays = {"shapes": lb.shapes, "shape_clips": lb.shape_clips,
+                  "glyphs": lb.glyphs, "glyph_colors": lb.glyph_colors,
+                  "glyph_clips": lb.glyph_clips, "images": lb.images,
+                  "image_clips": lb.image_clips}
+        for name, cols, scale in _PART_SPECS:
+            arr = arrays[name]
+            s = _part_scale(name, cols, scale)
+            q = np.clip(arr * s, -32767.0, 32767.0).astype(np.int16)
+            i16_parts.append(q.ravel())
+        i32_parts += [s_bins.ravel(), g_bins.ravel(), i_bins.ravel()]
         meta.append((lb.shapes.shape[0], lb.glyphs.shape[0],
                      lb.images.shape[0], s_bins.shape[1], g_bins.shape[1],
                      i_bins.shape[1], lb.n_shapes > 0, lb.n_glyphs > 0,
                      lb.n_images > 0))
-    blob_f32 = np.concatenate([p.ravel() for p in f32_parts])
-    blob_i32 = np.concatenate([p.ravel() for p in i32_parts])
-    return blob_f32, blob_i32, tuple(meta), tiles_y, tiles_x
+    blob_i16 = np.concatenate(i16_parts)
+    blob_i32 = np.concatenate(i32_parts)
+    # Merge into ONE array (one host→device transfer per frame): the i16
+    # half rides bitcast inside i32 words. On latency-bound links every
+    # round trip counts.
+    if blob_i16.size % 2:
+        blob_i16 = np.concatenate([blob_i16, np.zeros(1, np.int16)])
+    fused = np.concatenate([blob_i16.view(np.int32), blob_i32])
+    meta = (blob_i16.size // 2,) + tuple(meta)
+    return fused, tuple(meta), tiles_y, tiles_x
 
 
-def unpack_layers(blob_f32, blob_i32, meta: tuple, T: int):
-    """Device-side unpack (runs under jit; slicing is free)."""
+def unpack_layers(fused, meta: tuple, T: int):
+    """Device-side unpack + de-quantization (runs under jit)."""
+    i16_words = meta[0]
+    blob_i16 = jax.lax.bitcast_convert_type(
+        fused[:i16_words], jnp.int16).reshape(-1)
+    blob_i32 = fused[i16_words:]
     layer_data = []
     layer_sig = []
     fo = 0
     io = 0
-    for (ns, ng, ni, ks, kg, ki, has_s, has_g, has_i) in meta:
+    for (ns, ng, ni, ks, kg, ki, has_s, has_g, has_i) in meta[1:]:
+        caps = {"shapes": ns, "shape_clips": ns, "glyphs": ng,
+                "glyph_colors": ng, "glyph_clips": ng, "images": ni,
+                "image_clips": ni}
         parts = []
-        for cap, cols in ((ns, 16), (ns, 4), (ng, 8), (ng, 4), (ng, 4),
-                          (ni, 8), (ni, 4)):
-            parts.append(blob_f32[fo:fo + cap * cols].reshape(cap, cols))
+        for name, cols, scale in _PART_SPECS:
+            cap = caps[name]
+            raw = blob_i16[fo:fo + cap * cols].reshape(cap, cols)
+            inv = jnp.asarray(1.0 / _part_scale(name, cols, scale))
+            parts.append(raw.astype(jnp.float32) * inv)
             fo += cap * cols
         bins = []
         for k in (ks, kg, ki):
@@ -375,15 +437,14 @@ def unpack_layers(blob_f32, blob_i32, meta: tuple, T: int):
 @functools.partial(
     jax.jit, static_argnames=("tiles_y", "tiles_x", "meta", "background",
                               "height", "width"))
-def _render_packed(blob_f32, blob_i32, font_tex, image_atlas,
+def _render_packed(fused, font_tex, image_atlas,
                    background: tuple, tiles_y: int, tiles_x: int,
                    meta: tuple, height: int, width: int):
     """Full frame on-device: rasterize tiles, assemble, quantize to u8.
     The u8 conversion and assembly stay on-device so a frame never crosses
     the link as f32 tiles (the presented framebuffer lives device-side,
     like the reference's swapchain image; readback is screenshot-only)."""
-    layer_data, layer_sig = unpack_layers(blob_f32, blob_i32, meta,
-                                          tiles_y * tiles_x)
+    layer_data, layer_sig = unpack_layers(fused, meta, tiles_y * tiles_x)
     tiles = _render_tiles_impl(layer_data, font_tex, image_atlas, background,
                                tiles_y, tiles_x, layer_sig)
     img = tiles.reshape(tiles_y, tiles_x, TILE_H, TILE_W, 4)
@@ -395,9 +456,9 @@ def _render_packed(blob_f32, blob_i32, font_tex, image_atlas,
 
 def render_scene_device(scene: Scene, font_tex, image_atlas=None):
     """Rasterize → device-resident (H, W, 4) uint8 frame (no readback)."""
-    blob_f32, blob_i32, meta, tiles_y, tiles_x = pack_scene(scene)
+    fused, meta, tiles_y, tiles_x = pack_scene(scene)
     atlas = image_atlas if image_atlas is not None else scene.image_atlas
-    return _render_packed(jnp.asarray(blob_f32), jnp.asarray(blob_i32),
+    return _render_packed(jnp.asarray(fused),
                           jnp.asarray(font_tex), jnp.asarray(atlas),
                           tuple(float(c) for c in scene.background[:3]),
                           tiles_y, tiles_x, meta,

@@ -70,11 +70,17 @@ class _LayerAccum:
     def __init__(self):
         self.shapes: list[list[float]] = []
         self.shape_clips: list[tuple] = []
-        self.glyphs: list[list[float]] = []
-        self.glyph_colors: list[tuple] = []
-        self.glyph_clips: list[tuple] = []
+        # Glyphs accumulate as numpy chunks (one per text run) — the hot
+        # path; per-char Python appends were a top frame cost.
+        self.glyph_chunks: list[np.ndarray] = []        # (n, 8)
+        self.glyph_color_chunks: list[np.ndarray] = []  # (n, 4)
+        self.glyph_clip_chunks: list[np.ndarray] = []   # (n, 4)
         self.images: list[list[float]] = []
         self.image_clips: list[tuple] = []
+
+    @property
+    def n_glyphs(self) -> int:
+        return sum(c.shape[0] for c in self.glyph_chunks)
 
     def rect(self, x, y, w, h, radius, fill, border, border_w, clip):
         f = fill or (0, 0, 0, 0)
@@ -91,10 +97,16 @@ class _LayerAccum:
                             0, 0, 0, 0, 0.0])
         self.shape_clips.append(clip)
 
-    def glyph(self, x, y, w, h, u, v, uw, uh, color, clip):
-        self.glyphs.append([x, y, w, h, u, v, uw, uh])
-        self.glyph_colors.append(tuple(color))
-        self.glyph_clips.append(clip)
+    def glyph_run(self, quads: np.ndarray, color, clip):
+        """quads: (n, 8) x,y,w,h,u,v,uw,uh for one text run."""
+        n = quads.shape[0]
+        if n == 0:
+            return
+        self.glyph_chunks.append(quads.astype(np.float32, copy=False))
+        self.glyph_color_chunks.append(
+            np.broadcast_to(np.asarray(color, np.float32), (n, 4)))
+        self.glyph_clip_chunks.append(
+            np.broadcast_to(np.asarray(clip, np.float32), (n, 4)))
 
     def image(self, x, y, w, h, u, v, uw, uh, clip):
         self.images.append([x, y, w, h, u, v, uw, uh])
@@ -128,6 +140,7 @@ class SceneCompiler:
         self._image_slots: dict[int, int] = {}  # id(array) -> slot
         self._next_slot = 0
         self.atlas_version = 0  # bumped on writes so device copies refresh
+        self._text_cache: dict = {}  # (line, scale, v_off) -> quad template
 
     # -- image atlas --------------------------------------------------------
 
@@ -170,19 +183,44 @@ class SceneCompiler:
             lines = el.text.split("\n")
         y = node.y
         for line in lines:
-            pen = node.x
-            for ch in line:
-                g = atlas.glyphs.get(ch)
-                if g is None:
-                    g = atlas.glyphs.get("?")
-                if g is None or ch == " ":
-                    pen += atlas.advance(ch) * scale
-                    continue
-                acc.glyph(pen + g.bearing_x * scale, y + g.bearing_y * scale,
-                          g.w * scale, g.h * scale,
-                          g.u, g.v + v_off, g.w, g.h, color, clip)
-                pen += g.advance * scale
+            if line:
+                quads = self._run_template(atlas, line, scale, v_off)
+                if quads.shape[0]:
+                    quads = quads.copy()
+                    quads[:, 0] += node.x
+                    quads[:, 1] += y
+                    acc.glyph_run(quads, color, clip)
             y += lh
+
+    def _run_template(self, atlas: FontAtlas, line: str, scale: float,
+                      v_off: int) -> np.ndarray:
+        """Origin-relative glyph quads for a text run, memoized — the view
+        rebuilds the same strings every frame, so steady state is a dict
+        hit + one (n,8) copy."""
+        key = (line, scale, v_off)
+        tpl = self._text_cache.get(key)
+        if tpl is not None:
+            return tpl
+        cps = atlas.codepoints(line)
+        m = atlas.lut[cps]  # (n, 8): u,v,w,h,bx,by,adv,known
+        adv = m[:, 6] * scale
+        pens = np.concatenate(([0.0], np.cumsum(adv[:-1])))
+        quads = np.empty((len(cps), 8), np.float32)
+        quads[:, 0] = pens + m[:, 4] * scale
+        quads[:, 1] = m[:, 5] * scale
+        quads[:, 2] = m[:, 2] * scale
+        quads[:, 3] = m[:, 3] * scale
+        quads[:, 4] = m[:, 0]
+        quads[:, 5] = m[:, 1] + v_off
+        quads[:, 6] = m[:, 2]
+        quads[:, 7] = m[:, 3]
+        # Skip spaces/control chars; unknown codepoints already carry the
+        # fallback '?' metrics from the LUT.
+        tpl = np.ascontiguousarray(quads[cps > 32])
+        if len(self._text_cache) > 50_000:
+            self._text_cache.clear()
+        self._text_cache[key] = tpl
+        return tpl
 
     # -- walk ---------------------------------------------------------------
 
@@ -265,7 +303,7 @@ class SceneCompiler:
 
     @staticmethod
     def _pack(acc: _LayerAccum) -> LayerBuffers:
-        ns, ng, ni = len(acc.shapes), len(acc.glyphs), len(acc.images)
+        ns, ng, ni = len(acc.shapes), acc.n_glyphs, len(acc.images)
         shapes = np.zeros((_bucket(ns), 16), np.float32)
         shape_clips = np.full((_bucket(ns), 4), _NOCLIP, np.float32)
         if ns:
@@ -275,9 +313,9 @@ class SceneCompiler:
         glyph_colors = np.zeros((_bucket(ng), 4), np.float32)
         glyph_clips = np.full((_bucket(ng), 4), _NOCLIP, np.float32)
         if ng:
-            glyphs[:ng] = np.asarray(acc.glyphs, np.float32)
-            glyph_colors[:ng] = np.asarray(acc.glyph_colors, np.float32)
-            glyph_clips[:ng] = np.asarray(acc.glyph_clips, np.float32)
+            glyphs[:ng] = np.concatenate(acc.glyph_chunks, axis=0)
+            glyph_colors[:ng] = np.concatenate(acc.glyph_color_chunks, axis=0)
+            glyph_clips[:ng] = np.concatenate(acc.glyph_clip_chunks, axis=0)
         images = np.zeros((_bucket(ni), 8), np.float32)
         image_clips = np.full((_bucket(ni), 4), _NOCLIP, np.float32)
         if ni:
