@@ -193,26 +193,40 @@ class GitRepo:
 
         orphans: list[CommitInfo] = []
         visited: set[str] = set(reachable)
-        frontier = [(oid, 0) for oid in candidates if oid not in reachable]
-        while frontier and len(orphans) < cap:
-            oid, depth = frontier.pop(0)
-            if oid in visited:
-                continue
-            visited.add(oid)
-            rec = run_git(self.root, "log", "-z", "-1", f"--format={_LOG_FORMAT}",
-                          oid, "--", check=False)
-            if not rec.ok or not rec.stdout:
-                continue
-            parsed = self._parse_log_records(rec.stdout)
-            if not parsed:
-                continue
-            info = parsed[0]
-            info.is_orphan = True
-            orphans.append(info)
-            if depth < parent_depth:
-                for p in info.parents:
-                    if p not in visited:
-                        frontier.append((p, depth + 1))
+        frontier = [oid for oid in candidates if oid not in reachable]
+        depth = 0
+        # Breadth-first over parent chains, one batched `git log --no-walk`
+        # per depth level instead of one subprocess per commit.
+        while frontier and len(orphans) < cap and depth <= parent_depth:
+            batch = [o for o in frontier if o not in visited][:cap]
+            if not batch:
+                break
+            visited.update(batch)
+            rec = run_git(self.root, "log", "-z", "--no-walk=unsorted",
+                          f"--format={_LOG_FORMAT}", *batch, "--",
+                          check=False)
+            if not rec.ok:
+                # A gc'd candidate fails the whole batch: filter to commits
+                # that still exist (one cat-file --batch-check call).
+                chk = run_git(self.root, "cat-file", "--batch-check",
+                              check=False,
+                              input_text="\n".join(batch) + "\n")
+                valid = [line.split()[0] for line in chk.stdout.splitlines()
+                         if " commit " in line] if chk.ok else []
+                rec = run_git(self.root, "log", "-z", "--no-walk=unsorted",
+                              f"--format={_LOG_FORMAT}", *valid, "--",
+                              check=False) if valid else rec
+            next_frontier: list[str] = []
+            if rec.ok and rec.stdout:
+                for info in self._parse_log_records(rec.stdout):
+                    if len(orphans) >= cap:
+                        break
+                    info.is_orphan = True
+                    orphans.append(info)
+                    next_frontier.extend(p for p in info.parents
+                                         if p not in visited)
+            frontier = next_frontier
+            depth += 1
         return orphans
 
     def commit_graph_with_orphans(self, max_commits: int = MAX_COMMITS) -> list[CommitInfo]:

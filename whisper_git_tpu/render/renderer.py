@@ -18,8 +18,33 @@ from .rasterizer import render_scene
 from .scene import Scene, SceneCompiler
 
 
+def _apply_device_override() -> None:
+    """WGIT_DEVICE=cpu|tpu|… picks the accelerator backend (the analog of
+    the reference's WHISPER_GPU device override, host.rs:567). Best-effort:
+    only effective before the first jax dispatch."""
+    import os
+
+    want = os.environ.get("WGIT_DEVICE")
+    if not want:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+        import sys
+
+        print(f"wgit: using device platform {jax.devices()[0].platform} "
+              f"({jax.devices()[0].device_kind})", file=sys.stderr)
+    except Exception as exc:  # fall back to the default platform
+        import sys
+
+        print(f"wgit: WGIT_DEVICE={want!r} not usable: {exc}",
+              file=sys.stderr)
+
+
 class Renderer:
     def __init__(self):
+        _apply_device_override()
         self.regular = build_atlas(bold=False)
         self.bold = build_atlas(bold=True)
         rt, bt = self.regular.texture, self.bold.texture
