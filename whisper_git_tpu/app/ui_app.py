@@ -870,6 +870,15 @@ class WhisperApp:
         self.modal = None
         if tab is None or form is None or not form.name:
             return
+        rename_from = getattr(form, "rename_from", None)
+        if rename_from:
+            if rename_from != form.name and self.run_sync_op(
+                    f"Rename {rename_from}",
+                    lambda: grefs.rename_branch(tab.active_repo(),
+                                                rename_from, form.name)):
+                self.toast("success",
+                           f"Renamed {rename_from} → {form.name}")
+            return
         at = form.at_oid or tab.head_oid
         if self.run_sync_op(
                 f"Create branch {form.name}",
@@ -1242,7 +1251,13 @@ class WhisperApp:
     def poll_async_ops(self) -> None:
         now = time.monotonic()
         for tab in self.tabs:
+            # Poll the visible level AND every drilled-in ancestor level —
+            # their in-flight ops keep completing while you're inside a
+            # submodule (reference: poll_async_ops drains slots for every
+            # drilled level, ui_app.rs:3069).
             self._poll_tab(tab, now)
+            for ancestor in tab.nav_stack:
+                self._poll_tab(ancestor, now)
         self._poll_clone()
         self._poll_dirty_checks()
 

@@ -382,10 +382,18 @@ def pack_scene(scene: Scene) -> tuple[np.ndarray, tuple, int, int]:
                   "glyphs": lb.glyphs, "glyph_colors": lb.glyph_colors,
                   "glyph_clips": lb.glyph_clips, "images": lb.images,
                   "image_clips": lb.image_clips}
+        used = {"shapes": lb.n_shapes, "shape_clips": lb.n_shapes,
+                "glyphs": lb.n_glyphs, "glyph_colors": lb.n_glyphs,
+                "glyph_clips": lb.n_glyphs, "images": lb.n_images,
+                "image_clips": lb.n_images}
         for name, cols, scale in _PART_SPECS:
             arr = arrays[name]
             s = _part_scale(name, cols, scale)
-            q = np.clip(arr * s, -32767.0, 32767.0).astype(np.int16)
+            # Quantize only the used prefix; padding rows stay zero.
+            q = np.zeros(arr.shape, np.int16)
+            nu = used[name]
+            if nu:
+                q[:nu] = np.clip(arr[:nu] * s, -32767.0, 32767.0)
             i16_parts.append(q.ravel())
         i32_parts += [s_bins.ravel(), g_bins.ravel(), i_bins.ravel()]
         meta.append((lb.shapes.shape[0], lb.glyphs.shape[0],

@@ -75,9 +75,25 @@ def _fixed(v) -> Optional[float]:
     return float(v) if isinstance(v, (int, float)) else None
 
 
+_MEASURE_MEMO: dict = {}
+
+
 def _measure(el: El, avail_w: float, avail_h: float, m: TextMeasurer
              ) -> tuple[float, float]:
-    """Intrinsic (content) size within the available box."""
+    """Intrinsic (content) size within the available box. Memoized per
+    El instance within a frame (parents measure children once for sizing
+    and again during placement)."""
+    key = (id(el), avail_w, avail_h)
+    hit = _MEASURE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    out = _measure_impl(el, avail_w, avail_h, m)
+    _MEASURE_MEMO[key] = out
+    return out
+
+
+def _measure_impl(el: El, avail_w: float, avail_h: float, m: TextMeasurer
+                  ) -> tuple[float, float]:
     fw, fh = _fixed(el.width), _fixed(el.height)
     if fw is not None and fh is not None:
         return fw, fh
@@ -160,7 +176,11 @@ def layout_tree(el: El, viewport: tuple[float, float],
                 measurer: Optional[TextMeasurer] = None) -> LayoutNode:
     m = measurer or _DEFAULT_MEASURER
     vw, vh = viewport
-    return _layout(el, 0.0, 0.0, vw, vh, None, m)
+    _MEASURE_MEMO.clear()  # per-frame scope (keyed by El identity)
+    try:
+        return _layout(el, 0.0, 0.0, vw, vh, None, m)
+    finally:
+        _MEASURE_MEMO.clear()
 
 
 def _layout(el: El, x: float, y: float, w: float, h: float,
