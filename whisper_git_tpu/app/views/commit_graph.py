@@ -208,6 +208,23 @@ def history_view(tab, show_avatars: bool = True,
     body = scroll(len(tab.commits), build, offset=tab.history_scroll,
                   row_heights=heights, width="fill", flex=1,
                   key="history-scroll")
+    # Proportional scrollbar thumb (reference: scrollbars with
+    # proportional thumb; drag is pointer-only, keyboard PageUp/Down here).
+    total_h = tab.graph_layout.total_height
+    if total_h > 700:
+        track_h = 600.0  # nominal viewport track; fractions scale with it
+        frac_view = min(1.0, track_h / total_h)
+        frac_pos = min(1.0 - frac_view,
+                       tab.history_scroll / max(total_h, 1.0))
+        thumb = rect(width=6, height=max(30.0, frac_view * track_h),
+                     radius=3, fill=(1, 1, 1, 0.14),
+                     key="history-scrollbar")
+        overlay = row(
+            spacer(),
+            column(rect(width=6, height=frac_pos * track_h),
+                   thumb, width=10),
+            width="fill", height="fill")
+        body = stack(body, overlay, width="fill", flex=1)
 
     parts: list[El] = []
     if tab.search_active:

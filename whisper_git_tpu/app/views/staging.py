@@ -81,13 +81,22 @@ def worktree_picker_overlay(tab) -> El:
                 radius=8, shadow=True, key="worktree-picker")
 
 
+def _cursor_visible() -> bool:
+    """~1 Hz cursor blink (reference: continuous redraw drives blink; our
+    frame loop ticks often enough while focused)."""
+    import time
+
+    return int(time.time() * 2) % 2 == 0
+
+
 def _input(value: str, placeholder: str, key: str, focused: bool,
            multiline: bool = False, over_limit: bool = False) -> El:
     shown = value if value else placeholder
     color = T.text if value else T.text_muted
     if over_limit:
         color = T.danger
-    content = text(shown + ("▏" if focused else ""), color=color,
+    caret = "▏" if (focused and _cursor_visible()) else ""
+    content = text(shown + caret, color=color,
                    font_size=T.font_size, wrap=multiline)
     return rect(content, fill=T.background,
                 border=T.accent if focused else T.border, border_width=1,
