@@ -323,6 +323,8 @@ class RepoTab:
     def _rebuild_layout(self) -> None:
         self.graph_layout = GraphLayout.build(self.commits)
         self.graph_segments = decompose_edges(self.graph_layout)
+        # Monotonic version for row cache keys (id() could be recycled).
+        self.layout_version = getattr(self, "layout_version", 0) + 1
 
     def apply_status_result(self, result: StatusResult) -> None:
         """Fold a cheap status result — routed to the *reported* worktree,

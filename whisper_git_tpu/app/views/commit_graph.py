@@ -154,15 +154,17 @@ def build_row(tab, index: int, segments_by_row: dict,
             text(f"+{commit.additions} −{commit.deletions}", font_size=10,
                  color=T.text_muted),
             fill=(1, 1, 1, 0.06), radius=4, padding=(1, 5, 1, 5)))
+    avatar_arr = (avatar_cache.get(commit.author_email)
+                  if (avatar_cache is not None and show_avatars
+                      and not commit.is_synthetic) else None)
+    rel_time = format_relative_time(commit.timestamp, now)
     if not commit.is_synthetic:
         if show_avatars:
             # Real Gravatar when the cache has it; identicon fallback
             # (reference: identicon fallback avatars, commit_graph.rs:83).
-            arr = (avatar_cache.get(commit.author_email)
-                   if avatar_cache is not None else None)
-            if arr is not None:
+            if avatar_arr is not None:
                 from ...ui import image
-                right.append(image(arr, width=20, height=20))
+                right.append(image(avatar_arr, width=20, height=20))
             else:
                 right.append(identicon(commit.author_email,
                                        commit.author_name))
@@ -171,18 +173,33 @@ def build_row(tab, index: int, segments_by_row: dict,
     dots = _ci_dots(tab, commit)
     if dots is not None:
         right.append(dots)
-    right.append(text(format_relative_time(commit.timestamp, now),
-                      color=T.text_muted, font_size=T.font_size_small,
-                      opacity=opacity))
+    right.append(text(rel_time, color=T.text_muted,
+                      font_size=T.font_size_small, opacity=opacity))
     cells.append(row(*right, gap=8, align="center"))
 
+    # Content-addressed cache key: everything that affects this row's
+    # pixels. Lets the layout pass and scene compiler replay the row from
+    # cache while scrolling (see ui.layout/_render docs).
+    rollup = tab.ci_rollups.get(commit.oid)
+    cache_key = (
+        "history-row", commit.oid, index % 2, selected, bool(dimmed),
+        commit.additions, commit.deletions, rh,
+        (tab.tab_id, getattr(tab, "layout_version", 0)),  # new layout → new prims
+        tuple(p for p in ((tip.name, tip.is_remote, tip.is_head)
+                          for tip in tab.branch_tips if tip.oid == commit.oid)),
+        tuple(t.name for t in tab.tags if t.oid == commit.oid),
+        commit.oid == tab.pinned_oid, show_avatars,
+        id(avatar_arr) if avatar_arr is not None else None,
+        tuple(getattr(rollup, "states", ()) or ()),
+        rel_time,
+    )
     return rect(
         row(*cells, gap=8, align="center", width="fill", height="fill",
             padding=(0, 10, 0, 6)),
         width="fill", height=rh, fill=bg,
         route=None if commit.is_synthetic else f"select-commit:{commit.oid}",
         route_right=None if commit.is_synthetic else f"menu-commit:{commit.oid}",
-        key=f"commit:{commit.oid}")
+        key=f"commit:{commit.oid}", cache_key=cache_key)
 
 
 def history_view(tab, show_avatars: bool = True,
@@ -200,6 +217,11 @@ def history_view(tab, show_avatars: bool = True,
         segments_by_row[seg.row].append(seg)
 
     heights = list(tab.graph_layout.row_heights)
+    if now is None:
+        import time as _t
+        # Minute granularity: relative times stay fresh while row cache
+        # keys stay stable between frames.
+        now = int(_t.time() // 60 * 60)
 
     def build(i: int) -> El:
         return build_row(tab, i, segments_by_row, show_avatars, now,

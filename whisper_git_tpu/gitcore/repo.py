@@ -19,11 +19,10 @@ import os
 import re
 from typing import Optional
 
-from .cli import GitError, git_lines, run_git
+from .cli import git_lines, run_git
 from .types import (
     BranchTip,
     CommitInfo,
-    FullCommitInfo,
     StashEntry,
     SubmoduleInfo,
     TagInfo,

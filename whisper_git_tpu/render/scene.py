@@ -67,35 +67,79 @@ class Scene:
 
 
 class _LayerAccum:
+    """Ordered command accumulator. Everything is chunk streams so cached
+    subtrees splice in as bulk numpy arrays without breaking paint order;
+    singleton appends buffer in Python lists and flush to a chunk
+    on demand."""
+
     def __init__(self):
-        self.shapes: list[list[float]] = []
-        self.shape_clips: list[tuple] = []
-        # Glyphs accumulate as numpy chunks (one per text run) — the hot
-        # path; per-char Python appends were a top frame cost.
+        self._shape_rows: list[list[float]] = []
+        self._shape_clip_rows: list[tuple] = []
+        self.shape_chunks: list[np.ndarray] = []        # (n, 16)
+        self.shape_clip_chunks: list[np.ndarray] = []   # (n, 4)
         self.glyph_chunks: list[np.ndarray] = []        # (n, 8)
         self.glyph_color_chunks: list[np.ndarray] = []  # (n, 4)
         self.glyph_clip_chunks: list[np.ndarray] = []   # (n, 4)
-        self.images: list[list[float]] = []
-        self.image_clips: list[tuple] = []
+        self._image_rows: list[list[float]] = []
+        self._image_clip_rows: list[tuple] = []
+        self.image_chunks: list[np.ndarray] = []        # (n, 8)
+        self.image_clip_chunks: list[np.ndarray] = []   # (n, 4)
+
+    # -- flushing ------------------------------------------------------------
+
+    def _flush_shapes(self):
+        if self._shape_rows:
+            self.shape_chunks.append(
+                np.asarray(self._shape_rows, np.float32))
+            self.shape_clip_chunks.append(
+                np.asarray(self._shape_clip_rows, np.float32))
+            self._shape_rows = []
+            self._shape_clip_rows = []
+
+    def _flush_images(self):
+        if self._image_rows:
+            self.image_chunks.append(np.asarray(self._image_rows, np.float32))
+            self.image_clip_chunks.append(
+                np.asarray(self._image_clip_rows, np.float32))
+            self._image_rows = []
+            self._image_clip_rows = []
+
+    def flush(self):
+        self._flush_shapes()
+        self._flush_images()
+
+    @property
+    def n_shapes(self) -> int:
+        return (len(self._shape_rows)
+                + sum(c.shape[0] for c in self.shape_chunks))
 
     @property
     def n_glyphs(self) -> int:
         return sum(c.shape[0] for c in self.glyph_chunks)
 
+    @property
+    def n_images(self) -> int:
+        return (len(self._image_rows)
+                + sum(c.shape[0] for c in self.image_chunks))
+
+    # -- appends -------------------------------------------------------------
+
     def rect(self, x, y, w, h, radius, fill, border, border_w, clip):
         f = fill or (0, 0, 0, 0)
         b = border or (0, 0, 0, 0)
-        self.shapes.append([0.0, x, y, w, h, radius, border_w if border else 0.0,
-                            f[0], f[1], f[2], f[3] if len(f) > 3 else 1.0,
-                            b[0], b[1], b[2], b[3] if len(b) > 3 else 1.0, 0.0])
-        self.shape_clips.append(clip)
+        self._shape_rows.append(
+            [0.0, x, y, w, h, radius, border_w if border else 0.0,
+             f[0], f[1], f[2], f[3] if len(f) > 3 else 1.0,
+             b[0], b[1], b[2], b[3] if len(b) > 3 else 1.0, 0.0])
+        self._shape_clip_rows.append(clip)
 
     def segment(self, x0, y0, x1, y1, width, color, clip):
         c = color
-        self.shapes.append([1.0, x0, y0, x1, y1, width * 0.5, 0.0,
-                            c[0], c[1], c[2], c[3] if len(c) > 3 else 1.0,
-                            0, 0, 0, 0, 0.0])
-        self.shape_clips.append(clip)
+        self._shape_rows.append(
+            [1.0, x0, y0, x1, y1, width * 0.5, 0.0,
+             c[0], c[1], c[2], c[3] if len(c) > 3 else 1.0,
+             0, 0, 0, 0, 0.0])
+        self._shape_clip_rows.append(clip)
 
     def glyph_run(self, quads: np.ndarray, color, clip):
         """quads: (n, 8) x,y,w,h,u,v,uw,uh for one text run."""
@@ -109,8 +153,59 @@ class _LayerAccum:
             np.broadcast_to(np.asarray(clip, np.float32), (n, 4)))
 
     def image(self, x, y, w, h, u, v, uw, uh, clip):
-        self.images.append([x, y, w, h, u, v, uw, uh])
-        self.image_clips.append(clip)
+        self._image_rows.append([x, y, w, h, u, v, uw, uh])
+        self._image_clip_rows.append(clip)
+
+    # -- bulk splice (cached subtrees) ---------------------------------------
+
+    def splice(self, chunks: "SubtreeChunks", dx: float, dy: float, clip):
+        cx0, cy0, cx1, cy1 = clip
+
+        def shifted_clips(rel: np.ndarray) -> np.ndarray:
+            out = rel.copy()
+            out[:, 0] = np.maximum(out[:, 0] + dx, cx0)
+            out[:, 1] = np.maximum(out[:, 1] + dy, cy0)
+            out[:, 2] = np.minimum(out[:, 2] + dx, cx1)
+            out[:, 3] = np.minimum(out[:, 3] + dy, cy1)
+            return out
+
+        if chunks.shapes.shape[0]:
+            self._flush_shapes()
+            s = chunks.shapes.copy()
+            s[:, 1] += dx
+            s[:, 2] += dy
+            seg = s[:, 0] == 1.0
+            s[seg, 3] += dx
+            s[seg, 4] += dy
+            self.shape_chunks.append(s)
+            self.shape_clip_chunks.append(shifted_clips(chunks.shape_clips))
+        if chunks.glyphs.shape[0]:
+            g = chunks.glyphs.copy()
+            g[:, 0] += dx
+            g[:, 1] += dy
+            self.glyph_chunks.append(g)
+            self.glyph_color_chunks.append(chunks.glyph_colors)
+            self.glyph_clip_chunks.append(shifted_clips(chunks.glyph_clips))
+        if chunks.images.shape[0]:
+            self._flush_images()
+            im = chunks.images.copy()
+            im[:, 0] += dx
+            im[:, 1] += dy
+            self.image_chunks.append(im)
+            self.image_clip_chunks.append(shifted_clips(chunks.image_clips))
+
+
+@dataclass
+class SubtreeChunks:
+    """Origin-relative compiled commands of one cached subtree."""
+
+    shapes: np.ndarray
+    shape_clips: np.ndarray
+    glyphs: np.ndarray
+    glyph_colors: np.ndarray
+    glyph_clips: np.ndarray
+    images: np.ndarray
+    image_clips: np.ndarray
 
 
 def _cubic_points(p0, p1, p2, p3, n=10):
@@ -141,6 +236,7 @@ class SceneCompiler:
         self._next_slot = 0
         self.atlas_version = 0  # bumped on writes so device copies refresh
         self._text_cache: dict = {}  # (line, scale, v_off) -> quad template
+        self._subtree_cache: dict = {}  # (cache_key, w, h) -> SubtreeChunks
 
     # -- image atlas --------------------------------------------------------
 
@@ -224,58 +320,126 @@ class SceneCompiler:
 
     # -- walk ---------------------------------------------------------------
 
+    def _emit_node(self, node: LayoutNode, acc: _LayerAccum, clip) -> None:
+        el = node.el
+        if el.shadow:
+            acc.rect(node.x + 3, node.y + 4, node.w, node.h,
+                     el.radius + 2, (0, 0, 0, 0.35), None, 0.0, clip)
+        if el.fill is not None or el.border is not None:
+            fill = el.fill
+            if fill is not None and el.opacity < 1.0:
+                fill = (*fill[:3],
+                        (fill[3] if len(fill) > 3 else 1.0) * el.opacity)
+            acc.rect(node.x, node.y, node.w, node.h, el.radius,
+                     fill, el.border, el.border_width, clip)
+        if el.kind == "text" and el.text:
+            self._emit_text(acc, node, clip)
+        elif el.kind == "image" and el.image_data is not None:
+            u, v = self._slot_for_image(el.image_data)
+            acc.image(node.x, node.y, node.w, node.h,
+                      u, v, self.IMG_TILE, self.IMG_TILE, clip)
+        for prim in el.prims:
+            self._emit_prim(acc, prim, node.x, node.y, clip)
+
+    def _walk_into(self, node: LayoutNode, acc: _LayerAccum, clip,
+                   bounds) -> None:
+        """Recursive emit of one subtree into one accumulator."""
+        el = node.el
+        cx0, cy0, cx1, cy1 = clip
+        if (node.x > cx1 or node.y > cy1
+                or node.x + node.w < cx0 or node.y + node.h < cy0):
+            return
+        if bounds is not None:
+            W, H = bounds
+            if (node.x > W or node.y > H
+                    or node.x + node.w < 0 or node.y + node.h < 0):
+                return
+        if el.cache_key is not None and bounds is not None:
+            chunks = self._subtree_chunks(node)
+            acc.splice(chunks, node.x, node.y, clip)
+            return
+        self._emit_node(node, acc, clip)
+        child_clip = clip
+        if el.clip:
+            child_clip = (max(cx0, node.x), max(cy0, node.y),
+                          min(cx1, node.x + node.w),
+                          min(cy1, node.y + node.h))
+        for c in node.children:
+            self._walk_into(c, acc, child_clip, bounds)
+
+    def _subtree_chunks(self, node: LayoutNode) -> "SubtreeChunks":
+        """Compile a cached subtree to origin-relative chunks, memoized by
+        (cache_key, size). Steady-state scrolling replays rows as four
+        numpy adds instead of a full walk."""
+        key = (node.el.cache_key, round(node.w, 1), round(node.h, 1))
+        hit = self._subtree_cache.get(key)
+        if hit is not None:
+            return hit
+        acc = _LayerAccum()
+        # bounds=None disables viewport culling and nested cache lookups
+        # (a cached subtree is compiled in full, exactly once).
+        self._walk_into(node, acc, _NOCLIP, None)
+        acc.flush()
+
+        def cat(chunks, cols):
+            if chunks:
+                return np.concatenate(chunks, axis=0)
+            return np.zeros((0, cols), np.float32)
+
+        dx, dy = -node.x, -node.y
+        shapes = cat(acc.shape_chunks, 16)
+        if shapes.shape[0]:
+            shapes[:, 1] += dx
+            shapes[:, 2] += dy
+            seg = shapes[:, 0] == 1.0
+            shapes[seg, 3] += dx
+            shapes[seg, 4] += dy
+        glyphs = cat(acc.glyph_chunks, 8)
+        if glyphs.shape[0]:
+            glyphs[:, 0] += dx
+            glyphs[:, 1] += dy
+        images = cat(acc.image_chunks, 8)
+        if images.shape[0]:
+            images[:, 0] += dx
+            images[:, 1] += dy
+
+        def shift_clips(chunks):
+            rel = cat(chunks, 4)
+            if rel.shape[0]:
+                rel[:, 0] += dx
+                rel[:, 1] += dy
+                rel[:, 2] += dx
+                rel[:, 3] += dy
+            return rel
+
+        chunks = SubtreeChunks(
+            shapes=shapes, shape_clips=shift_clips(acc.shape_clip_chunks),
+            glyphs=glyphs,
+            glyph_colors=cat(acc.glyph_color_chunks, 4),
+            glyph_clips=shift_clips(acc.glyph_clip_chunks),
+            images=images,
+            image_clips=shift_clips(acc.image_clip_chunks))
+        if len(self._subtree_cache) > 20_000:
+            self._subtree_cache.clear()
+        self._subtree_cache[key] = chunks
+        return chunks
+
     def compile(self, root: LayoutNode, viewport: tuple[int, int],
                 background: tuple) -> Scene:
         W, H = int(viewport[0]), int(viewport[1])
         accums = [_LayerAccum() for _ in range(MAX_LAYERS)]
         stats = {"clipped_out": 0}
+        bounds = (W, H)
 
-        is_root_stack = root.el.kind == "stack"
-
-        def walk(node: LayoutNode, layer: int, clip):
-            el = node.el
-            # Viewport/clip culling.
-            cx0, cy0, cx1, cy1 = clip
-            if (node.x > cx1 or node.y > cy1
-                    or node.x + node.w < cx0 or node.y + node.h < cy0
-                    or node.x > W or node.y > H
-                    or node.x + node.w < 0 or node.y + node.h < 0):
-                stats["clipped_out"] += 1
-                return
-            acc = accums[layer]
-            if el.shadow:
-                acc.rect(node.x + 3, node.y + 4, node.w, node.h,
-                         el.radius + 2, (0, 0, 0, 0.35), None, 0.0, clip)
-            if el.fill is not None or el.border is not None:
-                fill = el.fill
-                if fill is not None and el.opacity < 1.0:
-                    fill = (*fill[:3], (fill[3] if len(fill) > 3 else 1.0) * el.opacity)
-                acc.rect(node.x, node.y, node.w, node.h, el.radius,
-                         fill, el.border, el.border_width, clip)
-            if el.kind == "text" and el.text:
-                self._emit_text(acc, node, clip)
-            elif el.kind == "image" and el.image_data is not None:
-                u, v = self._slot_for_image(el.image_data)
-                acc.image(node.x, node.y, node.w, node.h,
-                          u, v, self.IMG_TILE, self.IMG_TILE, clip)
-            for prim in el.prims:
-                self._emit_prim(acc, prim, node.x, node.y, clip)
-            child_clip = clip
-            if el.clip:
-                child_clip = (max(cx0, node.x), max(cy0, node.y),
-                              min(cx1, node.x + node.w),
-                              min(cy1, node.y + node.h))
-            for c in node.children:
-                walk(c, layer, child_clip)
-
-        if is_root_stack:
+        if root.el.kind == "stack":
             if root.el.fill is not None:
                 accums[0].rect(root.x, root.y, root.w, root.h, 0.0,
                                root.el.fill, None, 0.0, _NOCLIP)
             for i, child in enumerate(root.children):
-                walk(child, min(i, MAX_LAYERS - 1), _NOCLIP)
+                self._walk_into(child, accums[min(i, MAX_LAYERS - 1)],
+                                _NOCLIP, bounds)
         else:
-            walk(root, 0, _NOCLIP)
+            self._walk_into(root, accums[0], _NOCLIP, bounds)
 
         layers = []
         for acc in accums:
@@ -303,12 +467,13 @@ class SceneCompiler:
 
     @staticmethod
     def _pack(acc: _LayerAccum) -> LayerBuffers:
-        ns, ng, ni = len(acc.shapes), acc.n_glyphs, len(acc.images)
+        acc.flush()
+        ns, ng, ni = acc.n_shapes, acc.n_glyphs, acc.n_images
         shapes = np.zeros((_bucket(ns), 16), np.float32)
         shape_clips = np.full((_bucket(ns), 4), _NOCLIP, np.float32)
         if ns:
-            shapes[:ns] = np.asarray(acc.shapes, np.float32)
-            shape_clips[:ns] = np.asarray(acc.shape_clips, np.float32)
+            shapes[:ns] = np.concatenate(acc.shape_chunks, axis=0)
+            shape_clips[:ns] = np.concatenate(acc.shape_clip_chunks, axis=0)
         glyphs = np.zeros((_bucket(ng), 8), np.float32)
         glyph_colors = np.zeros((_bucket(ng), 4), np.float32)
         glyph_clips = np.full((_bucket(ng), 4), _NOCLIP, np.float32)
@@ -319,8 +484,8 @@ class SceneCompiler:
         images = np.zeros((_bucket(ni), 8), np.float32)
         image_clips = np.full((_bucket(ni), 4), _NOCLIP, np.float32)
         if ni:
-            images[:ni] = np.asarray(acc.images, np.float32)
-            image_clips[:ni] = np.asarray(acc.image_clips, np.float32)
+            images[:ni] = np.concatenate(acc.image_chunks, axis=0)
+            image_clips[:ni] = np.concatenate(acc.image_clip_chunks, axis=0)
         return LayerBuffers(shapes, shape_clips, ns, glyphs, glyph_colors,
                             glyph_clips, ng, images, image_clips, ni)
 

@@ -10,10 +10,8 @@ auto-registration; per-commit rollup rebuild on arrival.
 from __future__ import annotations
 
 import queue
-import time
 
 from . import github, gitlab, token_store
-from .ci import CiProvider
 
 CI_POLL_FAST_SECS = 15.0
 CI_POLL_SLOW_SECS = 300.0

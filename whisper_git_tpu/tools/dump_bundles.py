@@ -18,7 +18,6 @@ from ..app.repo_tab import RepoTab
 from ..app.ui_app import WhisperApp
 from ..app.views import dialogs
 from ..host.main import SCREENSHOT_STATES, apply_screenshot_state
-from ..services.config import Config
 from ..ui.dump import to_svg, to_tree_text
 from ..ui.layout import layout_tree
 from ..ui.lint import run_lints

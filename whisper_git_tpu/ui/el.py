@@ -56,6 +56,10 @@ class El:
     route_right: Optional[str] = None  # right-click action id
     hover_fill: Optional[Color] = None
     key: Optional[str] = None          # stable identity (focus, scroll)
+    # Content-addressed cache key: when set, the layout pass and scene
+    # compiler may reuse this subtree's origin-relative results across
+    # frames (rows set it to a hash of everything that affects pixels).
+    cache_key: Optional[tuple] = None
     focusable: bool = False
     # Scroll (kind == "scroll")
     scroll_offset: float = 0.0

@@ -11,7 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-from .el import AUTO, FILL, El
+from .el import FILL, El
 
 
 class TextMeasurer:
@@ -183,8 +183,45 @@ def layout_tree(el: El, viewport: tuple[float, float],
         _MEASURE_MEMO.clear()
 
 
+_SUBTREE_LAYOUT_CACHE: dict = {}
+
+
+def _shift_tree(tpl: LayoutNode, dx: float, dy: float,
+                clip: Optional[tuple]) -> LayoutNode:
+    """Clone a cached origin-relative subtree to an absolute position.
+    Template nodes hold coords relative to the subtree origin; internal
+    clip rects shift and intersect with the inherited clip."""
+    if tpl.clip is None:
+        new_clip = clip
+    else:
+        cx0, cy0, cx1, cy1 = (tpl.clip[0] + dx, tpl.clip[1] + dy,
+                              tpl.clip[2] + dx, tpl.clip[3] + dy)
+        if clip is not None:
+            cx0, cy0 = max(cx0, clip[0]), max(cy0, clip[1])
+            cx1, cy1 = min(cx1, clip[2]), min(cy1, clip[3])
+        new_clip = (cx0, cy0, cx1, cy1)
+    node = LayoutNode(tpl.el, tpl.x + dx, tpl.y + dy, tpl.w, tpl.h,
+                      clip=new_clip)
+    node.children = [_shift_tree(c, dx, dy, clip) for c in tpl.children]
+    return node
+
+
 def _layout(el: El, x: float, y: float, w: float, h: float,
             clip: Optional[tuple], m: TextMeasurer) -> LayoutNode:
+    if el.cache_key is not None:
+        key = (el.cache_key, round(w, 1), round(h, 1))
+        tpl = _SUBTREE_LAYOUT_CACHE.get(key)
+        if tpl is None:
+            tpl = _layout_impl(el, 0.0, 0.0, w, h, None, m)
+            if len(_SUBTREE_LAYOUT_CACHE) > 20_000:
+                _SUBTREE_LAYOUT_CACHE.clear()
+            _SUBTREE_LAYOUT_CACHE[key] = tpl
+        return _shift_tree(tpl, x, y, clip)
+    return _layout_impl(el, x, y, w, h, clip, m)
+
+
+def _layout_impl(el: El, x: float, y: float, w: float, h: float,
+                 clip: Optional[tuple], m: TextMeasurer) -> LayoutNode:
     node = LayoutNode(el, x, y, w, h, clip=clip)
     child_clip = (x, y, w, h) if el.clip else clip
     pt, pr, pb, pl = el.padding
