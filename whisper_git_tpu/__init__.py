@@ -14,3 +14,28 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+
+def _apply_device_override() -> None:
+    """WGIT_DEVICE=cpu|tpu picks the accelerator backend (the analog of the
+    reference's WHISPER_GPU override, host.rs:567). Must run before ANY jax
+    dispatch — graph layout (ops/) can touch jax well before the renderer
+    exists, and the first dispatch locks the platform. Opt-in via env, so
+    the import costs nothing when unset."""
+    import os
+
+    want = os.environ.get("WGIT_DEVICE")
+    if not want:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+    except Exception as exc:
+        import sys
+
+        print(f"wgit: WGIT_DEVICE={want!r} not usable: {exc}",
+              file=sys.stderr)
+
+
+_apply_device_override()

@@ -13,12 +13,19 @@ from __future__ import annotations
 import os
 
 from ...ui import El, column, rect, row, spacer, text
+from ...ui.memo import memo_el
 from ...ui.theme import DARK as T
 
 STALL_WARN_SECS = 60.0  # reference: ui_app.rs:5103
 
 
 def tab_bar(app) -> El:
+    key = ("tab-bar", app.active_tab,
+           tuple((t.title, app.ci_overall_state(t)) for t in app.tabs))
+    return memo_el(key, lambda: _tab_bar_impl(app))
+
+
+def _tab_bar_impl(app) -> El:
     cells: list[El] = []
     for i, tab in enumerate(app.tabs):
         active = i == app.active_tab
@@ -66,6 +73,17 @@ def _op_button(label: str, route: str, primary: bool = False,
 
 
 def header_bar(app, tab) -> El:
+    local = next((t for t in tab.branch_tips
+                  if not t.is_remote and t.is_head), None)
+    key = ("header", tab.tab_id, tab.current_branch, tab.head_oid,
+           tab.repo_state,
+           (local.ahead, local.behind) if local is not None else None,
+           tuple((name, op.label, int(op.elapsed()))
+                 for name, op in tab.busy_slots()))
+    return memo_el(key, lambda: _header_bar_impl(app, tab))
+
+
+def _header_bar_impl(app, tab) -> El:
     branch = tab.current_branch or (
         f"detached @ {tab.head_oid[:8]}" if tab.head_oid else "no branch")
     cells: list[El] = [
@@ -128,6 +146,14 @@ def breadcrumb(app, tab) -> El | None:
     strip (reference: ui_app.rs:4925-5070)."""
     if not tab.nav_stack:
         return None
+    key = ("breadcrumb", tab.tab_id, tab.title, tab.pinned_oid,
+           tab.head_oid, tab.pinned_path,
+           tuple(a.title for a in tab.nav_stack),
+           tuple((s.name, s.path) for s in tab.nav_stack[-1].submodules[:6]))
+    return memo_el(key, lambda: _breadcrumb_impl(app, tab))
+
+
+def _breadcrumb_impl(app, tab) -> El:
     crumbs: list[El] = []
     for depth, ancestor in enumerate(tab.nav_stack):
         crumbs.append(rect(
@@ -174,6 +200,10 @@ _SHORTCUTS = {
 
 
 def shortcut_bar(focus: str) -> El:
+    return memo_el(("shortcut-bar", focus), lambda: _shortcut_bar_impl(focus))
+
+
+def _shortcut_bar_impl(focus: str) -> El:
     pills: list[El] = []
     for key, label in _SHORTCUTS.get(focus, _SHORTCUTS["graph"]):
         pills.append(row(

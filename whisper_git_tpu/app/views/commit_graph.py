@@ -98,6 +98,12 @@ def _ci_dots(tab, commit: CommitInfo) -> Optional[El]:
     return row(*dots, gap=3, align="center")
 
 
+# Built-row El memo: rows are content-addressed (see cache_key below), so
+# while scrolling the same El object is replayed frame after frame, letting
+# the layout/scene subtree caches hit without even rebuilding the El tree.
+_ROW_EL_MEMO: dict = {}
+
+
 def build_row(tab, index: int, segments_by_row: dict,
               show_avatars: bool = True, now: Optional[int] = None,
               avatar_cache=None) -> El:
@@ -108,6 +114,33 @@ def build_row(tab, index: int, segments_by_row: dict,
     rh = layout.row_heights[index] if index < len(layout.row_heights) else 28.0
     row_top = layout.row_tops[index] if index < len(layout.row_tops) else 0.0
     graph_w = max(layout.graph_width(), LANE_WIDTH)
+
+    selected = commit.oid == tab.selected_oid
+    dimmed = (tab.search_active and tab.search_query
+              and not commit_matches_query(commit, tab.search_query))
+    avatar_arr = (avatar_cache.get(commit.author_email)
+                  if (avatar_cache is not None and show_avatars
+                      and not commit.is_synthetic) else None)
+    rel_time = format_relative_time(commit.timestamp, now)
+    rollup = tab.ci_rollups.get(commit.oid)
+    # Content-addressed cache key: everything that affects this row's
+    # pixels. Lets the layout pass and scene compiler replay the row from
+    # cache while scrolling (see ui.layout/_render docs).
+    cache_key = (
+        "history-row", commit.oid, index % 2, selected, bool(dimmed),
+        commit.additions, commit.deletions, rh,
+        (tab.tab_id, getattr(tab, "layout_version", 0)),  # new layout → new prims
+        tuple(p for p in ((tip.name, tip.is_remote, tip.is_head)
+                          for tip in tab.branch_tips if tip.oid == commit.oid)),
+        tuple(t.name for t in tab.tags if t.oid == commit.oid),
+        commit.oid == tab.pinned_oid, show_avatars,
+        id(avatar_arr) if avatar_arr is not None else None,
+        tuple(getattr(rollup, "states", ()) or ()),
+        rel_time,
+    )
+    memo_hit = _ROW_EL_MEMO.get(cache_key)
+    if memo_hit is not None:
+        return memo_hit
 
     # Graph cell prims in row-local coordinates.
     prims = []
@@ -128,9 +161,6 @@ def build_row(tab, index: int, segments_by_row: dict,
                           NODE_RADIUS + (1.0 if commit.oid == tab.selected_oid
                                          else 0.0), node_color))
 
-    selected = commit.oid == tab.selected_oid
-    dimmed = (tab.search_active and tab.search_query
-              and not commit_matches_query(commit, tab.search_query))
     opacity = 0.3 if dimmed else 1.0
 
     zebra = (T.surface if index % 2 == 1 else T.background)
@@ -154,10 +184,6 @@ def build_row(tab, index: int, segments_by_row: dict,
             text(f"+{commit.additions} −{commit.deletions}", font_size=10,
                  color=T.text_muted),
             fill=(1, 1, 1, 0.06), radius=4, padding=(1, 5, 1, 5)))
-    avatar_arr = (avatar_cache.get(commit.author_email)
-                  if (avatar_cache is not None and show_avatars
-                      and not commit.is_synthetic) else None)
-    rel_time = format_relative_time(commit.timestamp, now)
     if not commit.is_synthetic:
         if show_avatars:
             # Real Gravatar when the cache has it; identicon fallback
@@ -177,29 +203,17 @@ def build_row(tab, index: int, segments_by_row: dict,
                       font_size=T.font_size_small, opacity=opacity))
     cells.append(row(*right, gap=8, align="center"))
 
-    # Content-addressed cache key: everything that affects this row's
-    # pixels. Lets the layout pass and scene compiler replay the row from
-    # cache while scrolling (see ui.layout/_render docs).
-    rollup = tab.ci_rollups.get(commit.oid)
-    cache_key = (
-        "history-row", commit.oid, index % 2, selected, bool(dimmed),
-        commit.additions, commit.deletions, rh,
-        (tab.tab_id, getattr(tab, "layout_version", 0)),  # new layout → new prims
-        tuple(p for p in ((tip.name, tip.is_remote, tip.is_head)
-                          for tip in tab.branch_tips if tip.oid == commit.oid)),
-        tuple(t.name for t in tab.tags if t.oid == commit.oid),
-        commit.oid == tab.pinned_oid, show_avatars,
-        id(avatar_arr) if avatar_arr is not None else None,
-        tuple(getattr(rollup, "states", ()) or ()),
-        rel_time,
-    )
-    return rect(
+    el = rect(
         row(*cells, gap=8, align="center", width="fill", height="fill",
             padding=(0, 10, 0, 6)),
         width="fill", height=rh, fill=bg,
         route=None if commit.is_synthetic else f"select-commit:{commit.oid}",
         route_right=None if commit.is_synthetic else f"menu-commit:{commit.oid}",
         key=f"commit:{commit.oid}", cache_key=cache_key)
+    if len(_ROW_EL_MEMO) > 8192:
+        _ROW_EL_MEMO.clear()
+    _ROW_EL_MEMO[cache_key] = el
+    return el
 
 
 def history_view(tab, show_avatars: bool = True,
@@ -212,11 +226,19 @@ def history_view(tab, show_avatars: bool = True,
                     fill=T.background, width="fill", height="fill",
                     align="center", key="history")
 
-    segments_by_row: dict[int, list] = defaultdict(list)
-    for seg in tab.graph_segments:
-        segments_by_row[seg.row].append(seg)
-
-    heights = list(tab.graph_layout.row_heights)
+    # Segment binning + heights only change when a refresh swaps the graph
+    # layout (layout_version); memo on the tab keeps steady-state scrolling
+    # free of the O(segments) rebuild.
+    lv = getattr(tab, "layout_version", 0)
+    cached = getattr(tab, "_segments_memo", None)
+    if cached is not None and cached[0] == lv:
+        segments_by_row, heights = cached[1], cached[2]
+    else:
+        segments_by_row = defaultdict(list)
+        for seg in tab.graph_segments:
+            segments_by_row[seg.row].append(seg)
+        heights = list(tab.graph_layout.row_heights)
+        tab._segments_memo = (lv, segments_by_row, heights)
     if now is None:
         import time as _t
         # Minute granularity: relative times stay fresh while row cache

@@ -11,9 +11,30 @@ from __future__ import annotations
 from collections import defaultdict
 
 from ...ui import El, column, rect, row, spacer, text
+from ...ui.memo import memo_el
 from ...ui.theme import DARK as T
 
 SECTIONS = ["local", "remote", "tags", "submodules", "worktrees", "stashes"]
+
+
+def _sidebar_key(tab) -> tuple:
+    """Every pixel-affecting input of the sidebar panel."""
+    return (
+        "sidebar", tab.tab_id,
+        tuple((t.name, t.is_remote, t.is_head, t.ahead, t.behind)
+              for t in tab.branch_tips),
+        tuple((t.name, t.oid) for t in tab.tags),
+        tuple((s.name, s.path, s.initialized,
+               tab.submodule_dirty.get(s.path, False))
+              for s in tab.submodules),
+        tuple((w.name, w.path, w.branch, w.is_main,
+               bool(tab.worktree_views.get(w.path)
+                    and tab.worktree_views[w.path].dirty))
+              for w in tab.worktrees),
+        tuple((s.ref_name, s.summary) for s in tab.stashes),
+        tuple(sorted(tab.sidebar_collapsed.items())),
+        tab.selected_sidebar_key, tab.active_worktree,
+    )
 
 
 def _section_header(tab, key: str, label: str, count: int,
@@ -61,7 +82,11 @@ def _item(label: str, route: str, *, selected=False, current=False,
 
 
 def sidebar(tab) -> El:
-    """reference: sidebar.rs:18."""
+    """reference: sidebar.rs:18. Memoized per content (ui.memo)."""
+    return memo_el(_sidebar_key(tab), lambda: _sidebar_impl(tab))
+
+
+def _sidebar_impl(tab) -> El:
     rows: list[El] = []
 
     local = [t for t in tab.branch_tips if not t.is_remote]

@@ -14,6 +14,7 @@ import os
 
 from ...gitcore.types import FileStatus, StatusEntry
 from ...ui import El, column, rect, row, spacer, text
+from ...ui.memo import memo_el
 from ...ui.theme import DARK as T
 
 WORKTREE_PILL_LIMIT = 4  # reference: staging.rs:24
@@ -139,8 +140,44 @@ def _file_section(title: str, entries: list, bucket: str,
     return rows
 
 
+def _staging_key(tab, focused_input: str, ai_busy: bool) -> tuple:
+    """Every pixel-affecting input of the staging panel. The cursor-blink
+    phase enters only while an editor is focused, so steady-state frames
+    alternate between two cached variants (~1 Hz)."""
+    view = tab.active_view()
+    status = view.status if view else None
+
+    def bucket(entries):
+        return tuple((e.path, e.status) for e in entries[:200])
+
+    return (
+        "staging", tab.tab_id,
+        view.draft_subject if view else "",
+        view.draft_body if view else "",
+        bool(view and view.amend_mode),
+        focused_input if focused_input in ("subject", "body") else "",
+        _cursor_visible() if focused_input in ("subject", "body") else True,
+        ai_busy,
+        (bucket(status.staged), bucket(status.unstaged),
+         bucket(status.untracked), bucket(status.conflicted))
+        if status is not None else None,
+        (("staged" if view.selected_staged else "unstaged"),
+         view.selected_file) if view and view.selected_file else None,
+        tuple((w.name, w.path, w.branch,
+               bool(tab.worktree_views.get(w.path)
+                    and tab.worktree_views[w.path].dirty))
+              for w in tab.worktrees),
+        tab.active_worktree,
+    )
+
+
 def staging_well(tab, focused_input: str = "", ai_busy: bool = False) -> El:
-    """reference: staging.rs — the full staging pane."""
+    """reference: staging.rs — the full staging pane. Memoized (ui.memo)."""
+    return memo_el(_staging_key(tab, focused_input, ai_busy),
+                   lambda: _staging_impl(tab, focused_input, ai_busy))
+
+
+def _staging_impl(tab, focused_input: str = "", ai_busy: bool = False) -> El:
     view = tab.active_view()
     parts: list[El] = []
 

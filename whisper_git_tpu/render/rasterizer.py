@@ -25,8 +25,10 @@ import numpy as np
 
 from .scene import LayerBuffers, Scene
 
-TILE_H = 64
-TILE_W = 128
+TILE_H = 64   # (8, 128) is the f32 native tile; 64×128 balances bin
+TILE_W = 128  # occupancy against per-command full-tile coverage math.
+              # (32×128 was tried: shapes got faster but the glyph pass
+              # pays per-step per-tile gathers — net 30% slower.)
 K_SHAPES = 256
 K_GLYPHS = 512
 K_IMAGES = 32
@@ -44,9 +46,10 @@ def _coarse_buckets() -> bool:
 
 
 def _k_trim(occ: int, cap: int) -> int:
-    if _coarse_buckets():
-        return 64 if occ <= 64 else cap
-    k = 8
+    # Power-of-two ladder keeps jit signatures stable while scrolling
+    # (occupancy jitter stays inside one bucket); the floor of 16 on
+    # accelerators bounds the recompile count over a slow tunnel.
+    k = 16 if _coarse_buckets() else 8
     while k < occ:
         k *= 2
     return min(k, cap)
@@ -223,8 +226,14 @@ def _glyphs_pass(fb, px, py, glyphs, colors, clips, bins, font_tex):
             ftex, (v.astype(jnp.int32), u.astype(jnp.int32)), (CELL, CELL))
         wy = _sample_weights(py1, y, h, uh)          # (TH, CELL)
         wx = _sample_weights(px1, x, w, uw)          # (TW, CELL)
-        enc = jnp.dot(jnp.dot(wy, patch, preferred_element_type=jnp.float32),
-                      wx.T, preferred_element_type=jnp.float32)
+        # bf16 operands double MXU throughput; the SDF encoding spans
+        # 0..255 with a ±1-unit tolerance (≪ the 0.7 px AA transition),
+        # well inside bf16's 8-bit mantissa.
+        enc = jnp.dot(jnp.dot(wy.astype(jnp.bfloat16),
+                              patch.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.bfloat16),
+                      wx.T.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
         sdf_atlas = (128.0 - enc) * (SDF_SPREAD / 128.0)   # atlas px
         screen_scale = w / jnp.maximum(uw, 1e-6)
         d = sdf_atlas * screen_scale
@@ -400,8 +409,10 @@ def pack_scene(scene: Scene) -> tuple[np.ndarray, tuple, int, int]:
                      lb.images.shape[0], s_bins.shape[1], g_bins.shape[1],
                      i_bins.shape[1], lb.n_shapes > 0, lb.n_glyphs > 0,
                      lb.n_images > 0))
-    blob_i16 = np.concatenate(i16_parts)
-    blob_i32 = np.concatenate(i32_parts)
+    blob_i16 = (np.concatenate(i16_parts) if i16_parts
+                else np.zeros(0, np.int16))
+    blob_i32 = (np.concatenate(i32_parts) if i32_parts
+                else np.zeros(0, np.int32))
     # Merge into ONE array (one host→device transfer per frame): the i16
     # half rides bitcast inside i32 words. On latency-bound links every
     # round trip counts.
@@ -442,17 +453,43 @@ def unpack_layers(fused, meta: tuple, T: int):
     return tuple(layer_data), tuple(layer_sig)
 
 
+def _use_pallas() -> bool:
+    """The fused Pallas kernel is the TPU path (per-tile occupancy loops,
+    VMEM-resident atlases — see render/pallas_raster.py); XLA scan is the
+    CPU/tests fallback. WGIT_PALLAS=0|1 overrides."""
+    import os
+
+    want = os.environ.get("WGIT_PALLAS")
+    if want is not None:
+        return want not in ("0", "false", "")
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
 @functools.partial(
     jax.jit, static_argnames=("tiles_y", "tiles_x", "meta", "background",
-                              "height", "width"))
+                              "height", "width", "use_pallas"))
 def _render_packed(fused, font_tex, image_atlas,
                    background: tuple, tiles_y: int, tiles_x: int,
-                   meta: tuple, height: int, width: int):
+                   meta: tuple, height: int, width: int,
+                   use_pallas: bool = False):
     """Full frame on-device: rasterize tiles, assemble, quantize to u8.
     The u8 conversion and assembly stay on-device so a frame never crosses
     the link as f32 tiles (the presented framebuffer lives device-side,
     like the reference's swapchain image; readback is screenshot-only)."""
     layer_data, layer_sig = unpack_layers(fused, meta, tiles_y * tiles_x)
+    if use_pallas:
+        from . import pallas_raster as PR
+
+        font_cells, font_cols = PR.cellify(font_tex.astype(jnp.bfloat16))
+        image_cells, img_cols = PR.cellify(
+            image_atlas.astype(jnp.bfloat16), channels=4)
+        tiles_f32 = PR.render_tiles_pallas(
+            layer_data, font_cells, font_cols, image_cells, img_cols,
+            background, tiles_y, tiles_x, layer_sig)
+        return PR.assemble_planar(tiles_f32, tiles_y, tiles_x, height,
+                                  width)
     tiles = _render_tiles_impl(layer_data, font_tex, image_atlas, background,
                                tiles_y, tiles_x, layer_sig)
     img = tiles.reshape(tiles_y, tiles_x, TILE_H, TILE_W, 4)
@@ -470,7 +507,8 @@ def render_scene_device(scene: Scene, font_tex, image_atlas=None):
                           jnp.asarray(font_tex), jnp.asarray(atlas),
                           tuple(float(c) for c in scene.background[:3]),
                           tiles_y, tiles_x, meta,
-                          scene.height, scene.width)
+                          scene.height, scene.width,
+                          use_pallas=_use_pallas())
 
 
 def render_scene(scene: Scene, font_tex, image_atlas=None) -> np.ndarray:
