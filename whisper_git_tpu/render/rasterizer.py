@@ -45,14 +45,23 @@ def _coarse_buckets() -> bool:
     return jax.default_backend() != "cpu"
 
 
+_K_HIGH_WATER: dict = {}
+
+
 def _k_trim(occ: int, cap: int) -> int:
     # Power-of-two ladder keeps jit signatures stable while scrolling
     # (occupancy jitter stays inside one bucket); the floor of 16 on
-    # accelerators bounds the recompile count over a slow tunnel.
+    # accelerators bounds the recompile count over a slow tunnel, and the
+    # per-cap high-water mark stops K from oscillating across a bucket
+    # boundary (each crossing would recompile — ~3 s over the tunnel).
     k = 16 if _coarse_buckets() else 8
     while k < occ:
         k *= 2
-    return min(k, cap)
+    k = min(k, cap)
+    if _coarse_buckets():
+        k = max(k, _K_HIGH_WATER.get(cap, 0))
+        _K_HIGH_WATER[cap] = k
+    return k
 
 
 def _bin_commands(boxes: np.ndarray, n: int, tiles_y: int, tiles_x: int,
@@ -74,26 +83,22 @@ def _bin_commands(boxes: np.ndarray, n: int, tiles_y: int, tiles_x: int,
     keep = ~((b[:, 2] < 0) | (b[:, 3] < 0)
              | (b[:, 0] > tiles_x * TILE_W) | (b[:, 1] > tiles_y * TILE_H))
 
-    spans_x = tx1 - tx0 + 1
-    spans_y = ty1 - ty0 + 1
-    max_sx = int(spans_x[keep].max()) if keep.any() else 1
-    max_sy = int(spans_y[keep].max()) if keep.any() else 1
-
-    tiles_list = []
-    cmds_list = []
-    idx = np.arange(n, dtype=np.int64)
-    for dy in range(max_sy):
-        for dx in range(max_sx):
-            mask = keep & (dy < spans_y) & (dx < spans_x)
-            if not mask.any():
-                continue
-            t = (ty0[mask] + dy) * tiles_x + (tx0[mask] + dx)
-            tiles_list.append(t)
-            cmds_list.append(idx[mask])
-    if not tiles_list:
+    if not keep.any():
         return np.full((T, 8), -1, np.int32), 0
-    tiles_all = np.concatenate(tiles_list)
-    cmds_all = np.concatenate(cmds_list)
+    idx = np.arange(n, dtype=np.int64)[keep]
+    sx = (tx1 - tx0 + 1)[keep]
+    sy = (ty1 - ty0 + 1)[keep]
+    # Ragged span expansion, fully vectorized: one (tile, command) pair
+    # per covered tile (a full-frame rect covers all T; text covers 1-2).
+    reps = sx * sy
+    total = int(reps.sum())
+    cmds_all = np.repeat(idx, reps)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(reps) - reps, reps)
+    rsx = np.repeat(sx, reps)
+    dy, dx = offs // rsx, offs % rsx
+    tiles_all = ((np.repeat(ty0[keep], reps) + dy) * tiles_x
+                 + np.repeat(tx0[keep], reps) + dx)
     # Stable sort by (tile, cmd) keeps submission order within each tile.
     order = np.lexsort((cmds_all, tiles_all))
     tiles_all = tiles_all[order]
@@ -380,13 +385,20 @@ def pack_scene(scene: Scene) -> tuple[np.ndarray, tuple, int, int]:
     i16_parts: list[np.ndarray] = []
     i32_parts: list[np.ndarray] = []
     meta = []
+    T = tiles_y * tiles_x
+    empty_bins = np.zeros((T, 0), np.int32)
     for lb in scene.layers:
-        s_bins, _ = _bin_commands(_shape_boxes(lb.shapes, lb.n_shapes),
-                                  lb.n_shapes, tiles_y, tiles_x, K_SHAPES)
-        g_bins, _ = _bin_commands(_quad_boxes(lb.glyphs, lb.n_glyphs),
-                                  lb.n_glyphs, tiles_y, tiles_x, K_GLYPHS)
-        i_bins, _ = _bin_commands(_quad_boxes(lb.images, lb.n_images),
-                                  lb.n_images, tiles_y, tiles_x, K_IMAGES)
+        # Empty classes ship zero bytes (k=0 bins, cap-0 buffers) — layers
+        # above the base are usually empty outside modal/overlay frames.
+        s_bins = (empty_bins if lb.n_shapes == 0 else _bin_commands(
+            _shape_boxes(lb.shapes, lb.n_shapes),
+            lb.n_shapes, tiles_y, tiles_x, K_SHAPES)[0])
+        g_bins = (empty_bins if lb.n_glyphs == 0 else _bin_commands(
+            _quad_boxes(lb.glyphs, lb.n_glyphs),
+            lb.n_glyphs, tiles_y, tiles_x, K_GLYPHS)[0])
+        i_bins = (empty_bins if lb.n_images == 0 else _bin_commands(
+            _quad_boxes(lb.images, lb.n_images),
+            lb.n_images, tiles_y, tiles_x, K_IMAGES)[0])
         arrays = {"shapes": lb.shapes, "shape_clips": lb.shape_clips,
                   "glyphs": lb.glyphs, "glyph_colors": lb.glyph_colors,
                   "glyph_clips": lb.glyph_clips, "images": lb.images,

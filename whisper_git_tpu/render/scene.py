@@ -34,6 +34,8 @@ S_BORD = 11  # 11-14 border rgba
 def _bucket(n: int) -> int:
     from .rasterizer import _coarse_buckets
 
+    if n == 0:
+        return 0  # empty classes ship no buffer bytes at all
     ladder = ((256, 4096, 65536) if _coarse_buckets()
               else (64, 256, 1024, 4096, 16384, 65536))
     for b in ladder:
