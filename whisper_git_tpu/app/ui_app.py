@@ -1653,8 +1653,10 @@ class WhisperApp:
                    if tab.selected_sidebar_key in keys else -1)
             if key in ("j", "Down"):
                 tab.selected_sidebar_key = keys[min(len(keys) - 1, cur + 1)]
+                self._sidebar_autoscroll(tab, keys)
             elif key in ("k", "Up"):
                 tab.selected_sidebar_key = keys[max(0, cur - 1)]
+                self._sidebar_autoscroll(tab, keys)
             elif key == "Enter" and tab.selected_sidebar_key:
                 self._sidebar_activate(tab)
             elif key == "d" and tab.selected_sidebar_key:
@@ -1679,6 +1681,26 @@ class WhisperApp:
             tab.history_scroll = top
         elif top + rh > tab.history_scroll + view_h:
             tab.history_scroll = top + rh - view_h
+
+    def _sidebar_autoscroll(self, tab: RepoTab, keys: list[str]) -> None:
+        """Keep the keyboard selection visible (reference README: sidebar
+        "auto-scroll on keyboard navigation"). Row pitch is uniform
+        (sidebar.ITEM_H); section headers above the selection are
+        approximated by the selection's section ordinal."""
+        from .views.sidebar import ITEM_H
+
+        if tab.selected_sidebar_key not in keys:
+            return
+        idx = keys.index(tab.selected_sidebar_key)
+        section_ord = {"branch": 1, "remote": 2, "tag": 3, "worktree": 5,
+                       "stash": 6}.get(
+            tab.selected_sidebar_key.partition(":")[0], 1)
+        top = (idx + section_ord) * ITEM_H
+        view_h = max(self._last_viewport[1] - 140, ITEM_H * 4)
+        if top < tab.sidebar_scroll + ITEM_H:
+            tab.sidebar_scroll = max(0.0, top - ITEM_H)
+        elif top + ITEM_H > tab.sidebar_scroll + view_h:
+            tab.sidebar_scroll = top + ITEM_H - view_h
 
     def _sidebar_keys(self, tab: RepoTab) -> list[str]:
         keys = [f"branch:{t.name}" for t in tab.branch_tips
@@ -1713,7 +1735,11 @@ class WhisperApp:
         right_w = self.config.right_panel_width
         vw = self._last_viewport[0]
         if x < sidebar_w:
-            tab.sidebar_scroll = max(0.0, tab.sidebar_scroll + dy * speed)
+            from .views.sidebar import ITEM_H
+            max_scroll = max(0.0, (len(self._sidebar_keys(tab)) + 7)
+                             * ITEM_H - 200.0)
+            tab.sidebar_scroll = max(0.0, min(
+                tab.sidebar_scroll + dy * speed, max_scroll))
         elif x > vw - right_w and self.diff_open:
             tab.diff_scroll = max(0.0, tab.diff_scroll + dy * speed)
         else:

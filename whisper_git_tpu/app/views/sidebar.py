@@ -10,11 +10,12 @@ from __future__ import annotations
 
 from collections import defaultdict
 
-from ...ui import El, column, rect, row, spacer, text
+from ...ui import El, column, rect, row, scroll, spacer, stack, text
 from ...ui.memo import memo_el
 from ...ui.theme import DARK as T
 
 SECTIONS = ["local", "remote", "tags", "submodules", "worktrees", "stashes"]
+ITEM_H = 26.0  # uniform row pitch (24 px row + 2 px gap)
 
 
 def _sidebar_key(tab) -> tuple:
@@ -34,6 +35,7 @@ def _sidebar_key(tab) -> tuple:
         tuple((s.ref_name, s.summary) for s in tab.stashes),
         tuple(sorted(tab.sidebar_collapsed.items())),
         tab.selected_sidebar_key, tab.active_worktree,
+        round(tab.sidebar_scroll, 1),
     )
 
 
@@ -165,6 +167,29 @@ def _sidebar_impl(tab) -> El:
             rows.append(_item(st.summary[:30], f"apply-stash:{st.ref_name}",
                               route_right=f"menu-stash:{st.ref_name}"))
 
-    return rect(column(*rows, gap=2, width="fill", padding=(6, 6, 6, 6)),
-                fill=T.surface, width="fill", height="fill", clip=True,
+    # Virtualized + scrollable with a proportional thumb (reference README:
+    # "Scrollbar with proportional thumb and auto-scroll on keyboard
+    # navigation"); tall repos (many branches/tags) stay reachable.
+    total_h = len(rows) * ITEM_H
+    body = scroll(len(rows), lambda i: rows[i],
+                  offset=tab.sidebar_scroll,
+                  row_heights=[ITEM_H] * len(rows),
+                  width="fill", height="fill", key="sidebar-scroll")
+    content: El = body
+    track_h = 560.0
+    if total_h > track_h:
+        frac_view = min(1.0, track_h / total_h)
+        frac_pos = min(1.0 - frac_view,
+                       tab.sidebar_scroll / max(total_h, 1.0))
+        overlay = row(
+            spacer(),
+            column(rect(width=5, height=frac_pos * track_h),
+                   rect(width=5, height=max(24.0, frac_view * track_h),
+                        radius=2.5, fill=(1, 1, 1, 0.14),
+                        key="sidebar-scrollbar"),
+                   width=8),
+            width="fill", height="fill")
+        content = stack(body, overlay, width="fill", height="fill")
+    return rect(content, fill=T.surface, width="fill", height="fill",
+                clip=True, padding=(6, 2, 6, 6),
                 key="sidebar", route="focus-sidebar")
