@@ -75,16 +75,29 @@ def test_scroll_virtualization_materializes_visible_only():
 
 
 def test_scroll_with_explicit_heights():
-    heights = [30.0] * 5 + [60.0] * 5
+    """Virtualization materializes the viewport plus a bounded overscan
+    margin (ui.layout._OVERSCAN) so the scene compiler's scroll-window
+    composite stays cache-stable while scrolling."""
+    from whisper_git_tpu.ui.layout import _OVERSCAN
+
+    heights = [30.0] * 100
 
     def build(i):
         return rect(height=heights[i], width="fill", fill=DARK.surface)
 
-    ui = scroll(10, build, offset=0, row_heights=heights,
+    ui = scroll(100, build, offset=900.0, row_heights=heights,
                 height="fill", width="fill")
     root = layout_tree(ui, (100, 100))
-    assert len(root.children) == 4  # 30+30+30+10 visible
-    assert root.children[3].h == 30
+    # Bounded: viewport (100px) + ≤3 overscan buckets of slack, not all
+    # 100 rows.
+    assert len(root.children) <= (100 + 3 * _OVERSCAN) / 30 + 2
+    assert len(root.children) >= 4
+    ys = [c.y for c in root.children]
+    # The visible band [0, 100) is covered...
+    assert min(ys) <= 0 <= max(ys)
+    # ...and rows far outside the overscan margin are not materialized.
+    assert all(-2 * _OVERSCAN - 30 <= y <= 100 + 2 * _OVERSCAN + 30
+               for y in ys)
 
 
 def test_hit_test_routes():

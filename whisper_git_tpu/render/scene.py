@@ -210,6 +210,51 @@ class SubtreeChunks:
     image_clips: np.ndarray
 
 
+def _freeze_accum(acc: "_LayerAccum", dx: float, dy: float
+                  ) -> SubtreeChunks:
+    """Concatenate an accumulator's chunk streams into one origin-relative
+    SubtreeChunks, shifting geometry and clips by (dx, dy)."""
+    acc.flush()
+
+    def cat(chunks, cols):
+        if chunks:
+            return np.concatenate(chunks, axis=0)
+        return np.zeros((0, cols), np.float32)
+
+    shapes = cat(acc.shape_chunks, 16)
+    if shapes.shape[0] and (dx or dy):
+        shapes[:, 1] += dx
+        shapes[:, 2] += dy
+        seg = shapes[:, 0] == 1.0
+        shapes[seg, 3] += dx
+        shapes[seg, 4] += dy
+    glyphs = cat(acc.glyph_chunks, 8)
+    if glyphs.shape[0] and (dx or dy):
+        glyphs[:, 0] += dx
+        glyphs[:, 1] += dy
+    images = cat(acc.image_chunks, 8)
+    if images.shape[0] and (dx or dy):
+        images[:, 0] += dx
+        images[:, 1] += dy
+
+    def shift_clips(chunks):
+        rel = cat(chunks, 4)
+        if rel.shape[0] and (dx or dy):
+            rel[:, 0] += dx
+            rel[:, 1] += dy
+            rel[:, 2] += dx
+            rel[:, 3] += dy
+        return rel
+
+    return SubtreeChunks(
+        shapes=shapes, shape_clips=shift_clips(acc.shape_clip_chunks),
+        glyphs=glyphs,
+        glyph_colors=cat(acc.glyph_color_chunks, 4),
+        glyph_clips=shift_clips(acc.glyph_clip_chunks),
+        images=images,
+        image_clips=shift_clips(acc.image_clip_chunks))
+
+
 def _cubic_points(p0, p1, p2, p3, n=10):
     t = np.linspace(0.0, 1.0, n + 1)[:, None]
     p0, p1, p2, p3 = map(np.asarray, (p0, p1, p2, p3))
@@ -239,6 +284,11 @@ class SceneCompiler:
         self.atlas_version = 0  # bumped on writes so device copies refresh
         self._text_cache: dict = {}  # (line, scale, v_off) -> quad template
         self._subtree_cache: dict = {}  # (cache_key, w, h) -> SubtreeChunks
+        # (scroll key, row keys + relative offsets) -> merged SubtreeChunks:
+        # a whole visible scroll window splices as ONE bulk add per class
+        # while the same row set scrolls (offsets are measured from the
+        # first row, so a pure scroll doesn't change the key).
+        self._window_cache: dict = {}
 
     # -- image atlas --------------------------------------------------------
 
@@ -366,6 +416,10 @@ class SceneCompiler:
             child_clip = (max(cx0, node.x), max(cy0, node.y),
                           min(cx1, node.x + node.w),
                           min(cy1, node.y + node.h))
+        if (el.kind == "scroll" and bounds is not None and node.children
+                and all(c.el.cache_key is not None for c in node.children)):
+            self._splice_scroll_window(node, acc, child_clip)
+            return
         for c in node.children:
             self._walk_into(c, acc, child_clip, bounds)
 
@@ -381,50 +435,36 @@ class SceneCompiler:
         # bounds=None disables viewport culling and nested cache lookups
         # (a cached subtree is compiled in full, exactly once).
         self._walk_into(node, acc, _NOCLIP, None)
-        acc.flush()
-
-        def cat(chunks, cols):
-            if chunks:
-                return np.concatenate(chunks, axis=0)
-            return np.zeros((0, cols), np.float32)
-
-        dx, dy = -node.x, -node.y
-        shapes = cat(acc.shape_chunks, 16)
-        if shapes.shape[0]:
-            shapes[:, 1] += dx
-            shapes[:, 2] += dy
-            seg = shapes[:, 0] == 1.0
-            shapes[seg, 3] += dx
-            shapes[seg, 4] += dy
-        glyphs = cat(acc.glyph_chunks, 8)
-        if glyphs.shape[0]:
-            glyphs[:, 0] += dx
-            glyphs[:, 1] += dy
-        images = cat(acc.image_chunks, 8)
-        if images.shape[0]:
-            images[:, 0] += dx
-            images[:, 1] += dy
-
-        def shift_clips(chunks):
-            rel = cat(chunks, 4)
-            if rel.shape[0]:
-                rel[:, 0] += dx
-                rel[:, 1] += dy
-                rel[:, 2] += dx
-                rel[:, 3] += dy
-            return rel
-
-        chunks = SubtreeChunks(
-            shapes=shapes, shape_clips=shift_clips(acc.shape_clip_chunks),
-            glyphs=glyphs,
-            glyph_colors=cat(acc.glyph_color_chunks, 4),
-            glyph_clips=shift_clips(acc.glyph_clip_chunks),
-            images=images,
-            image_clips=shift_clips(acc.image_clip_chunks))
+        chunks = _freeze_accum(acc, -node.x, -node.y)
         if len(self._subtree_cache) > 20_000:
             self._subtree_cache.clear()
         self._subtree_cache[key] = chunks
         return chunks
+
+    def _splice_scroll_window(self, node: LayoutNode, acc: _LayerAccum,
+                              clip) -> None:
+        """Splice an entire visible scroll window of cache-keyed rows as
+        one merged chunk set. Keyed off the first row, so steady-state
+        scrolling hits until the visible row SET changes."""
+        kids = node.children
+        y0 = kids[0].y
+        key = (node.el.key,
+               tuple((c.el.cache_key, round(c.x - node.x, 1),
+                      round(c.y - y0, 1), round(c.w, 1), round(c.h, 1))
+                     for c in kids))
+        comp = self._window_cache.get(key)
+        if comp is None:
+            acc2 = _LayerAccum()
+            for c in kids:
+                ch = self._subtree_chunks(c)
+                # _NOCLIP: per-row internal clips stay row-relative; the
+                # viewport clamp happens at the final splice below.
+                acc2.splice(ch, c.x - node.x, c.y - y0, _NOCLIP)
+            comp = _freeze_accum(acc2, 0.0, 0.0)
+            if len(self._window_cache) > 512:
+                self._window_cache.clear()
+            self._window_cache[key] = comp
+        acc.splice(comp, node.x, y0, clip)
 
     def compile(self, root: LayoutNode, viewport: tuple[int, int],
                 background: tuple) -> Scene:

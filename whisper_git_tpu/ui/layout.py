@@ -8,7 +8,6 @@ visible rows (reference: virtual_list_dyn, commit_graph.rs:1449).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Optional
 
 from .el import FILL, El
@@ -40,15 +39,40 @@ class TextMeasurer:
 _DEFAULT_MEASURER = TextMeasurer()
 
 
-@dataclass
 class LayoutNode:
-    el: El
-    x: float
-    y: float
-    w: float
-    h: float
-    children: list["LayoutNode"] = field(default_factory=list)
-    clip: Optional[tuple] = None  # (x, y, w, h) inherited clip rect
+    """Absolutely-positioned node. Children of cache-replayed subtrees
+    materialize lazily: the scene compiler replays those subtrees from
+    its own chunk cache without ever touching children, so the clone cost
+    is only paid on hit-testing or a first compile."""
+
+    __slots__ = ("el", "x", "y", "w", "h", "clip", "_children", "_lazy")
+
+    def __init__(self, el: El, x: float, y: float, w: float, h: float,
+                 children: Optional[list] = None, clip: Optional[tuple]
+                 = None):
+        self.el = el
+        self.x = x
+        self.y = y
+        self.w = w
+        self.h = h
+        self.clip = clip  # (x0, y0, x1, y1) inherited clip rect
+        self._children: Optional[list] = children
+        self._lazy: Optional[tuple] = None  # (template, dx, dy, clip)
+
+    @property
+    def children(self) -> list["LayoutNode"]:
+        if self._children is None:
+            if self._lazy is not None:
+                tpl, dx, dy, clip = self._lazy
+                self._children = [_shift_tree(c, dx, dy, clip)
+                                  for c in tpl.children]
+            else:
+                self._children = []
+        return self._children
+
+    @children.setter
+    def children(self, value: list) -> None:
+        self._children = value
 
     def walk(self):
         yield self
@@ -190,7 +214,9 @@ def _shift_tree(tpl: LayoutNode, dx: float, dy: float,
                 clip: Optional[tuple]) -> LayoutNode:
     """Clone a cached origin-relative subtree to an absolute position.
     Template nodes hold coords relative to the subtree origin; internal
-    clip rects shift and intersect with the inherited clip."""
+    clip rects shift and intersect with the inherited clip. Children are
+    deferred (LayoutNode._lazy) — most replayed subtrees are consumed by
+    the scene compiler's chunk cache, which never reads them."""
     if tpl.clip is None:
         new_clip = clip
     else:
@@ -202,7 +228,7 @@ def _shift_tree(tpl: LayoutNode, dx: float, dy: float,
         new_clip = (cx0, cy0, cx1, cy1)
     node = LayoutNode(tpl.el, tpl.x + dx, tpl.y + dy, tpl.w, tpl.h,
                       clip=new_clip)
-    node.children = [_shift_tree(c, dx, dy, clip) for c in tpl.children]
+    node._lazy = (tpl, dx, dy, clip)
     return node
 
 
@@ -336,6 +362,9 @@ def _align_in(c: El, ix, iy, iw, ih, cw, ch, parent: El) -> tuple[float, float]:
     return cx, cy
 
 
+_OVERSCAN = 256.0  # px of extra rows materialized beyond the viewport
+
+
 def _layout_scroll(el: El, ix, iy, iw, ih, clip, m: TextMeasurer
                    ) -> list[LayoutNode]:
     """Materialize only the visible rows of a virtual list."""
@@ -361,11 +390,20 @@ def _layout_scroll(el: El, ix, iy, iw, ih, clip, m: TextMeasurer
         for hh in heights:
             tops.append(yacc)
             yacc += hh
+        # Overscan: materialize a margin beyond the viewport so the row
+        # SET stays stable across many scroll steps — the scene
+        # compiler's window composite (scene._splice_scroll_window) then
+        # hits its cache while scrolling; out-of-view quads are culled at
+        # bin time. Quantizing the window edge to OVERSCAN steps makes
+        # the set a pure function of the scroll bucket.
+        lo = max(0.0, (el.scroll_offset // _OVERSCAN) * _OVERSCAN
+                 - _OVERSCAN)
+        hi = (((el.scroll_offset + ih) // _OVERSCAN) + 2) * _OVERSCAN
         for i in range(n):
             top, hh = tops[i], heights[i]
-            if top + hh < el.scroll_offset:
+            if top + hh < lo:
                 continue
-            if top > el.scroll_offset + ih:
+            if top > hi:
                 break
             child = el.virtual_build(i)
             cy = iy + top - el.scroll_offset
