@@ -102,6 +102,14 @@ def main() -> int:
                                   renderer.image_atlas_device())
         return img
 
+    # Warmup sweeps the whole scroll range the timed batches will touch,
+    # so every jit signature (overscan window buckets, bin-K high-water
+    # growth) compiles before timing starts — the batches then measure
+    # steady state, not tunnel compiles.
+    for off in range(0, 400, 40):
+        tab.history_scroll = float(off)
+        img = frame()
+        jax.block_until_ready(img)
     for _ in range(WARMUP):
         img = frame()
         jax.block_until_ready(img)

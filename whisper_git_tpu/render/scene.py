@@ -31,17 +31,27 @@ S_FILL = 7   # 7-10 fill rgba
 S_BORD = 11  # 11-14 border rgba
 
 
-def _bucket(n: int) -> int:
+_CAP_HIGH_WATER: dict = {}
+
+
+def _bucket(n: int, hw_key=None) -> int:
+    """Quantize a buffer capacity. On accelerators the per-(layer, class)
+    high-water mark keeps the jit signature from oscillating when content
+    hovers near a bucket boundary while scrolling (a 4096→8192→4096 flip
+    would recompile twice over the tunnel)."""
     from .rasterizer import _coarse_buckets
 
-    if n == 0:
+    coarse = _coarse_buckets()
+    if n == 0 and not (coarse and _CAP_HIGH_WATER.get(hw_key)):
         return 0  # empty classes ship no buffer bytes at all
-    ladder = ((256, 4096, 65536) if _coarse_buckets()
+    ladder = ((256, 1024, 4096, 8192, 16384, 65536) if coarse
               else (64, 256, 1024, 4096, 16384, 65536))
-    for b in ladder:
-        if n <= b:
-            return b
-    return ((n + 4095) // 4096) * 4096
+    cap = next((b for b in ladder if n <= b),
+               ((n + 4095) // 4096) * 4096)
+    if coarse and hw_key is not None:
+        cap = max(cap, _CAP_HIGH_WATER.get(hw_key, 0))
+        _CAP_HIGH_WATER[hw_key] = cap
+    return cap
 
 
 @dataclass
@@ -484,8 +494,8 @@ class SceneCompiler:
             self._walk_into(root, accums[0], _NOCLIP, bounds)
 
         layers = []
-        for acc in accums:
-            layers.append(self._pack(acc))
+        for li, acc in enumerate(accums):
+            layers.append(self._pack(acc, li))
         scene = Scene(layers=layers, width=W, height=H,
                       background=background, image_atlas=self.image_atlas,
                       stats=stats)
@@ -508,23 +518,26 @@ class SceneCompiler:
                      color, None, 0.0, clip)
 
     @staticmethod
-    def _pack(acc: _LayerAccum) -> LayerBuffers:
+    def _pack(acc: _LayerAccum, li: int = 0) -> LayerBuffers:
         acc.flush()
         ns, ng, ni = acc.n_shapes, acc.n_glyphs, acc.n_images
-        shapes = np.zeros((_bucket(ns), 16), np.float32)
-        shape_clips = np.full((_bucket(ns), 4), _NOCLIP, np.float32)
+        ns_cap = _bucket(ns, (li, "s"))
+        ng_cap = _bucket(ng, (li, "g"))
+        ni_cap = _bucket(ni, (li, "i"))
+        shapes = np.zeros((ns_cap, 16), np.float32)
+        shape_clips = np.full((ns_cap, 4), _NOCLIP, np.float32)
         if ns:
             shapes[:ns] = np.concatenate(acc.shape_chunks, axis=0)
             shape_clips[:ns] = np.concatenate(acc.shape_clip_chunks, axis=0)
-        glyphs = np.zeros((_bucket(ng), 8), np.float32)
-        glyph_colors = np.zeros((_bucket(ng), 4), np.float32)
-        glyph_clips = np.full((_bucket(ng), 4), _NOCLIP, np.float32)
+        glyphs = np.zeros((ng_cap, 8), np.float32)
+        glyph_colors = np.zeros((ng_cap, 4), np.float32)
+        glyph_clips = np.full((ng_cap, 4), _NOCLIP, np.float32)
         if ng:
             glyphs[:ng] = np.concatenate(acc.glyph_chunks, axis=0)
             glyph_colors[:ng] = np.concatenate(acc.glyph_color_chunks, axis=0)
             glyph_clips[:ng] = np.concatenate(acc.glyph_clip_chunks, axis=0)
-        images = np.zeros((_bucket(ni), 8), np.float32)
-        image_clips = np.full((_bucket(ni), 4), _NOCLIP, np.float32)
+        images = np.zeros((ni_cap, 8), np.float32)
+        image_clips = np.full((ni_cap, 4), _NOCLIP, np.float32)
         if ni:
             images[:ni] = np.concatenate(acc.image_chunks, axis=0)
             image_clips[:ni] = np.concatenate(acc.image_clip_chunks, axis=0)

@@ -362,7 +362,9 @@ def _align_in(c: El, ix, iy, iw, ih, cw, ch, parent: El) -> tuple[float, float]:
     return cx, cy
 
 
-_OVERSCAN = 256.0  # px of extra rows materialized beyond the viewport
+_OVERSCAN = 128.0  # px of extra rows materialized beyond the viewport
+                   # (128 keeps a 1280×800 history under the 4096-glyph
+                   # capacity bucket; 256 pushed it to 8192)
 
 
 def _layout_scroll(el: El, ix, iy, iw, ih, clip, m: TextMeasurer
