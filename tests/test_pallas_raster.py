@@ -27,9 +27,11 @@ def _render_both(renderer, scene):
     from whisper_git_tpu.render import pallas_raster as PR
     from whisper_git_tpu.render import rasterizer as R
 
-    fused, meta, ty, tx = R.pack_scene(scene)
+    fused, meta, ty, tx, win_list = R.pack_scene(scene)
     T = ty * tx
-    layer_data, layer_sig = R.unpack_layers(jnp.asarray(fused), meta, T)
+    wins = tuple(jnp.asarray(b) for _, _, b in win_list)
+    layer_data, layer_sig = R.unpack_layers(jnp.asarray(fused), wins, meta,
+                                            T)
     font = jnp.asarray(renderer.font_tex_device())
     atlas = jnp.asarray(renderer.image_atlas_device())
     bg = tuple(float(c) for c in scene.background[:3])
@@ -75,8 +77,9 @@ def test_pallas_empty_scene():
     scene = Scene(layers=[], width=128, height=64,
                   background=(0.1, 0.2, 0.3, 1.0),
                   image_atlas=np.zeros((64, 64, 4), np.uint8))
-    fused, meta, ty, tx = R.pack_scene(scene)
-    layer_data, layer_sig = R.unpack_layers(jnp.asarray(fused), meta,
+    fused, meta, ty, tx, win_list = R.pack_scene(scene)
+    wins = tuple(jnp.asarray(b) for _, _, b in win_list)
+    layer_data, layer_sig = R.unpack_layers(jnp.asarray(fused), wins, meta,
                                             ty * tx)
     font = jnp.zeros((2, 64, 64), jnp.bfloat16)
     atlas = jnp.zeros((2, 4, 64, 64), jnp.bfloat16)

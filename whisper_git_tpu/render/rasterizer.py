@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .scene import LayerBuffers, Scene
+from .scene import LayerBuffers, Scene, _bucket
 
 TILE_H = 64   # (8, 128) is the f32 native tile; 64×128 balances bin
 TILE_W = 128  # occupancy against per-command full-tile coverage math.
@@ -75,45 +75,8 @@ def _bin_commands(boxes: np.ndarray, n: int, tiles_y: int, tiles_x: int,
     T = tiles_y * tiles_x
     if n == 0:
         return np.full((T, 8), -1, np.int32), 0
-    b = boxes[:n]
-    tx0 = np.clip((b[:, 0] // TILE_W).astype(np.int64), 0, tiles_x - 1)
-    ty0 = np.clip((b[:, 1] // TILE_H).astype(np.int64), 0, tiles_y - 1)
-    tx1 = np.clip((b[:, 2] // TILE_W).astype(np.int64), 0, tiles_x - 1)
-    ty1 = np.clip((b[:, 3] // TILE_H).astype(np.int64), 0, tiles_y - 1)
-    keep = ~((b[:, 2] < 0) | (b[:, 3] < 0)
-             | (b[:, 0] > tiles_x * TILE_W) | (b[:, 1] > tiles_y * TILE_H))
-
-    if not keep.any():
-        return np.full((T, 8), -1, np.int32), 0
-    idx = np.arange(n, dtype=np.int64)[keep]
-    sx = (tx1 - tx0 + 1)[keep]
-    sy = (ty1 - ty0 + 1)[keep]
-    # Ragged span expansion, fully vectorized: one (tile, command) pair
-    # per covered tile (a full-frame rect covers all T; text covers 1-2).
-    reps = sx * sy
-    total = int(reps.sum())
-    cmds_all = np.repeat(idx, reps)
-    offs = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(reps) - reps, reps)
-    rsx = np.repeat(sx, reps)
-    dy, dx = offs // rsx, offs % rsx
-    tiles_all = ((np.repeat(ty0[keep], reps) + dy) * tiles_x
-                 + np.repeat(tx0[keep], reps) + dx)
-    # Stable sort by (tile, cmd) keeps submission order within each tile.
-    order = np.lexsort((cmds_all, tiles_all))
-    tiles_all = tiles_all[order]
-    cmds_all = cmds_all[order]
-
-    counts = np.bincount(tiles_all, minlength=T)
-    starts = np.concatenate(([0], np.cumsum(counts[:-1])))
-    rank = np.arange(len(tiles_all)) - starts[tiles_all]
-    occ = int(counts.max())
-    k_used = _k_trim(occ, k)
-    fit = rank < k_used
-    overflow = int((~fit).sum())
-    bins = np.full((T, k_used), -1, np.int32)
-    bins[tiles_all[fit], rank[fit]] = cmds_all[fit].astype(np.int32)
-    return bins, overflow
+    return _bin_indexed(boxes[:n], np.arange(n, dtype=np.int64),
+                        tiles_y, tiles_x, k)
 
 
 def _shape_boxes(shapes: np.ndarray, n: int) -> np.ndarray:
@@ -376,29 +339,229 @@ def _part_scale(name: str, cols: int, scale) -> np.ndarray:
     return np.full((cols,), scale, np.float32)
 
 
-def pack_scene(scene: Scene) -> tuple[np.ndarray, tuple, int, int]:
-    """→ (fused_blob_i32, meta, tiles_y, tiles_x). `meta` is the static
-    unpack signature: (i16_words, then per layer (ns_cap, ng_cap, ni_cap,
-    ks, kg, ki, has_s, has_g, has_i))."""
+# --- scroll-window device residency ------------------------------------------
+# A scroll window's merged command chunks (window-relative coordinates)
+# are quantized once per content change and cached on the DEVICE; per
+# frame only an 8-value uniform row (dx, dy, clip) and the merged tile
+# bins cross the link, and the window→screen shift runs on-device during
+# unpack. Steady-state scrolling therefore ships a few tens of KB of
+# chrome + bins instead of the whole frame's command data.
+
+_WIN_HOST_CACHE: dict = {}  # comp.uid -> dict(caps, blob, boxes, ns)
+_WIN_DEV_CACHE: dict = {}   # (comp.uid, caps) -> device array
+
+_CLS_KCAP = {0: K_SHAPES, 1: K_GLYPHS, 2: K_IMAGES}
+
+
+def _window_caps(w, slot: int) -> tuple:
+    comp = w.comp
+    return (_bucket(comp.shapes.shape[0], ("win", w.layer, slot, "s")),
+            _bucket(comp.glyphs.shape[0], ("win", w.layer, slot, "g")),
+            _bucket(comp.images.shape[0], ("win", w.layer, slot, "i")))
+
+
+def _intersect_boxes(boxes: np.ndarray, clips: np.ndarray) -> np.ndarray:
+    """Effective bounding boxes: geometry ∩ per-command clip (for bin-time
+    culling of overscan rows that a clip fully hides)."""
+    if boxes.shape[0] == 0:
+        return boxes
+    return np.stack([np.maximum(boxes[:, 0], clips[:, 0]),
+                     np.maximum(boxes[:, 1], clips[:, 1]),
+                     np.minimum(boxes[:, 2], clips[:, 2]),
+                     np.minimum(boxes[:, 3], clips[:, 3])], axis=1)
+
+
+def _window_artifacts(w, caps: tuple) -> dict:
+    """Quantized i16 blob + per-class effective boxes for one window,
+    cached by content identity (comp.uid)."""
+    comp = w.comp
+    hit = _WIN_HOST_CACHE.get(comp.uid)
+    if hit is not None and hit["caps"] == caps:
+        return hit
+    cap_of = {"shapes": caps[0], "shape_clips": caps[0],
+              "glyphs": caps[1], "glyph_colors": caps[1],
+              "glyph_clips": caps[1], "images": caps[2],
+              "image_clips": caps[2]}
+    parts = []
+    arrays = {"shapes": comp.shapes, "shape_clips": comp.shape_clips,
+              "glyphs": comp.glyphs, "glyph_colors": comp.glyph_colors,
+              "glyph_clips": comp.glyph_clips, "images": comp.images,
+              "image_clips": comp.image_clips}
+    for name, cols, scale in _PART_SPECS:
+        arr = arrays[name]
+        s = _part_scale(name, cols, scale)
+        q = np.zeros((cap_of[name], cols), np.int16)
+        nu = arr.shape[0]
+        if nu:
+            q[:nu] = np.clip(arr[:nu] * s, -32767.0, 32767.0)
+        parts.append(q.ravel())
+    blob = np.concatenate(parts)
+    entry = {
+        "caps": caps, "blob": blob,
+        "boxes": (
+            _intersect_boxes(_shape_boxes(comp.shapes, comp.shapes.shape[0]),
+                             comp.shape_clips),
+            _intersect_boxes(_quad_boxes(comp.glyphs, comp.glyphs.shape[0]),
+                             comp.glyph_clips),
+            _intersect_boxes(_quad_boxes(comp.images, comp.images.shape[0]),
+                             comp.image_clips)),
+        "ns": (comp.shapes.shape[0], comp.glyphs.shape[0],
+               comp.images.shape[0]),
+    }
+    if len(_WIN_HOST_CACHE) > 32:
+        _WIN_HOST_CACHE.clear()
+    _WIN_HOST_CACHE[comp.uid] = entry
+    return entry
+
+
+def _bin_entries(entries, tiles_y: int, tiles_x: int, k: int
+                 ) -> tuple[np.ndarray, int]:
+    """Bin a merged command class. `entries` is a list of
+    (boxes (n,4), idx (n,) concat-table indices, rank (n,) stream order).
+    Degenerate (clip-culled) boxes are dropped."""
+    T = tiles_y * tiles_x
+    if not entries:
+        return np.full((T, 8), -1, np.int32), 0
+    boxes = np.concatenate([e[0] for e in entries])
+    idx = np.concatenate([e[1] for e in entries])
+    if len(entries) > 1:
+        rank = np.concatenate([e[2] for e in entries])
+        perm = np.argsort(rank, kind="stable")
+        boxes, idx = boxes[perm], idx[perm]
+    return _bin_indexed(boxes, idx, tiles_y, tiles_x, k)
+
+
+def _bin_indexed(b: np.ndarray, cmd_ids: np.ndarray, tiles_y: int,
+                 tiles_x: int, k: int) -> tuple[np.ndarray, int]:
+    """Core binning: boxes (already in submission order) + the command-
+    table index each box refers to → (T, k_used) bins of indices."""
+    T = tiles_y * tiles_x
+    n = b.shape[0]
+    if n == 0:
+        return np.full((T, 8), -1, np.int32), 0
+    tx0 = np.clip((b[:, 0] // TILE_W).astype(np.int64), 0, tiles_x - 1)
+    ty0 = np.clip((b[:, 1] // TILE_H).astype(np.int64), 0, tiles_y - 1)
+    tx1 = np.clip((b[:, 2] // TILE_W).astype(np.int64), 0, tiles_x - 1)
+    ty1 = np.clip((b[:, 3] // TILE_H).astype(np.int64), 0, tiles_y - 1)
+    keep = ~((b[:, 2] < 0) | (b[:, 3] < 0)
+             | (b[:, 0] > tiles_x * TILE_W) | (b[:, 1] > tiles_y * TILE_H)
+             | (b[:, 2] < b[:, 0]) | (b[:, 3] < b[:, 1]))
+    if not keep.any():
+        return np.full((T, 8), -1, np.int32), 0
+    idx = cmd_ids[keep].astype(np.int64)
+    sx = (tx1 - tx0 + 1)[keep]
+    sy = (ty1 - ty0 + 1)[keep]
+    # Ragged span expansion, fully vectorized: one (tile, command) pair
+    # per covered tile (a full-frame rect covers all T; text covers 1-2).
+    reps = sx * sy
+    total = int(reps.sum())
+    cmds_all = np.repeat(idx, reps)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(reps) - reps, reps)
+    rsx = np.repeat(sx, reps)
+    dy, dx = offs // rsx, offs % rsx
+    tiles_all = ((np.repeat(ty0[keep], reps) + dy) * tiles_x
+                 + np.repeat(tx0[keep], reps) + dx)
+    # Input is in submission order, so a stable sort by tile alone keeps
+    # submission order within each tile.
+    order = np.argsort(tiles_all, kind="stable")
+    tiles_all = tiles_all[order]
+    cmds_all = cmds_all[order]
+
+    counts = np.bincount(tiles_all, minlength=T)
+    starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+    rank = np.arange(len(tiles_all)) - starts[tiles_all]
+    occ = int(counts.max())
+    k_used = _k_trim(occ, k)
+    fit = rank < k_used
+    overflow = int((~fit).sum())
+    bins = np.full((T, k_used), -1, np.int32)
+    bins[tiles_all[fit], rank[fit]] = cmds_all[fit].astype(np.int32)
+    return bins, overflow
+
+
+def pack_scene(scene: Scene
+               ) -> tuple[np.ndarray, tuple, int, int, list]:
+    """→ (fused_blob_i32, meta, tiles_y, tiles_x, win_list). `meta` is the
+    static unpack signature: (i16_words, n_windows, then per layer
+    (ns_cap, ng_cap, ni_cap, ks, kg, ki, has_s, has_g, has_i, bins16,
+    wins)) where wins = ((global_idx, (ws, wg, wi)), ...). `win_list` is
+    [(uid, caps, blob_i16)] in scene.windows order — device-cacheable."""
     tiles_x = -(-scene.width // TILE_W)
     tiles_y = -(-scene.height // TILE_H)
+    T = tiles_y * tiles_x
+    windows = list(getattr(scene, "windows", ()) or ())
+    slot_count: dict[int, int] = {}
+    win_entries = []
+    for w in windows:
+        slot = slot_count.get(w.layer, 0)
+        slot_count[w.layer] = slot + 1
+        caps = _window_caps(w, slot)
+        win_entries.append((w, caps, _window_artifacts(w, caps)))
+
     i16_parts: list[np.ndarray] = []
     i32_parts: list[np.ndarray] = []
     meta = []
-    T = tiles_y * tiles_x
     empty_bins = np.zeros((T, 0), np.int32)
-    for lb in scene.layers:
-        # Empty classes ship zero bytes (k=0 bins, cap-0 buffers) — layers
-        # above the base are usually empty outside modal/overlay frames.
-        s_bins = (empty_bins if lb.n_shapes == 0 else _bin_commands(
-            _shape_boxes(lb.shapes, lb.n_shapes),
-            lb.n_shapes, tiles_y, tiles_x, K_SHAPES)[0])
-        g_bins = (empty_bins if lb.n_glyphs == 0 else _bin_commands(
-            _quad_boxes(lb.glyphs, lb.n_glyphs),
-            lb.n_glyphs, tiles_y, tiles_x, K_GLYPHS)[0])
-        i_bins = (empty_bins if lb.n_images == 0 else _bin_commands(
-            _quad_boxes(lb.images, lb.n_images),
-            lb.n_images, tiles_y, tiles_x, K_IMAGES)[0])
+
+    # Uniform head: 8 i16 per window — dx, dy @1/8 px; clip @1/4 px; pad.
+    uni = np.zeros((len(windows), 8), np.int16)
+    for gi, (w, caps, entry) in enumerate(win_entries):
+        uni[gi, 0] = np.clip(w.dx * 8.0, -32767, 32767)
+        uni[gi, 1] = np.clip(w.dy * 8.0, -32767, 32767)
+        uni[gi, 2:6] = np.clip(
+            np.asarray(w.clip, np.float64) * 4.0, -32767, 32767)
+    i16_parts.append(uni.ravel())
+
+    for li, lb in enumerate(scene.layers):
+        lws = [(gi, w, caps, entry) for gi, (w, caps, entry)
+               in enumerate(win_entries) if w.layer == li]
+        occ = (lb.n_shapes, lb.n_glyphs, lb.n_images)
+        caps_c = (lb.shapes.shape[0], lb.glyphs.shape[0],
+                  lb.images.shape[0])
+        chrome_boxes = (_shape_boxes(lb.shapes, lb.n_shapes),
+                        _quad_boxes(lb.glyphs, lb.n_glyphs),
+                        _quad_boxes(lb.images, lb.n_images))
+        chrome_clips = (lb.shape_clips, lb.glyph_clips, lb.image_clips)
+        cls_bins = []
+        max_idx = 0
+        for ci in range(3):
+            entries = []
+            nc = occ[ci]
+            if nc:
+                jj = np.arange(nc, dtype=np.int64)
+                ranks = jj.copy()
+                for gi, w, caps, entry in lws:
+                    m = entry["ns"][ci]
+                    if m:
+                        ranks[jj >= w.pos[ci]] += m
+                eb = _intersect_boxes(chrome_boxes[ci],
+                                      chrome_clips[ci][:nc])
+                entries.append((eb, jj, ranks))
+            base = caps_c[ci]
+            added = 0
+            for gi, w, caps, entry in lws:
+                m = entry["ns"][ci]
+                if m:
+                    shift = np.array([w.dx, w.dy, w.dx, w.dy], np.float32)
+                    wb = entry["boxes"][ci] + shift
+                    c0, c1, c2, c3 = w.clip
+                    wb = np.stack([np.maximum(wb[:, 0], c0),
+                                   np.maximum(wb[:, 1], c1),
+                                   np.minimum(wb[:, 2], c2),
+                                   np.minimum(wb[:, 3], c3)], axis=1)
+                    idxs = base + np.arange(m, dtype=np.int64)
+                    ranks_w = (w.pos[ci] + added
+                               + np.arange(m, dtype=np.int64))
+                    entries.append((wb, idxs, ranks_w))
+                    added += m
+                base += caps[ci]
+            max_idx = max(max_idx, base)
+            cls_bins.append(
+                _bin_entries(entries, tiles_y, tiles_x, _CLS_KCAP[ci])[0]
+                if entries else empty_bins)
+        s_bins, g_bins, i_bins = cls_bins
+
         arrays = {"shapes": lb.shapes, "shape_clips": lb.shape_clips,
                   "glyphs": lb.glyphs, "glyph_colors": lb.glyph_colors,
                   "glyph_clips": lb.glyph_clips, "images": lb.images,
@@ -416,11 +579,24 @@ def pack_scene(scene: Scene) -> tuple[np.ndarray, tuple, int, int]:
             if nu:
                 q[:nu] = np.clip(arr[:nu] * s, -32767.0, 32767.0)
             i16_parts.append(q.ravel())
-        i32_parts += [s_bins.ravel(), g_bins.ravel(), i_bins.ravel()]
-        meta.append((lb.shapes.shape[0], lb.glyphs.shape[0],
-                     lb.images.shape[0], s_bins.shape[1], g_bins.shape[1],
-                     i_bins.shape[1], lb.n_shapes > 0, lb.n_glyphs > 0,
-                     lb.n_images > 0))
+        # Bin indices are < the concat-table size, which never approaches
+        # i16 range for a real scene — ship them in the i16 half too
+        # (halving the index-table bytes). A >32k-command layer falls back
+        # to the i32 section.
+        bins16 = max_idx < 32767
+        if bins16:
+            i16_parts += [s_bins.astype(np.int16).ravel(),
+                          g_bins.astype(np.int16).ravel(),
+                          i_bins.astype(np.int16).ravel()]
+        else:
+            i32_parts += [s_bins.ravel(), g_bins.ravel(), i_bins.ravel()]
+        wins_meta = tuple((gi, caps) for gi, w, caps, entry in lws)
+        has = tuple(occ[ci] > 0
+                    or any(e["ns"][ci] for _, w, _, e in lws)
+                    for ci in range(3))
+        meta.append((caps_c[0], caps_c[1], caps_c[2], s_bins.shape[1],
+                     g_bins.shape[1], i_bins.shape[1], has[0], has[1],
+                     has[2], bins16, wins_meta))
     blob_i16 = (np.concatenate(i16_parts) if i16_parts
                 else np.zeros(0, np.int16))
     blob_i32 = (np.concatenate(i32_parts) if i32_parts
@@ -431,21 +607,74 @@ def pack_scene(scene: Scene) -> tuple[np.ndarray, tuple, int, int]:
     if blob_i16.size % 2:
         blob_i16 = np.concatenate([blob_i16, np.zeros(1, np.int16)])
     fused = np.concatenate([blob_i16.view(np.int32), blob_i32])
-    meta = (blob_i16.size // 2,) + tuple(meta)
-    return fused, tuple(meta), tiles_y, tiles_x
+    meta = (blob_i16.size // 2, len(windows)) + tuple(meta)
+    win_list = [(w.comp.uid, caps, entry["blob"])
+                for w, caps, entry in win_entries]
+    return fused, tuple(meta), tiles_y, tiles_x, win_list
 
 
-def unpack_layers(fused, meta: tuple, T: int):
-    """Device-side unpack + de-quantization (runs under jit)."""
-    i16_words = meta[0]
+def _shift_clips_dev(c, dx, dy, c0, c1, c2, c3):
+    return jnp.stack([jnp.maximum(c[:, 0] + dx, c0),
+                      jnp.maximum(c[:, 1] + dy, c1),
+                      jnp.minimum(c[:, 2] + dx, c2),
+                      jnp.minimum(c[:, 3] + dy, c3)], axis=1)
+
+
+def _unpack_window(blob, caps: tuple, dx, dy, clip):
+    """De-quantize one window blob and shift it window→screen on-device,
+    clamping clips to the window's viewport rect."""
+    cap_of = {"shapes": caps[0], "shape_clips": caps[0],
+              "glyphs": caps[1], "glyph_colors": caps[1],
+              "glyph_clips": caps[1], "images": caps[2],
+              "image_clips": caps[2]}
+    parts = []
+    fo = 0
+    for name, cols, scale in _PART_SPECS:
+        cap = cap_of[name]
+        raw = blob[fo:fo + cap * cols].reshape(cap, cols)
+        inv = jnp.asarray(1.0 / _part_scale(name, cols, scale))
+        parts.append(raw.astype(jnp.float32) * inv)
+        fo += cap * cols
+    shapes, shape_clips, glyphs, glyph_colors, glyph_clips, images, \
+        image_clips = parts
+    c0, c1, c2, c3 = clip[0], clip[1], clip[2], clip[3]
+    if shapes.shape[0]:
+        seg = (shapes[:, 0] == 1.0)
+        shapes = jnp.concatenate([
+            shapes[:, 0:1],
+            shapes[:, 1:2] + dx, shapes[:, 2:3] + dy,
+            shapes[:, 3:4] + jnp.where(seg, dx, 0.0)[:, None],
+            shapes[:, 4:5] + jnp.where(seg, dy, 0.0)[:, None],
+            shapes[:, 5:]], axis=1)
+        shape_clips = _shift_clips_dev(shape_clips, dx, dy, c0, c1, c2, c3)
+    if glyphs.shape[0]:
+        glyphs = jnp.concatenate([glyphs[:, 0:1] + dx, glyphs[:, 1:2] + dy,
+                                  glyphs[:, 2:]], axis=1)
+        glyph_clips = _shift_clips_dev(glyph_clips, dx, dy, c0, c1, c2, c3)
+    if images.shape[0]:
+        images = jnp.concatenate([images[:, 0:1] + dx, images[:, 1:2] + dy,
+                                  images[:, 2:]], axis=1)
+        image_clips = _shift_clips_dev(image_clips, dx, dy, c0, c1, c2, c3)
+    return (shapes, shape_clips, glyphs, glyph_colors, glyph_clips,
+            images, image_clips)
+
+
+def unpack_layers(fused, win_blobs: tuple, meta: tuple, T: int):
+    """Device-side unpack + de-quantization (runs under jit). Window
+    blobs are appended to their layer's command tables after the
+    on-device shift; bins index the concatenated tables."""
+    i16_words, n_win = meta[0], meta[1]
     blob_i16 = jax.lax.bitcast_convert_type(
         fused[:i16_words], jnp.int16).reshape(-1)
     blob_i32 = fused[i16_words:]
+    fo = n_win * 8
+    uni = (blob_i16[:fo].reshape(n_win, 8).astype(jnp.float32)
+           if n_win else None)
     layer_data = []
     layer_sig = []
-    fo = 0
     io = 0
-    for (ns, ng, ni, ks, kg, ki, has_s, has_g, has_i) in meta[1:]:
+    for (ns, ng, ni, ks, kg, ki, has_s, has_g, has_i, bins16,
+         wins) in meta[2:]:
         caps = {"shapes": ns, "shape_clips": ns, "glyphs": ng,
                 "glyph_colors": ng, "glyph_clips": ng, "images": ni,
                 "image_clips": ni}
@@ -458,8 +687,23 @@ def unpack_layers(fused, meta: tuple, T: int):
             fo += cap * cols
         bins = []
         for k in (ks, kg, ki):
-            bins.append(blob_i32[io:io + T * k].reshape(T, k))
-            io += T * k
+            if bins16:
+                bins.append(blob_i16[fo:fo + T * k].reshape(T, k)
+                            .astype(jnp.int32))
+                fo += T * k
+            else:
+                bins.append(blob_i32[io:io + T * k].reshape(T, k))
+                io += T * k
+        if wins:
+            wparts = []
+            for gi, wcaps in wins:
+                u = uni[gi]
+                wparts.append(_unpack_window(
+                    win_blobs[gi], wcaps, u[0] / 8.0, u[1] / 8.0,
+                    (u[2] / 4.0, u[3] / 4.0, u[4] / 4.0, u[5] / 4.0)))
+            parts = [jnp.concatenate([parts[pi]] + [wp[pi]
+                                                    for wp in wparts])
+                     for pi in range(7)]
         layer_data.append(tuple(parts) + tuple(bins))
         layer_sig.append((has_s, has_g, has_i))
     return tuple(layer_data), tuple(layer_sig)
@@ -482,7 +726,7 @@ def _use_pallas() -> bool:
 @functools.partial(
     jax.jit, static_argnames=("tiles_y", "tiles_x", "meta", "background",
                               "height", "width", "use_pallas"))
-def _render_packed(fused, font_tex, image_atlas,
+def _render_packed(fused, win_blobs, font_tex, image_atlas,
                    background: tuple, tiles_y: int, tiles_x: int,
                    meta: tuple, height: int, width: int,
                    use_pallas: bool = False):
@@ -490,7 +734,8 @@ def _render_packed(fused, font_tex, image_atlas,
     The u8 conversion and assembly stay on-device so a frame never crosses
     the link as f32 tiles (the presented framebuffer lives device-side,
     like the reference's swapchain image; readback is screenshot-only)."""
-    layer_data, layer_sig = unpack_layers(fused, meta, tiles_y * tiles_x)
+    layer_data, layer_sig = unpack_layers(fused, win_blobs, meta,
+                                          tiles_y * tiles_x)
     if use_pallas:
         from . import pallas_raster as PR
 
@@ -513,9 +758,19 @@ def _render_packed(fused, font_tex, image_atlas,
 
 def render_scene_device(scene: Scene, font_tex, image_atlas=None):
     """Rasterize → device-resident (H, W, 4) uint8 frame (no readback)."""
-    fused, meta, tiles_y, tiles_x = pack_scene(scene)
+    fused, meta, tiles_y, tiles_x, win_list = pack_scene(scene)
+    dev_wins = []
+    for uid, caps, blob in win_list:
+        key = (uid, caps)
+        d = _WIN_DEV_CACHE.get(key)
+        if d is None:
+            while len(_WIN_DEV_CACHE) > 16:
+                _WIN_DEV_CACHE.pop(next(iter(_WIN_DEV_CACHE)))
+            d = jnp.asarray(blob)
+            _WIN_DEV_CACHE[key] = d
+        dev_wins.append(d)
     atlas = image_atlas if image_atlas is not None else scene.image_atlas
-    return _render_packed(jnp.asarray(fused),
+    return _render_packed(jnp.asarray(fused), tuple(dev_wins),
                           jnp.asarray(font_tex), jnp.asarray(atlas),
                           tuple(float(c) for c in scene.background[:3]),
                           tiles_y, tiles_x, meta,

@@ -76,6 +76,7 @@ class Scene:
     background: tuple
     image_atlas: np.ndarray  # (AH, AW, 4) u8
     stats: dict = field(default_factory=dict)
+    windows: list = field(default_factory=list)  # list[WindowPart]
 
 
 class _LayerAccum:
@@ -84,7 +85,8 @@ class _LayerAccum:
     singleton appends buffer in Python lists and flush to a chunk
     on demand."""
 
-    def __init__(self):
+    def __init__(self, layer_index: int = 0):
+        self.layer_index = layer_index
         self._shape_rows: list[list[float]] = []
         self._shape_clip_rows: list[tuple] = []
         self.shape_chunks: list[np.ndarray] = []        # (n, 16)
@@ -207,6 +209,9 @@ class _LayerAccum:
             self.image_clip_chunks.append(shifted_clips(chunks.image_clips))
 
 
+_CHUNK_UID = [0]
+
+
 @dataclass
 class SubtreeChunks:
     """Origin-relative compiled commands of one cached subtree."""
@@ -218,6 +223,26 @@ class SubtreeChunks:
     glyph_clips: np.ndarray
     images: np.ndarray
     image_clips: np.ndarray
+    uid: int = -1  # content identity for device-side blob caching
+
+    def __post_init__(self):
+        _CHUNK_UID[0] += 1
+        self.uid = _CHUNK_UID[0]
+
+
+@dataclass
+class WindowPart:
+    """A scroll window recorded for device-resident compositing: the
+    window's merged chunks stay cached on the device (window-relative
+    coordinates); per frame only (dx, dy, clip) uniforms cross the link
+    and the shift happens on-device (see rasterizer.pack_scene)."""
+
+    comp: SubtreeChunks
+    layer: int
+    dx: float
+    dy: float
+    clip: tuple
+    pos: tuple  # (n_shapes, n_glyphs, n_images) stream position at splice
 
 
 def _freeze_accum(acc: "_LayerAccum", dx: float, dy: float
@@ -294,6 +319,7 @@ class SceneCompiler:
         self.atlas_version = 0  # bumped on writes so device copies refresh
         self._text_cache: dict = {}  # (line, scale, v_off) -> quad template
         self._subtree_cache: dict = {}  # (cache_key, w, h) -> SubtreeChunks
+        self._frame_windows: list | None = None  # set during compile()
         # (scroll key, row keys + relative offsets) -> merged SubtreeChunks:
         # a whole visible scroll window splices as ONE bulk add per class
         # while the same row set scrolls (offsets are measured from the
@@ -474,14 +500,24 @@ class SceneCompiler:
             if len(self._window_cache) > 512:
                 self._window_cache.clear()
             self._window_cache[key] = comp
+        if self._frame_windows is not None and len(self._frame_windows) < 4:
+            # Device-resident path: record the window instead of splicing.
+            # The rasterizer keeps the (window-relative) blob cached on the
+            # device keyed by comp.uid; only (dx, dy, clip) cross per frame.
+            self._frame_windows.append(WindowPart(
+                comp=comp, layer=acc.layer_index, dx=node.x, dy=y0,
+                clip=tuple(float(c) for c in clip),
+                pos=(acc.n_shapes, acc.n_glyphs, acc.n_images)))
+            return
         acc.splice(comp, node.x, y0, clip)
 
     def compile(self, root: LayoutNode, viewport: tuple[int, int],
                 background: tuple) -> Scene:
         W, H = int(viewport[0]), int(viewport[1])
-        accums = [_LayerAccum() for _ in range(MAX_LAYERS)]
+        accums = [_LayerAccum(li) for li in range(MAX_LAYERS)]
         stats = {"clipped_out": 0}
         bounds = (W, H)
+        self._frame_windows = []
 
         if root.el.kind == "stack":
             if root.el.fill is not None:
@@ -498,7 +534,8 @@ class SceneCompiler:
             layers.append(self._pack(acc, li))
         scene = Scene(layers=layers, width=W, height=H,
                       background=background, image_atlas=self.image_atlas,
-                      stats=stats)
+                      stats=stats, windows=self._frame_windows)
+        self._frame_windows = None
         return scene
 
     def _emit_prim(self, acc: _LayerAccum, prim, ox, oy, clip):
