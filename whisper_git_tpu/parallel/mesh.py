@@ -51,6 +51,7 @@ def render_scene_sharded(scene, font_tex: np.ndarray, mesh: Mesh
                          ) -> np.ndarray:
     """Single frame, tile axis sharded over the mesh's 'sp' axis.
     Returns (H, W, 4) uint8 on the host."""
+    scene = scene.inline_windows()
     tiles_x = -(-scene.width // R.TILE_W)
     tiles_y = -(-scene.height // R.TILE_H)
     T = tiles_y * tiles_x
@@ -74,8 +75,8 @@ def render_scene_sharded(scene, font_tex: np.ndarray, mesh: Mesh
         def q(name, cols, scale, arr):
             s = R._part_scale(name, cols, scale)
             return jnp.asarray(
-                np.clip(arr * s, -32767.0, 32767.0).astype(np.int16)
-                .astype(np.float32) / s)
+                np.clip(np.rint(arr * s), -32767.0, 32767.0)
+                .astype(np.int16).astype(np.float32) / s)
 
         layer_data.append((
             q("shapes", 16, None, lb.shapes),

@@ -393,7 +393,7 @@ def _window_artifacts(w, caps: tuple) -> dict:
         q = np.zeros((cap_of[name], cols), np.int16)
         nu = arr.shape[0]
         if nu:
-            q[:nu] = np.clip(arr[:nu] * s, -32767.0, 32767.0)
+            q[:nu] = np.clip(np.rint(arr[:nu] * s), -32767.0, 32767.0)
         parts.append(q.ravel())
     blob = np.concatenate(parts)
     entry = {
@@ -414,21 +414,140 @@ def _window_artifacts(w, caps: tuple) -> dict:
     return entry
 
 
-def _bin_entries(entries, tiles_y: int, tiles_x: int, k: int
-                 ) -> tuple[np.ndarray, int]:
-    """Bin a merged command class. `entries` is a list of
-    (boxes (n,4), idx (n,) concat-table indices, rank (n,) stream order).
-    Degenerate (clip-culled) boxes are dropped."""
-    T = tiles_y * tiles_x
-    if not entries:
-        return np.full((T, 8), -1, np.int32), 0
-    boxes = np.concatenate([e[0] for e in entries])
-    idx = np.concatenate([e[1] for e in entries])
-    if len(entries) > 1:
-        rank = np.concatenate([e[2] for e in entries])
-        perm = np.argsort(rank, kind="stable")
-        boxes, idx = boxes[perm], idx[perm]
-    return _bin_indexed(boxes, idx, tiles_y, tiles_x, k)
+def _window_space_bins(entry: dict, ci: int, dx: float, clip: tuple,
+                       tiles_x: int):
+    """Precompute a window's tile bins in WINDOW-relative tile rows (screen
+    columns — dx is stable across scroll). Cached per content + dx + clip.
+
+    Returns {"row0", "all": (WR, tx, kA), "starts": (WR, tx, kS)} of
+    window-local command indices, or None if the class is empty.
+    `all[r]` holds every command intersecting window tile row r (submission
+    order); `starts[r]` only those whose topmost tile row is r. A screen
+    tile row covering window rows (a, a+1) then bins as all[a] + starts[a+1]
+    — disjoint, conservative, and rank-ordered (rows emit in order)."""
+    key = (ci, round(dx * 8.0), tuple(round(c * 4.0) for c in clip),
+           tiles_x)
+    cache = entry.setdefault("wbins", {})
+    if key in cache:
+        return cache[key]
+    boxes = entry["boxes"][ci]
+    n = boxes.shape[0]
+    out = None
+    if n:
+        x0 = np.maximum(boxes[:, 0] + dx, clip[0])
+        x1 = np.minimum(boxes[:, 2] + dx, clip[2])
+        y0, y1 = boxes[:, 1], boxes[:, 3]
+        keep = (x1 >= x0) & (y1 >= y0)
+        if keep.any():
+            idx = np.arange(n, dtype=np.int64)[keep]
+            tx0 = np.clip((x0[keep] // TILE_W).astype(np.int64), 0,
+                          tiles_x - 1)
+            tx1 = np.clip((x1[keep] // TILE_W).astype(np.int64), 0,
+                          tiles_x - 1)
+            ty0 = np.floor(y0[keep] / TILE_H).astype(np.int64)
+            ty1 = np.floor(y1[keep] / TILE_H).astype(np.int64)
+            row0 = int(ty0.min())
+            ty0 -= row0
+            ty1 -= row0
+            WR = int(ty1.max()) + 1
+            sx = tx1 - tx0 + 1
+            sy = ty1 - ty0 + 1
+            reps = sx * sy
+            total = int(reps.sum())
+            cmds = np.repeat(idx, reps)
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            rsx = np.repeat(sx, reps)
+            dyy, dxx = offs // rsx, offs % rsx
+            rows = np.repeat(ty0, reps) + dyy
+            cells = rows * tiles_x + np.repeat(tx0, reps) + dxx
+            starts = dyy == 0
+
+            def scatter(cells_s, cmds_s, ncells):
+                order = np.argsort(cells_s, kind="stable")
+                cells_s, cmds_s = cells_s[order], cmds_s[order]
+                counts = np.bincount(cells_s, minlength=ncells)
+                st = np.concatenate(([0], np.cumsum(counts[:-1])))
+                rank = np.arange(len(cells_s)) - st[cells_s]
+                kk = max(int(counts.max()), 1)
+                binsx = np.full((ncells, kk), -1, np.int32)
+                binsx[cells_s, rank] = cmds_s.astype(np.int32)
+                return binsx
+
+            ncells = WR * tiles_x
+            out = {
+                "row0": row0,
+                "all": scatter(cells, cmds, ncells
+                               ).reshape(WR, tiles_x, -1),
+                "starts": scatter(cells[starts], cmds[starts], ncells
+                                  ).reshape(WR, tiles_x, -1),
+            }
+    cache[key] = out
+    return out
+
+
+def _gather_window_rows(arr: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """arr (WR, tx, k); a (ty,) row indices (may be out of range → -1)."""
+    WR = arr.shape[0]
+    av = np.clip(a, 0, WR - 1)
+    out = arr[av].copy()
+    out[(a < 0) | (a >= WR)] = -1
+    return out
+
+
+def _merged_window_bins(wb: dict, dy: float, tiles_y: int, tiles_x: int,
+                        base: int, boxes: np.ndarray) -> np.ndarray:
+    """Per-frame window bins: gather the two window tile rows each screen
+    tile row overlaps. Returns (T, kA+kS) concat-table indices.
+
+    The union is conservative and not submission-ordered, so entries whose
+    actual screen-space row span misses their tile row are masked out
+    (keeping device occupancy exact), and a per-tile sort restores paint
+    order (within one window submission order IS ascending local index).
+    `boxes` are the window-relative effective boxes for the class."""
+    r = np.arange(tiles_y, dtype=np.int64)
+    a = np.floor((r * TILE_H - dy) / TILE_H).astype(np.int64) - wb["row0"]
+    A = _gather_window_rows(wb["all"], a)
+    B = _gather_window_rows(wb["starts"], a + 1)
+    m = np.concatenate([A, B], axis=2).reshape(tiles_y * tiles_x, -1)
+    # Exact row filter: screen tile rows each command truly spans.
+    ty0c = np.floor((boxes[:, 1] + dy) / TILE_H).astype(np.int64)
+    ty1c = np.floor((boxes[:, 3] + dy) / TILE_H).astype(np.int64)
+    rows = np.repeat(r, tiles_x)[:, None]
+    mv = m >= 0
+    mi = np.where(mv, m, 0)
+    valid = mv & (ty0c[mi] <= rows) & (ty1c[mi] >= rows)
+    m = np.where(valid, m, np.int32(2 ** 31 - 1))
+    m.sort(axis=1)
+    kmax = int(valid.sum(axis=1).max()) if m.size else 0
+    m = m[:, :max(kmax, 1)]
+    return np.where(m < 2 ** 31 - 1, m + base, -1)
+
+
+def _interleave_bins(chrome_bins: np.ndarray, win_blocks: list,
+                     kcap: int) -> np.ndarray:
+    """Merge chrome bins with window bin blocks in stream order.
+    win_blocks: [(bins (T, kw), pos)] — pos is the chrome stream index the
+    window was recorded at. Entries are reordered per tile so chrome
+    commands with index < pos composite before the window, the rest
+    after; padding (-1) sinks to the end."""
+    poss = np.asarray([p for _, p in win_blocks], np.int64)
+    parts = [chrome_bins] + [b for b, _ in win_blocks]
+    merged = np.concatenate(parts, axis=1)
+    kc = chrome_bins.shape[1]
+    keys = np.empty(merged.shape, np.int64)
+    ck = np.searchsorted(poss, chrome_bins, side="right") * 2
+    keys[:, :kc] = ck
+    off = kc
+    for wi, (b, _) in enumerate(win_blocks):
+        keys[:, off:off + b.shape[1]] = 2 * wi + 1
+        off += b.shape[1]
+    keys[merged < 0] = 1 << 40
+    order = np.argsort(keys, axis=1, kind="stable")
+    merged = np.take_along_axis(merged, order, axis=1)
+    occ = int((merged >= 0).sum(axis=1).max()) if merged.size else 0
+    k_used = _k_trim(occ, kcap)
+    return merged[:, :k_used]
 
 
 def _bin_indexed(b: np.ndarray, cmd_ids: np.ndarray, tiles_y: int,
@@ -507,10 +626,10 @@ def pack_scene(scene: Scene
     # Uniform head: 8 i16 per window — dx, dy @1/8 px; clip @1/4 px; pad.
     uni = np.zeros((len(windows), 8), np.int16)
     for gi, (w, caps, entry) in enumerate(win_entries):
-        uni[gi, 0] = np.clip(w.dx * 8.0, -32767, 32767)
-        uni[gi, 1] = np.clip(w.dy * 8.0, -32767, 32767)
+        uni[gi, 0] = np.clip(np.rint(w.dx * 8.0), -32767, 32767)
+        uni[gi, 1] = np.clip(np.rint(w.dy * 8.0), -32767, 32767)
         uni[gi, 2:6] = np.clip(
-            np.asarray(w.clip, np.float64) * 4.0, -32767, 32767)
+            np.rint(np.asarray(w.clip, np.float64) * 4.0), -32767, 32767)
     i16_parts.append(uni.ravel())
 
     for li, lb in enumerate(scene.layers):
@@ -526,40 +645,35 @@ def pack_scene(scene: Scene
         cls_bins = []
         max_idx = 0
         for ci in range(3):
-            entries = []
             nc = occ[ci]
-            if nc:
-                jj = np.arange(nc, dtype=np.int64)
-                ranks = jj.copy()
-                for gi, w, caps, entry in lws:
-                    m = entry["ns"][ci]
-                    if m:
-                        ranks[jj >= w.pos[ci]] += m
-                eb = _intersect_boxes(chrome_boxes[ci],
-                                      chrome_clips[ci][:nc])
-                entries.append((eb, jj, ranks))
             base = caps_c[ci]
-            added = 0
+            win_blocks = []
             for gi, w, caps, entry in lws:
-                m = entry["ns"][ci]
-                if m:
-                    shift = np.array([w.dx, w.dy, w.dx, w.dy], np.float32)
-                    wb = entry["boxes"][ci] + shift
-                    c0, c1, c2, c3 = w.clip
-                    wb = np.stack([np.maximum(wb[:, 0], c0),
-                                   np.maximum(wb[:, 1], c1),
-                                   np.minimum(wb[:, 2], c2),
-                                   np.minimum(wb[:, 3], c3)], axis=1)
-                    idxs = base + np.arange(m, dtype=np.int64)
-                    ranks_w = (w.pos[ci] + added
-                               + np.arange(m, dtype=np.int64))
-                    entries.append((wb, idxs, ranks_w))
-                    added += m
+                if entry["ns"][ci]:
+                    wb = _window_space_bins(entry, ci, w.dx, w.clip,
+                                            tiles_x)
+                    if wb is not None:
+                        win_blocks.append((_merged_window_bins(
+                            wb, w.dy, tiles_y, tiles_x, base,
+                            entry["boxes"][ci]), w.pos[ci]))
                 base += caps[ci]
             max_idx = max(max_idx, base)
-            cls_bins.append(
-                _bin_entries(entries, tiles_y, tiles_x, _CLS_KCAP[ci])[0]
-                if entries else empty_bins)
+            if nc:
+                eb = _intersect_boxes(chrome_boxes[ci],
+                                      chrome_clips[ci][:nc])
+                chrome_bins = _bin_indexed(
+                    eb, np.arange(nc, dtype=np.int64), tiles_y, tiles_x,
+                    _CLS_KCAP[ci])[0]
+            else:
+                chrome_bins = (np.full((T, 0), -1, np.int32)
+                               if win_blocks else None)
+            if chrome_bins is None:
+                cls_bins.append(empty_bins)
+            elif win_blocks:
+                cls_bins.append(_interleave_bins(chrome_bins, win_blocks,
+                                                 _CLS_KCAP[ci]))
+            else:
+                cls_bins.append(chrome_bins)
         s_bins, g_bins, i_bins = cls_bins
 
         arrays = {"shapes": lb.shapes, "shape_clips": lb.shape_clips,
@@ -577,7 +691,7 @@ def pack_scene(scene: Scene
             q = np.zeros(arr.shape, np.int16)
             nu = used[name]
             if nu:
-                q[:nu] = np.clip(arr[:nu] * s, -32767.0, 32767.0)
+                q[:nu] = np.clip(np.rint(arr[:nu] * s), -32767.0, 32767.0)
             i16_parts.append(q.ravel())
         # Bin indices are < the concat-table size, which never approaches
         # i16 range for a real scene — ship them in the i16 half too

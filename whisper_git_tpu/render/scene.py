@@ -78,6 +78,52 @@ class Scene:
     stats: dict = field(default_factory=dict)
     windows: list = field(default_factory=list)  # list[WindowPart]
 
+    def inline_windows(self) -> "Scene":
+        """Return an equivalent Scene with every recorded scroll window
+        spliced back into its layer's buffers (for consumers of the raw
+        buffers that don't implement device-resident windows, e.g. the
+        mesh-sharded demo path)."""
+        if not self.windows:
+            return self
+        layers = []
+        for li, lb in enumerate(self.layers):
+            lws = [w for w in self.windows if w.layer == li]
+            if not lws:
+                layers.append(lb)
+                continue
+            acc = _LayerAccum(li)
+            cursor = (0, 0, 0)
+            chrome = SubtreeChunks(
+                shapes=lb.shapes[:lb.n_shapes],
+                shape_clips=lb.shape_clips[:lb.n_shapes],
+                glyphs=lb.glyphs[:lb.n_glyphs],
+                glyph_colors=lb.glyph_colors[:lb.n_glyphs],
+                glyph_clips=lb.glyph_clips[:lb.n_glyphs],
+                images=lb.images[:lb.n_images],
+                image_clips=lb.image_clips[:lb.n_images])
+
+            def chrome_slice(a, b):
+                return SubtreeChunks(
+                    shapes=chrome.shapes[a[0]:b[0]],
+                    shape_clips=chrome.shape_clips[a[0]:b[0]],
+                    glyphs=chrome.glyphs[a[1]:b[1]],
+                    glyph_colors=chrome.glyph_colors[a[1]:b[1]],
+                    glyph_clips=chrome.glyph_clips[a[1]:b[1]],
+                    images=chrome.images[a[2]:b[2]],
+                    image_clips=chrome.image_clips[a[2]:b[2]])
+
+            end = (lb.n_shapes, lb.n_glyphs, lb.n_images)
+            for w in lws:
+                acc.splice(chrome_slice(cursor, w.pos), 0.0, 0.0, _NOCLIP)
+                acc.splice(w.comp, w.dx, w.dy, w.clip)
+                cursor = w.pos
+            acc.splice(chrome_slice(cursor, end), 0.0, 0.0, _NOCLIP)
+            layers.append(SceneCompiler._pack(acc, li))
+        return Scene(layers=layers, width=self.width, height=self.height,
+                     background=self.background,
+                     image_atlas=self.image_atlas, stats=self.stats,
+                     windows=[])
+
 
 class _LayerAccum:
     """Ordered command accumulator. Everything is chunk streams so cached

@@ -373,6 +373,10 @@ def _layout_scroll(el: El, ix, iy, iw, ih, clip, m: TextMeasurer
     n = el.virtual_row_count
     if n == 0 or el.virtual_build is None:
         return []
+    # Scroll offsets snap to the 1/8-px command-quantization grid so the
+    # device-resident window path (which quantizes row coords and the
+    # scroll shift separately) stays bit-exact with inline compilation.
+    el.scroll_offset = round(el.scroll_offset * 8.0) / 8.0
     heights = el.virtual_row_heights
     out: list[LayoutNode] = []
     if heights is None:
