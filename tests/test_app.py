@@ -367,3 +367,92 @@ def test_screenshot_pipeline(temp_repo):
     # Non-trivial content: many distinct colors, header present.
     import numpy as np
     assert len(np.unique(img.reshape(-1, 4), axis=0)) > 50
+
+
+# -- Runner pointer dispatch (reference: Runner::pointer_down, host.rs:268) --
+
+def _file_row_center(app, bucket, path, viewport=(1100.0, 760.0)):
+    from whisper_git_tpu.ui.runner import Runner
+    r = Runner(app)
+    root = r.prepare(viewport)
+    for node in root.walk():
+        if node.el.key == f"file:{bucket}:{path}":
+            return r, node.x + node.w / 2, node.y + node.h / 2
+    raise AssertionError(f"file row {bucket}:{path} not found in layout")
+
+
+def test_runner_double_click_stages(temp_repo):
+    """README: 'Stage/unstage individual files (double-click)'."""
+    from whisper_git_tpu.gitcore import status as gstatus
+    app = make_app(temp_repo)
+    tab = app.current()
+    with open(os.path.join(temp_repo, "dbl.txt"), "w") as f:
+        f.write("x\n")
+    tab.refresh_sync()
+    runner, x, y = _file_row_center(app, "untracked", "dbl.txt")
+    # Two clicks inside the double-click window → toggle-stage fires.
+    runner.pointer_down(x, y, now=10.0)
+    runner.pointer_down(x, y, now=10.2)
+    assert [e.path for e in gstatus.status(tab.repo).staged] == ["dbl.txt"]
+    # The first click opened the diff pane; Escape restores staging.
+    app.on_key("Escape")
+    assert not app.diff_open
+    # Double-click the now-staged row → unstages.
+    tab.active_view().status = gstatus.status(tab.repo)
+    runner, x, y = _file_row_center(app, "staged", "dbl.txt")
+    runner.pointer_down(x, y, now=20.0)
+    runner.pointer_down(x, y, now=20.2)
+    assert gstatus.status(tab.repo).staged == []
+
+
+def test_runner_slow_clicks_do_not_stage(temp_repo):
+    from whisper_git_tpu.gitcore import status as gstatus
+    app = make_app(temp_repo)
+    tab = app.current()
+    with open(os.path.join(temp_repo, "slow.txt"), "w") as f:
+        f.write("x\n")
+    tab.refresh_sync()
+    runner, x, y = _file_row_center(app, "untracked", "slow.txt")
+    runner.pointer_down(x, y, now=10.0)
+    runner.pointer_down(x, y, now=11.0)  # outside the 400 ms window
+    assert gstatus.status(tab.repo).staged == []
+
+
+def test_runner_right_click_opens_menu(temp_repo):
+    app = make_app(temp_repo)
+    tab = app.current()
+    with open(os.path.join(temp_repo, "rc.txt"), "w") as f:
+        f.write("x\n")
+    tab.refresh_sync()
+    runner, x, y = _file_row_center(app, "untracked", "rc.txt")
+    runner.pointer_down(x, y, button="right")
+    assert app.context_menu is not None
+
+
+def test_staging_tab_cycle_reaches_file_lists(temp_repo):
+    """README: staging Tab cycles subject → body → staged → unstaged."""
+    from whisper_git_tpu.gitcore import status as gstatus
+    app = make_app(temp_repo)
+    tab = app.current()
+    with open(os.path.join(temp_repo, "a.txt"), "w") as f:
+        f.write("a\n")
+    app.handle_action("stage-file:a.txt")
+    with open(os.path.join(temp_repo, "b.txt"), "w") as f:
+        f.write("b\n")
+    tab.refresh_sync()
+    view = tab.active_view()
+    view.status = gstatus.status(tab.repo)
+    app.focus = "staging"
+    app.focused_input = ""
+    seen = []
+    for _ in range(4):
+        app.on_key("Tab")
+        seen.append(app.focused_input)
+    assert seen == ["subject", "body", "staged-list", "unstaged-list"]
+    # j/k navigation selects within the focused bucket; Space toggles.
+    app.on_key("j")
+    assert view.selected_file == "b.txt"
+    assert not view.selected_staged
+    app.on_key(" ")
+    assert sorted(e.path for e in gstatus.status(tab.repo).staged) == [
+        "a.txt", "b.txt"]

@@ -519,6 +519,15 @@ class WhisperApp:
                 f"Unstage {arg}",
                 lambda: gstatus.unstage_file(tab.active_repo(), arg))
 
+    def _act_toggle_stage(self, arg, x, y):
+        """Double-click stage/unstage (reference README: "Stage/unstage
+        individual files (double-click)"). arg = "bucket:path"."""
+        bucket, _, path = arg.partition(":")
+        if bucket == "staged":
+            self._act_unstage_file(path, x, y)
+        else:
+            self._act_stage_file(path, x, y)
+
     def _act_stage_all(self, arg, x, y):
         tab = self.current()
         if tab:
@@ -1606,12 +1615,20 @@ class WhisperApp:
             return
         if key == "Tab" and not ctrl:
             if self.focus == "staging":
-                order = ["subject", "body", "", ""]
+                # Reference README: staging Tab cycles subject → body →
+                # staged list → unstaged list (empty lists skipped).
+                view = tab.active_view() if tab else None
+                status = view.status if view else None
+                order = ["subject", "body"]
+                if status and status.staged:
+                    order.append("staged-list")
+                if status and (status.unstaged or status.untracked):
+                    order.append("unstaged-list")
                 try:
                     idx = order.index(self.focused_input)
                 except ValueError:
                     idx = -1
-                self.focused_input = order[(idx + 1) % 2]
+                self.focused_input = order[(idx + 1) % len(order)]
             else:
                 cycle = ["graph", "staging", "sidebar"]
                 self.focus = cycle[(cycle.index(self.focus) + 1)
@@ -1628,6 +1645,34 @@ class WhisperApp:
         if self._typing():
             if len(key) == 1 and not ctrl:
                 self.on_text(key)
+            return
+        # Staging file-list navigation (focused via the staging Tab cycle).
+        if (self.focus == "staging"
+                and self.focused_input in ("staged-list", "unstaged-list")):
+            view = tab.active_view()
+            status = view.status if view else None
+            if status is None:
+                return
+            bucket = ("staged" if self.focused_input == "staged-list"
+                      else "unstaged")
+            entries = (status.staged if bucket == "staged"
+                       else status.unstaged + status.untracked)
+            paths = [e.path for e in entries]
+            if not paths:
+                return
+            in_bucket = view.selected_staged == (bucket == "staged")
+            cur = (paths.index(view.selected_file)
+                   if in_bucket and view.selected_file in paths else -1)
+            if key in ("j", "Down", "k", "Up"):
+                step = 1 if key in ("j", "Down") else -1
+                nxt = max(0, min(len(paths) - 1,
+                                 cur + step if cur >= 0 else 0))
+                view.selected_file = paths[nxt]
+                view.selected_staged = bucket == "staged"
+            elif key == "Enter" and cur >= 0:
+                self._act_view_file(f"{bucket}:{paths[cur]}", 0, 0)
+            elif key == " " and cur >= 0:
+                self._act_toggle_stage(f"{bucket}:{paths[cur]}", 0, 0)
             return
         # Graph navigation.
         if self.focus == "graph":
@@ -1665,7 +1710,10 @@ class WhisperApp:
                     self._act_confirm_delete_branch(name, 0, 0)
 
     def _typing(self) -> bool:
-        return bool(self.focused_input)
+        # File-list focus (staged-list/unstaged-list) is navigational,
+        # not a text input — j/k etc. must keep working there.
+        return self.focused_input not in ("", "staged-list",
+                                          "unstaged-list")
 
     def _scroll_selected_into_view(self, tab: RepoTab) -> None:
         if tab.selected_oid is None:

@@ -117,15 +117,18 @@ def _file_row(entry: StatusEntry, bucket: str, selected: bool) -> El:
         hover_fill=T.surface_hover,
         route=f"view-file:{bucket}:{entry.path}",
         route_right=f"menu-file:{bucket}:{entry.path}",
+        route_double=f"toggle-stage:{bucket}:{entry.path}",
         key=f"file:{bucket}:{entry.path}")
 
 
 def _file_section(title: str, entries: list, bucket: str,
-                  selected_file, action_label: str, action_route: str) -> list[El]:
+                  selected_file, action_label: str, action_route: str,
+                  focused: bool = False) -> list[El]:
     if not entries:
         return []
     header = rect(
-        row(text(title, font_size=10, bold=True, color=T.text_muted),
+        row(text(title, font_size=10, bold=True,
+                 color=T.accent if focused else T.text_muted),
             rect(text(str(len(entries)), font_size=9, color=T.text_muted),
                  fill=(1, 1, 1, 0.08), radius=6, padding=(0, 4, 0, 4)),
             spacer(),
@@ -155,7 +158,9 @@ def _staging_key(tab, focused_input: str, ai_busy: bool) -> tuple:
         view.draft_subject if view else "",
         view.draft_body if view else "",
         bool(view and view.amend_mode),
-        focused_input if focused_input in ("subject", "body") else "",
+        focused_input if focused_input in ("subject", "body",
+                                           "staged-list",
+                                           "unstaged-list") else "",
         _cursor_visible() if focused_input in ("subject", "body") else True,
         ai_busy,
         (bucket(status.staged), bucket(status.unstaged),
@@ -222,13 +227,16 @@ def _staging_impl(tab, focused_input: str = "", ai_busy: bool = False) -> El:
     if status is not None:
         file_rows: list[El] = []
         file_rows += _file_section("STAGED", status.staged, "staged",
-                                   selected, "Unstage all", "unstage-all")
+                                   selected, "Unstage all", "unstage-all",
+                                   focused=focused_input == "staged-list")
         file_rows += _file_section("CONFLICTS", status.conflicted,
                                    "conflicted", selected, "", "noop")
         file_rows += _file_section("UNSTAGED", status.unstaged, "unstaged",
-                                   selected, "Stage all", "stage-all")
+                                   selected, "Stage all", "stage-all",
+                                   focused=focused_input == "unstaged-list")
         file_rows += _file_section("UNTRACKED", status.untracked, "untracked",
-                                   selected, "Stage all", "stage-all")
+                                   selected, "Stage all", "stage-all",
+                                   focused=focused_input == "unstaged-list")
         if not file_rows:
             file_rows = [rect(
                 row(text("✓", color=T.success, font_size=14),

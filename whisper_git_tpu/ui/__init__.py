@@ -6,9 +6,10 @@ dumps, and a Runner that hit-tests and paints through the TPU rasterizer.
 
 from .el import El, column, row, stack, rect, text, spacer, image, path, scroll
 from .layout import LayoutNode, layout_tree
+from .runner import Runner
 from .theme import Theme, DARK
 
 __all__ = [
-    "DARK", "El", "LayoutNode", "Theme", "column", "image", "layout_tree",
-    "path", "rect", "row", "scroll", "spacer", "stack", "text",
+    "DARK", "El", "LayoutNode", "Runner", "Theme", "column", "image",
+    "layout_tree", "path", "rect", "row", "scroll", "spacer", "stack", "text",
 ]

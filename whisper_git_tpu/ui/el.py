@@ -54,6 +54,7 @@ class El:
     # Interaction
     route: Optional[str] = None        # click action id
     route_right: Optional[str] = None  # right-click action id
+    route_double: Optional[str] = None  # double-click action id
     hover_fill: Optional[Color] = None
     key: Optional[str] = None          # stable identity (focus, scroll)
     # Content-addressed cache key: when set, the layout pass and scene
