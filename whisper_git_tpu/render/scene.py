@@ -66,6 +66,12 @@ class LayerBuffers:
     images: np.ndarray      # (NI, 8) x,y,w,h,u,v,uw,uh
     image_clips: np.ndarray  # (NI, 4)
     n_images: int
+    # Volatile (El.volatile) commands occupy the LAST n_dyn_* rows of the
+    # used prefix; the leading static rows are byte-stable across pure
+    # scroll frames (the frame cache hashes only them).
+    n_dyn_shapes: int = 0
+    n_dyn_glyphs: int = 0
+    n_dyn_images: int = 0
 
 
 @dataclass
@@ -131,8 +137,12 @@ class _LayerAccum:
     singleton appends buffer in Python lists and flush to a chunk
     on demand."""
 
-    def __init__(self, layer_index: int = 0):
+    def __init__(self, layer_index: int = 0, track_dyn: bool = True):
         self.layer_index = layer_index
+        # Volatile commands accumulate separately and pack at the layer's
+        # tail (they are topmost at their pixels by contract, see El).
+        self.dyn: "_LayerAccum | None" = (
+            _LayerAccum(layer_index, track_dyn=False) if track_dyn else None)
         self._shape_rows: list[list[float]] = []
         self._shape_clip_rows: list[tuple] = []
         self.shape_chunks: list[np.ndarray] = []        # (n, 16)
@@ -476,8 +486,9 @@ class SceneCompiler:
             self._emit_prim(acc, prim, node.x, node.y, clip)
 
     def _walk_into(self, node: LayoutNode, acc: _LayerAccum, clip,
-                   bounds) -> None:
-        """Recursive emit of one subtree into one accumulator."""
+                   bounds, dyn: bool = False) -> None:
+        """Recursive emit of one subtree into one accumulator. Volatile
+        subtrees route to the layer's dynamic tail accumulator."""
         el = node.el
         cx0, cy0, cx1, cy1 = clip
         if (node.x > cx1 or node.y > cy1
@@ -488,22 +499,26 @@ class SceneCompiler:
             if (node.x > W or node.y > H
                     or node.x + node.w < 0 or node.y + node.h < 0):
                 return
+        if el.volatile and acc.dyn is not None:
+            dyn = True
+        target = acc.dyn if (dyn and acc.dyn is not None) else acc
         if el.cache_key is not None and bounds is not None:
             chunks = self._subtree_chunks(node)
-            acc.splice(chunks, node.x, node.y, clip)
+            target.splice(chunks, node.x, node.y, clip)
             return
-        self._emit_node(node, acc, clip)
+        self._emit_node(node, target, clip)
         child_clip = clip
         if el.clip:
             child_clip = (max(cx0, node.x), max(cy0, node.y),
                           min(cx1, node.x + node.w),
                           min(cy1, node.y + node.h))
         if (el.kind == "scroll" and bounds is not None and node.children
-                and all(c.el.cache_key is not None for c in node.children)):
+                and all(c.el.cache_key is not None for c in node.children)
+                and not dyn):
             self._splice_scroll_window(node, acc, child_clip)
             return
         for c in node.children:
-            self._walk_into(c, acc, child_clip, bounds)
+            self._walk_into(c, acc, child_clip, bounds, dyn)
 
     def _subtree_chunks(self, node: LayoutNode) -> "SubtreeChunks":
         """Compile a cached subtree to origin-relative chunks, memoized by
@@ -513,7 +528,9 @@ class SceneCompiler:
         hit = self._subtree_cache.get(key)
         if hit is not None:
             return hit
-        acc = _LayerAccum()
+        # track_dyn=False: volatile inside a cached subtree stays inline
+        # (the volatile contract applies to top-level chrome only).
+        acc = _LayerAccum(track_dyn=False)
         # bounds=None disables viewport culling and nested cache lookups
         # (a cached subtree is compiled in full, exactly once).
         self._walk_into(node, acc, _NOCLIP, None)
@@ -603,29 +620,49 @@ class SceneCompiler:
     @staticmethod
     def _pack(acc: _LayerAccum, li: int = 0) -> LayerBuffers:
         acc.flush()
-        ns, ng, ni = acc.n_shapes, acc.n_glyphs, acc.n_images
+        dyn = acc.dyn
+        if dyn is not None:
+            dyn.flush()
+        nds = dyn.n_shapes if dyn else 0
+        ndg = dyn.n_glyphs if dyn else 0
+        ndi = dyn.n_images if dyn else 0
+        ns, ng, ni = (acc.n_shapes + nds, acc.n_glyphs + ndg,
+                      acc.n_images + ndi)
         ns_cap = _bucket(ns, (li, "s"))
         ng_cap = _bucket(ng, (li, "g"))
         ni_cap = _bucket(ni, (li, "i"))
         shapes = np.zeros((ns_cap, 16), np.float32)
         shape_clips = np.full((ns_cap, 4), _NOCLIP, np.float32)
         if ns:
-            shapes[:ns] = np.concatenate(acc.shape_chunks, axis=0)
-            shape_clips[:ns] = np.concatenate(acc.shape_clip_chunks, axis=0)
+            shapes[:ns] = np.concatenate(
+                acc.shape_chunks + (dyn.shape_chunks if dyn else []), axis=0)
+            shape_clips[:ns] = np.concatenate(
+                acc.shape_clip_chunks + (dyn.shape_clip_chunks if dyn else []),
+                axis=0)
         glyphs = np.zeros((ng_cap, 8), np.float32)
         glyph_colors = np.zeros((ng_cap, 4), np.float32)
         glyph_clips = np.full((ng_cap, 4), _NOCLIP, np.float32)
         if ng:
-            glyphs[:ng] = np.concatenate(acc.glyph_chunks, axis=0)
-            glyph_colors[:ng] = np.concatenate(acc.glyph_color_chunks, axis=0)
-            glyph_clips[:ng] = np.concatenate(acc.glyph_clip_chunks, axis=0)
+            glyphs[:ng] = np.concatenate(
+                acc.glyph_chunks + (dyn.glyph_chunks if dyn else []), axis=0)
+            glyph_colors[:ng] = np.concatenate(
+                acc.glyph_color_chunks
+                + (dyn.glyph_color_chunks if dyn else []), axis=0)
+            glyph_clips[:ng] = np.concatenate(
+                acc.glyph_clip_chunks
+                + (dyn.glyph_clip_chunks if dyn else []), axis=0)
         images = np.zeros((ni_cap, 8), np.float32)
         image_clips = np.full((ni_cap, 4), _NOCLIP, np.float32)
         if ni:
-            images[:ni] = np.concatenate(acc.image_chunks, axis=0)
-            image_clips[:ni] = np.concatenate(acc.image_clip_chunks, axis=0)
+            images[:ni] = np.concatenate(
+                acc.image_chunks + (dyn.image_chunks if dyn else []), axis=0)
+            image_clips[:ni] = np.concatenate(
+                acc.image_clip_chunks
+                + (dyn.image_clip_chunks if dyn else []), axis=0)
         return LayerBuffers(shapes, shape_clips, ns, glyphs, glyph_colors,
-                            glyph_clips, ng, images, image_clips, ni)
+                            glyph_clips, ng, images, image_clips, ni,
+                            n_dyn_shapes=nds, n_dyn_glyphs=ndg,
+                            n_dyn_images=ndi)
 
 
 class _AtlasShim(TextMeasurer):

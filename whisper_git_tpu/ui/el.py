@@ -62,6 +62,12 @@ class El:
     # frames (rows set it to a hash of everything that affects pixels).
     cache_key: Optional[tuple] = None
     focusable: bool = False
+    # Volatile: this subtree's pixels change continuously (scrollbar
+    # thumbs, drag ghosts). The scene compiler routes volatile commands to
+    # the layer's dynamic tail so the static chrome prefix stays
+    # byte-stable across scroll frames (the render frame-cache keys on it).
+    # Volatile content must be topmost within its layer at its pixels.
+    volatile: bool = False
     # Scroll (kind == "scroll")
     scroll_offset: float = 0.0
     virtual_row_count: int = 0
