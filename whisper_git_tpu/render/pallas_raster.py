@@ -41,6 +41,81 @@ CELL = R.CELL
 SDF_SPREAD = R.SDF_SPREAD
 
 
+def _shape_step(shapes, sclips, i, px, py, clip_mask, composite):
+    """Composite one rounded-rect / capsule command onto the tile."""
+    # Scalar reads: dynamic-row vector loads need 8-sublane alignment
+    # Mosaic can't prove; scalars have no such rule.
+    c = [shapes[i, j] for j in range(16)]
+    clip = clip_mask(sclips[i, 0], sclips[i, 1], sclips[i, 2], sclips[i, 3])
+    is_seg = c[0] == 1.0
+    hx, hy = c[3] * 0.5, c[4] * 0.5
+    cx, cy = c[1] + hx, c[2] + hy
+    r = jnp.minimum(c[5], jnp.minimum(hx, hy))
+    qx = jnp.abs(px - cx) - (hx - r)
+    qy = jnp.abs(py - cy) - (hy - r)
+    d_rect = (jnp.sqrt(jnp.maximum(qx, 0.0) ** 2
+                       + jnp.maximum(qy, 0.0) ** 2)
+              + jnp.minimum(jnp.maximum(qx, qy), 0.0) - r)
+    ax, ay, bx, by = c[1], c[2], c[3], c[4]
+    abx, aby = bx - ax, by - ay
+    denom = jnp.maximum(abx * abx + aby * aby, 1e-6)
+    tt = jnp.clip(((px - ax) * abx + (py - ay) * aby) / denom, 0.0, 1.0)
+    d_seg = jnp.sqrt((px - (ax + tt * abx)) ** 2
+                     + (py - (ay + tt * aby)) ** 2) - c[5]
+    d = jnp.where(is_seg, d_seg, d_rect)
+    cov = jnp.clip(0.5 - d, 0.0, 1.0) * clip
+    composite(c[7], c[8], c[9], cov * c[10])
+    bw = c[6]
+    has_border = jnp.logical_and(jnp.logical_not(is_seg), bw > 0.0)
+    cov_b = (jnp.clip(0.5 - d, 0.0, 1.0)
+             * jnp.clip(d + bw + 0.5, 0.0, 1.0)
+             * clip * has_border.astype(jnp.float32))
+    composite(c[11], c[12], c[13], cov_b * c[14])
+
+
+def _glyph_step(glyphs, gcolors, gclips, font_ref, font_cols, i, px, py,
+                clip_mask, composite, sample_weights_y, sample_weights_xT):
+    """Composite one SDF glyph via the no-gather matmul resampling."""
+    x, y, w, h = glyphs[i, 0], glyphs[i, 1], glyphs[i, 2], glyphs[i, 3]
+    u, v, uw, uh = glyphs[i, 4], glyphs[i, 5], glyphs[i, 6], glyphs[i, 7]
+    clip = clip_mask(gclips[i, 0], gclips[i, 1], gclips[i, 2], gclips[i, 3])
+    ci = ((v.astype(jnp.int32) // CELL) * font_cols
+          + u.astype(jnp.int32) // CELL)
+    patch = font_ref[ci]
+    wy = sample_weights_y(y, h, uh).astype(jnp.bfloat16)
+    wxT = sample_weights_xT(x, w, uw).astype(jnp.bfloat16)
+    enc0 = jnp.dot(wy, patch, preferred_element_type=jnp.float32)
+    enc = jnp.dot(enc0.astype(jnp.bfloat16), wxT,
+                  preferred_element_type=jnp.float32)
+    sdf_atlas = (128.0 - enc) * (SDF_SPREAD / 128.0)
+    screen_scale = w / jnp.maximum(uw, 1e-6)
+    d = sdf_atlas * screen_scale
+    cov = jnp.clip(0.5 - d / 0.7, 0.0, 1.0) * clip
+    composite(gcolors[i, 0], gcolors[i, 1], gcolors[i, 2],
+              cov * gcolors[i, 3])
+
+
+def _image_step(images, iclips, img_ref, img_cols, i, px, py, clip_mask,
+                composite, sample_weights_y, sample_weights_xT):
+    """Composite one image quad (RGBA, per-channel matmul resampling)."""
+    x, y, w, h = images[i, 0], images[i, 1], images[i, 2], images[i, 3]
+    u, v, uw, uh = images[i, 4], images[i, 5], images[i, 6], images[i, 7]
+    clip = clip_mask(iclips[i, 0], iclips[i, 1], iclips[i, 2], iclips[i, 3])
+    ci = ((v.astype(jnp.int32) // CELL) * img_cols
+          + u.astype(jnp.int32) // CELL)
+    wy = sample_weights_y(y, h, uh).astype(jnp.bfloat16)
+    wxT = sample_weights_xT(x, w, uw).astype(jnp.bfloat16)
+    chans = []
+    for ch in range(4):
+        patch = img_ref[ci, ch]
+        v0 = jnp.dot(wy, patch, preferred_element_type=jnp.float32)
+        val = jnp.dot(v0.astype(jnp.bfloat16), wxT,
+                      preferred_element_type=jnp.float32)
+        chans.append(val * (1.0 / 255.0))
+    a = chans[3] * clip
+    composite(chans[0], chans[1], chans[2], a)
+
+
 def _kernel_body(refs, *, tiles_x: int, layer_sig: tuple, background: tuple,
                  part_index: dict, font_cols: int = 1, img_cols: int = 1):
     """Composite one tile. `refs` is the flat ref list; `part_index` maps
@@ -107,40 +182,8 @@ def _kernel_body(refs, *, tiles_x: int, layer_sig: tuple, background: tuple,
             scount = refs[part_index[(li, "s_count")]][t]
 
             def shape_body(k, _, shapes=shapes, sclips=sclips, sbins=sbins):
-                i = sbins[t, k]
-                # Scalar reads: dynamic-row vector loads need 8-sublane
-                # alignment Mosaic can't prove; scalars have no such rule.
-                c = [shapes[i, j] for j in range(16)]
-                clip = clip_mask(sclips[i, 0], sclips[i, 1],
-                                 sclips[i, 2], sclips[i, 3])
-                is_seg = c[0] == 1.0
-                # Rounded rect SDF.
-                hx, hy = c[3] * 0.5, c[4] * 0.5
-                cx, cy = c[1] + hx, c[2] + hy
-                r = jnp.minimum(c[5], jnp.minimum(hx, hy))
-                qx = jnp.abs(px - cx) - (hx - r)
-                qy = jnp.abs(py - cy) - (hy - r)
-                d_rect = (jnp.sqrt(jnp.maximum(qx, 0.0) ** 2
-                                   + jnp.maximum(qy, 0.0) ** 2)
-                          + jnp.minimum(jnp.maximum(qx, qy), 0.0) - r)
-                # Capsule SDF.
-                ax, ay, bx, by = c[1], c[2], c[3], c[4]
-                abx, aby = bx - ax, by - ay
-                denom = jnp.maximum(abx * abx + aby * aby, 1e-6)
-                tt = jnp.clip(((px - ax) * abx + (py - ay) * aby) / denom,
-                              0.0, 1.0)
-                d_seg = jnp.sqrt((px - (ax + tt * abx)) ** 2
-                                 + (py - (ay + tt * aby)) ** 2) - c[5]
-                d = jnp.where(is_seg, d_seg, d_rect)
-                cov = jnp.clip(0.5 - d, 0.0, 1.0) * clip
-                composite(c[7], c[8], c[9], cov * c[10])
-                bw = c[6]
-                has_border = jnp.logical_and(jnp.logical_not(is_seg),
-                                             bw > 0.0)
-                cov_b = (jnp.clip(0.5 - d, 0.0, 1.0)
-                         * jnp.clip(d + bw + 0.5, 0.0, 1.0)
-                         * clip * has_border.astype(jnp.float32))
-                composite(c[11], c[12], c[13], cov_b * c[14])
+                _shape_step(shapes, sclips, sbins[t, k], px, py, clip_mask,
+                            composite)
                 return 0
 
             jax.lax.fori_loop(0, scount, shape_body, 0)
@@ -152,29 +195,9 @@ def _kernel_body(refs, *, tiles_x: int, layer_sig: tuple, background: tuple,
             icount = refs[part_index[(li, "i_count")]][t]
 
             def image_body(k, _, images=images, iclips=iclips, ibins=ibins):
-                i = ibins[t, k]
-                x, y, w, h = (images[i, 0], images[i, 1], images[i, 2],
-                              images[i, 3])
-                u, v, uw, uh = (images[i, 4], images[i, 5], images[i, 6],
-                                images[i, 7])
-                clip = clip_mask(iclips[i, 0], iclips[i, 1],
-                                 iclips[i, 2], iclips[i, 3])
-                # Atlas cells are a 3D table: dynamic leading-dim index
-                # carries no sublane-alignment proof obligation.
-                ci = ((v.astype(jnp.int32) // CELL) * img_cols
-                      + u.astype(jnp.int32) // CELL)
-                wy = sample_weights_y(y, h, uh).astype(jnp.bfloat16)
-                wxT = sample_weights_xT(x, w, uw).astype(jnp.bfloat16)
-                chans = []
-                for ch in range(4):
-                    patch = img_ref[ci, ch]
-                    v0 = jnp.dot(wy, patch,
-                                 preferred_element_type=jnp.float32)
-                    val = jnp.dot(v0.astype(jnp.bfloat16), wxT,
-                                  preferred_element_type=jnp.float32)
-                    chans.append(val * (1.0 / 255.0))
-                a = chans[3] * clip
-                composite(chans[0], chans[1], chans[2], a)
+                _image_step(images, iclips, img_ref, img_cols, ibins[t, k],
+                            px, py, clip_mask, composite,
+                            sample_weights_y, sample_weights_xT)
                 return 0
 
             jax.lax.fori_loop(0, icount, image_body, 0)
@@ -188,28 +211,9 @@ def _kernel_body(refs, *, tiles_x: int, layer_sig: tuple, background: tuple,
 
             def glyph_body(k, _, glyphs=glyphs, gcolors=gcolors,
                            gclips=gclips, gbins=gbins):
-                i = gbins[t, k]
-                x, y, w, h = (glyphs[i, 0], glyphs[i, 1], glyphs[i, 2],
-                              glyphs[i, 3])
-                u, v, uw, uh = (glyphs[i, 4], glyphs[i, 5], glyphs[i, 6],
-                                glyphs[i, 7])
-                clip = clip_mask(gclips[i, 0], gclips[i, 1],
-                                 gclips[i, 2], gclips[i, 3])
-                ci = ((v.astype(jnp.int32) // CELL) * font_cols
-                      + u.astype(jnp.int32) // CELL)
-                patch = font_ref[ci]
-                wy = sample_weights_y(y, h, uh).astype(jnp.bfloat16)
-                wxT = sample_weights_xT(x, w, uw).astype(jnp.bfloat16)
-                enc0 = jnp.dot(wy, patch,
-                               preferred_element_type=jnp.float32)
-                enc = jnp.dot(enc0.astype(jnp.bfloat16), wxT,
-                              preferred_element_type=jnp.float32)
-                sdf_atlas = (128.0 - enc) * (SDF_SPREAD / 128.0)
-                screen_scale = w / jnp.maximum(uw, 1e-6)
-                d = sdf_atlas * screen_scale
-                cov = jnp.clip(0.5 - d / 0.7, 0.0, 1.0) * clip
-                composite(gcolors[i, 0], gcolors[i, 1], gcolors[i, 2],
-                          cov * gcolors[i, 3])
+                _glyph_step(glyphs, gcolors, gclips, font_ref, font_cols,
+                            gbins[t, k], px, py, clip_mask, composite,
+                            sample_weights_y, sample_weights_xT)
                 return 0
 
             jax.lax.fori_loop(0, gcount, glyph_body, 0)
@@ -305,6 +309,168 @@ def render_tiles_pallas(layer_data, font_cells, font_cols: int,
         _kernel_body(refs, tiles_x=tiles_x, layer_sig=layer_sig,
                      background=background, part_index=resolved,
                      font_cols=font_cols, img_cols=img_cols)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_scalar,
+        grid=(T,),
+        in_specs=tensor_specs,
+        out_specs=pl.BlockSpec((1, 4, TILE_H, TILE_W),
+                               lambda t, *_: (t, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((4, TILE_H, TILE_W), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 4, TILE_H, TILE_W), jnp.float32),
+        interpret=interpret,
+    )(*scalar_inputs, *tensor_inputs)
+
+
+# ---------------------------------------------------------------------------
+# Blocks kernel — the frame-cache path (render/frame.py): each (layer,
+# class) composites an ordered list of BLOCKS (chrome z-segments sharing
+# one bins table via per-tile [lo, hi) bounds, device-gathered window
+# pair bins, the volatile dynamic tail), each block reading its OWN
+# command tables. Same per-command step math as the single-shot kernel.
+# ---------------------------------------------------------------------------
+
+def render_tiles_blocks(layers_blocks, font_cells, font_cols: int,
+                        image_cells, img_cols: int, background: tuple,
+                        tiles_y: int, tiles_x: int,
+                        interpret: bool = False):
+    """layers_blocks: tuple per layer of 3 per-class block tuples
+    (shapes, glyphs, images order); block = (tables, bins (T,k),
+    lo (T,)|None, hi (T,)). Returns planar f32 tiles (T,4,TH,TW)."""
+    T = tiles_y * tiles_x
+    scalar_inputs, tensor_inputs, tensor_specs = [], [], []
+    sc_pos: dict = {}
+    tn_pos: dict = {}
+
+    def add_scalar(arr):
+        key = id(arr)
+        if key not in sc_pos:
+            sc_pos[key] = len(scalar_inputs)
+            scalar_inputs.append(arr)
+        return sc_pos[key]
+
+    def add_tensor(arr):
+        key = id(arr)
+        if key not in tn_pos:
+            tn_pos[key] = len(tensor_inputs)
+            tensor_inputs.append(arr)
+            tensor_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        return tn_pos[key]
+
+    any_glyphs = any(cls_lists[1] for cls_lists in layers_blocks)
+    any_images = any(cls_lists[2] for cls_lists in layers_blocks)
+    font_pos = add_tensor(font_cells) if any_glyphs else None
+    img_pos = add_tensor(image_cells) if any_images else None
+
+    plan = []
+    for cls_lists in layers_blocks:
+        lplan = []
+        for ci in range(3):
+            bplan = []
+            for tables, bins, lo, hi in cls_lists[ci]:
+                bplan.append((tuple(add_tensor(tb) for tb in tables),
+                              add_scalar(bins),
+                              None if lo is None else add_scalar(lo),
+                              add_scalar(hi)))
+            lplan.append(tuple(bplan))
+        plan.append(tuple(lplan))
+
+    n_scalar = len(scalar_inputs)
+    n_tensor = len(tensor_inputs)
+
+    def kernel(*refs):
+        sc = refs[:n_scalar]
+        tn = refs[n_scalar:n_scalar + n_tensor]
+        out_ref = refs[n_scalar + n_tensor]
+        fb = refs[n_scalar + n_tensor + 1]
+        t = pl.program_id(0)
+        ox = (t % tiles_x) * TILE_W
+        oy = (t // tiles_x) * TILE_H
+        py = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0
+                                       ).astype(jnp.float32)
+              + oy.astype(jnp.float32) + 0.5)
+        px = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1
+                                       ).astype(jnp.float32)
+              + ox.astype(jnp.float32) + 0.5)
+        py1 = py[:, 0:1]
+        px1 = px[0:1, :]
+
+        fb[0] = jnp.full((TILE_H, TILE_W), background[0], jnp.float32)
+        fb[1] = jnp.full((TILE_H, TILE_W), background[1], jnp.float32)
+        fb[2] = jnp.full((TILE_H, TILE_W), background[2], jnp.float32)
+        fb[3] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+
+        def clip_mask(c0, c1, c2, c3):
+            return ((px >= c0) & (py >= c1) & (px <= c2) & (py <= c3)
+                    ).astype(jnp.float32)
+
+        def composite(r, g, b, cov_a):
+            inv = 1.0 - cov_a
+            fb[0] = r * cov_a + fb[0] * inv
+            fb[1] = g * cov_a + fb[1] * inv
+            fb[2] = b * cov_a + fb[2] * inv
+            fb[3] = cov_a + fb[3] * inv
+
+        def sample_weights_y(origin, extent, atlas_extent):
+            s = (py1 - origin) / jnp.maximum(extent, 1e-6) * atlas_extent \
+                - 0.5
+            j = jax.lax.broadcasted_iota(jnp.int32, (1, CELL), 1
+                                         ).astype(jnp.float32)
+            w = jnp.clip(1.0 - jnp.abs(s - j), 0.0, 1.0)
+            inside = ((s > -1.0) & (s < atlas_extent)).astype(jnp.float32)
+            return w * inside
+
+        def sample_weights_xT(origin, extent, atlas_extent):
+            s = (px1 - origin) / jnp.maximum(extent, 1e-6) * atlas_extent \
+                - 0.5
+            j = jax.lax.broadcasted_iota(jnp.int32, (CELL, 1), 0
+                                         ).astype(jnp.float32)
+            w = jnp.clip(1.0 - jnp.abs(s - j), 0.0, 1.0)
+            inside = ((s > -1.0) & (s < atlas_extent)).astype(jnp.float32)
+            return w * inside
+
+        for lplan in plan:
+            for ci in range(3):
+                for tpos, bpos, lpos, hpos in lplan[ci]:
+                    bins = sc[bpos]
+                    lo = jnp.int32(0) if lpos is None else sc[lpos][t]
+                    hi = sc[hpos][t]
+                    if ci == 0:
+                        shapes, sclips = tn[tpos[0]], tn[tpos[1]]
+
+                        def body(k, _, shapes=shapes, sclips=sclips,
+                                 bins=bins):
+                            _shape_step(shapes, sclips, bins[t, k], px, py,
+                                        clip_mask, composite)
+                            return 0
+                    elif ci == 1:
+                        glyphs, gcolors, gclips = (tn[tpos[0]], tn[tpos[1]],
+                                                   tn[tpos[2]])
+
+                        def body(k, _, glyphs=glyphs, gcolors=gcolors,
+                                 gclips=gclips, bins=bins):
+                            _glyph_step(glyphs, gcolors, gclips,
+                                        tn[font_pos], font_cols, bins[t, k],
+                                        px, py, clip_mask, composite,
+                                        sample_weights_y, sample_weights_xT)
+                            return 0
+                    else:
+                        images, iclips = tn[tpos[0]], tn[tpos[1]]
+
+                        def body(k, _, images=images, iclips=iclips,
+                                 bins=bins):
+                            _image_step(images, iclips, tn[img_pos],
+                                        img_cols, bins[t, k], px, py,
+                                        clip_mask, composite,
+                                        sample_weights_y, sample_weights_xT)
+                            return 0
+                    jax.lax.fori_loop(lo, hi, body, 0)
+
+        out_ref[0] = jnp.stack([fb[0], fb[1], fb[2], fb[3]])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalar,

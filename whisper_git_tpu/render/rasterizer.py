@@ -871,7 +871,16 @@ def _render_packed(fused, win_blobs, font_tex, image_atlas,
 
 
 def render_scene_device(scene: Scene, font_tex, image_atlas=None):
-    """Rasterize → device-resident (H, W, 4) uint8 frame (no readback)."""
+    """Rasterize → device-resident (H, W, 4) uint8 frame (no readback).
+
+    Default path: the device-resident frame cache (render/frame.py —
+    content-addressed chrome, window pair bins gathered on device).
+    WGIT_FRAME_CACHE=0 falls back to the single-shot packed path below
+    (also used by the mesh-sharded demo); both are bit-identical."""
+    from . import frame as F
+
+    if F.frame_cache_enabled():
+        return F.render_frame_device(scene, font_tex, image_atlas)
     fused, meta, tiles_y, tiles_x, win_list = pack_scene(scene)
     dev_wins = []
     for uid, caps, blob in win_list:
