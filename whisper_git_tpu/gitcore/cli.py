@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import subprocess
+import time
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -37,6 +38,12 @@ def git_env(extra: Optional[dict] = None) -> dict:
     env = dict(os.environ)
     env["GIT_TERMINAL_PROMPT"] = "0"
     env["LC_ALL"] = "C"
+    # Background refresh threads run `git status` concurrently with user
+    # write ops (commit/stage).  Optional locks make `status` grab
+    # index.lock to refresh the stat cache, which races the write op into
+    # "Unable to create index.lock: File exists".  Disable them: queries
+    # stay lock-free, writes still take the (mandatory) lock.
+    env["GIT_OPTIONAL_LOCKS"] = "0"
     # Never let user config rewrite our plumbing output formats.
     env.setdefault("GIT_PAGER", "cat")
     if extra:
@@ -59,13 +66,23 @@ def run_git(
     if workdir is not None:
         cmd += ["-C", workdir]
     cmd += list(args)
-    proc = subprocess.run(
-        cmd,
-        capture_output=True,
-        env=git_env(),
-        input=(input_text.encode() if input_text is not None else None),
-        timeout=timeout,
-    )
+    # A concurrent writer (another worktree handle, an IDE, a pre-commit
+    # hook) can hold index.lock for a moment; retry briefly rather than
+    # surfacing a spurious failure to the user.
+    for attempt in range(4):
+        proc = subprocess.run(
+            cmd,
+            capture_output=True,
+            env=git_env(),
+            input=(input_text.encode() if input_text is not None else None),
+            timeout=timeout,
+        )
+        if proc.returncode == 0:
+            break
+        err_snippet = proc.stderr.decode("utf-8", "replace")
+        if "index.lock" not in err_snippet or attempt == 3:
+            break
+        time.sleep(0.05 * (attempt + 1))
     if binary:
         stdout = proc.stdout
         stderr = proc.stderr.decode("utf-8", "replace")
