@@ -48,7 +48,7 @@ class Glyph:
     u: int          # atlas cell origin (px)
     v: int
     w: int          # glyph bitmap extent inside the cell (px, atlas scale)
-    h: int
+    h: int          # (kept for measurement; sampling uses the shared band)
     bearing_x: float  # quad x offset from the pen position, atlas px
     bearing_y: float  # quad y offset from the line top, atlas px
     advance: float    # atlas px
@@ -62,6 +62,12 @@ class FontAtlas:
     descent: float
     font_px: float = float(ATLAS_FONT_PX)
     spread: float = SPREAD
+    # Cells are BASELINE-ALIGNED: every glyph's ink sits at its line-top
+    # offset within its cell (shifted down by the spread margin), so all
+    # glyphs of a run share one vertical sampling band — the run-batched
+    # kernel builds the row-weight matrix once per run, not per glyph.
+    band_top: float = -SPREAD    # band origin relative to line top, atlas px
+    band_h: float = float(CELL)  # band extent = the full cell
 
     def __post_init__(self):
         # Vectorized lookup tables: codepoint → metrics row. Text emission
@@ -121,7 +127,7 @@ def build_atlas(bold: bool = False, use_cache: bool = True) -> FontAtlas:
     font_file = _font_path(bold)
     key = hashlib.md5(
         f"{font_file}:{ATLAS_FONT_PX}:{OVERSAMPLE}:{CELL}:{SPREAD}:"
-        f"{''.join(_CHARS)}:v3".encode()).hexdigest()[:16]
+        f"{''.join(_CHARS)}:v4-baseline".encode()).hexdigest()[:16]
     cache = os.path.join(_cache_dir(), f"atlas-{key}.npz")
     if use_cache and os.path.exists(cache):
         try:
@@ -147,9 +153,13 @@ def build_atlas(bold: bool = False, use_cache: bool = True) -> FontAtlas:
         pad = int(SPREAD * OVERSAMPLE)
         if mw > 0 and mh > 0:
             arr = np.asarray(mask, np.float32).reshape(mh, mw) / 255.0
+            # Baseline-aligned placement: the ink lands at its line-top
+            # offset (bbox y0) within the cell, below the spread margin,
+            # so every glyph shares the cell-wide vertical band.
+            row0 = max(pad + bbox[1], 0)
             cw = min(mw, os_cell - 2 * pad)
-            chh = min(mh, os_cell - 2 * pad)
-            cell[pad:pad + chh, pad:pad + cw] = arr[:chh, :cw]
+            chh = min(mh, os_cell - row0)
+            cell[row0:row0 + chh, pad:pad + cw] = arr[:chh, :cw]
         coverages.append(cell)
         records.append((ch, mw, mh, bbox[0], bbox[1], adv))
 
@@ -180,7 +190,9 @@ def build_atlas(bold: bool = False, use_cache: bool = True) -> FontAtlas:
             w=min(mw // OVERSAMPLE + 2 * pad_small, CELL),
             h=min(mh // OVERSAMPLE + 2 * pad_small, CELL),
             bearing_x=bx0 / OVERSAMPLE - pad_small,
-            bearing_y=by0 / OVERSAMPLE - pad_small,
+            # Baseline-aligned cells: row 0 of every cell is line-top
+            # minus the spread margin (the ink itself sits at bbox y0).
+            bearing_y=-float(pad_small),
             advance=adv / OVERSAMPLE,
         )
     atlas = FontAtlas(texture, glyphs,

@@ -447,13 +447,16 @@ class SceneCompiler:
         pens = np.concatenate(([0.0], np.cumsum(adv[:-1])))
         quads = np.empty((len(cps), 8), np.float32)
         quads[:, 0] = pens + m[:, 4] * scale
-        quads[:, 1] = m[:, 5] * scale
+        # Atlas cells are baseline-aligned (atlas.FontAtlas.band_*): every
+        # glyph samples the same cell-wide vertical band, so y/h/uh are
+        # run constants — the precondition for run-batched compositing.
+        quads[:, 1] = atlas.band_top * scale
         quads[:, 2] = m[:, 2] * scale
-        quads[:, 3] = m[:, 3] * scale
+        quads[:, 3] = atlas.band_h * scale
         quads[:, 4] = m[:, 0]
         quads[:, 5] = m[:, 1] + v_off
         quads[:, 6] = m[:, 2]
-        quads[:, 7] = m[:, 3]
+        quads[:, 7] = atlas.band_h
         # Skip spaces/control chars; unknown codepoints already carry the
         # fallback '?' metrics from the LUT.
         tpl = np.ascontiguousarray(quads[cps > 32])
