@@ -1,0 +1,395 @@
+"""Differential tests for the native status scanner (native/statusscan.cc).
+
+The scanner's contract: for every repository state it *answers*, the four
+dirty bits must agree exactly with `git status --porcelain=v2
+--ignore-submodules=all`; anything it cannot certify must return None
+(fallback). Every case here builds a real repo and compares against git
+itself — the same no-mock ground-truth strategy the reference uses for its
+status machinery (SURVEY §4.2)."""
+
+import os
+import subprocess
+
+import pytest
+
+from whisper_git_tpu.gitcore import GitRepo, native
+from whisper_git_tpu.gitcore import status as gstatus
+
+needs_native = pytest.mark.skipif(
+    not (native.available() and hasattr(native._lib(), "wgit_quick_dirty")),
+    reason="libwgitcore.so with wgit_quick_dirty not built")
+
+pytestmark = needs_native
+
+
+def ground_truth_bits(repo: GitRepo) -> int:
+    st = gstatus.status(repo, exclude_submodules=True)
+    bits = 0
+    if st.staged:
+        bits |= native.DIRTY_STAGED
+    if st.unstaged:
+        bits |= native.DIRTY_UNSTAGED
+    if st.untracked:
+        bits |= native.DIRTY_UNTRACKED
+    if st.conflicted:
+        bits |= native.DIRTY_CONFLICTED
+    return bits
+
+
+def scan(repo_path: str):
+    repo = GitRepo.open(repo_path)
+    got = native.quick_dirty(repo.workdir, repo.git_dir, repo.common_dir)
+    want = ground_truth_bits(repo)
+    return got, want
+
+
+def assert_agrees(repo_path: str):
+    got, want = scan(repo_path)
+    assert got is not None, "scanner declined a certifiable repo"
+    assert got == want, f"native bits {got:04b} != git bits {want:04b}"
+
+
+def test_clean_repo(temp_repo, git):
+    os.makedirs(os.path.join(temp_repo, "sub/deep"))
+    with open(os.path.join(temp_repo, "sub/deep/a.txt"), "w") as f:
+        f.write("content\n")
+    exe = os.path.join(temp_repo, "run.sh")
+    with open(exe, "w") as f:
+        f.write("#!/bin/sh\n")
+    os.chmod(exe, 0o755)
+    os.symlink("README.md", os.path.join(temp_repo, "link"))
+    git(temp_repo, "add", ".")
+    git(temp_repo, "commit", "-m", "more files")
+    assert_agrees(temp_repo)
+    got, _ = scan(temp_repo)
+    assert got == 0
+
+
+def test_touched_but_unchanged_is_clean(temp_repo):
+    # Rewriting identical content invalidates the cached stat → the scanner
+    # must re-hash and still answer clean.
+    p = os.path.join(temp_repo, "README.md")
+    content = open(p).read()
+    with open(p, "w") as f:
+        f.write(content)
+    os.utime(p, (1_700_000_000, 1_700_000_000))
+    assert_agrees(temp_repo)
+    got, _ = scan(temp_repo)
+    assert got == 0
+
+
+def test_modified_same_size_and_resized(temp_repo):
+    p = os.path.join(temp_repo, "README.md")
+    with open(p, "w") as f:
+        f.write("jello\n")  # same byte length as "hello\n"
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_UNSTAGED
+    with open(p, "w") as f:
+        f.write("a much longer line of text\n")
+    assert_agrees(temp_repo)
+
+
+def test_deleted_tracked_file(temp_repo):
+    os.unlink(os.path.join(temp_repo, "README.md"))
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_UNSTAGED
+
+
+def test_staged_variants(temp_repo, git):
+    # staged new file
+    with open(os.path.join(temp_repo, "new.txt"), "w") as f:
+        f.write("new\n")
+    git(temp_repo, "add", "new.txt")
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_STAGED
+    git(temp_repo, "commit", "-m", "add new")
+
+    # staged modification
+    with open(os.path.join(temp_repo, "new.txt"), "w") as f:
+        f.write("changed\n")
+    git(temp_repo, "add", "new.txt")
+    assert_agrees(temp_repo)
+
+    # staged deletion
+    git(temp_repo, "commit", "-m", "mod")
+    git(temp_repo, "rm", "-q", "new.txt")
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_STAGED
+
+    # staged mode change
+    git(temp_repo, "commit", "-m", "rm")
+    os.chmod(os.path.join(temp_repo, "README.md"), 0o755)
+    git(temp_repo, "add", "README.md")
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_STAGED
+
+
+def test_staged_rename(temp_repo, git):
+    git(temp_repo, "mv", "README.md", "README2.md")
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_STAGED
+
+
+def test_exec_bit_flip_unstaged(temp_repo):
+    os.chmod(os.path.join(temp_repo, "README.md"), 0o755)
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_UNSTAGED
+
+
+def test_symlink_retarget(temp_repo, git):
+    os.symlink("README.md", os.path.join(temp_repo, "link"))
+    git(temp_repo, "add", "link")
+    git(temp_repo, "commit", "-m", "link")
+    os.unlink(os.path.join(temp_repo, "link"))
+    os.symlink("other", os.path.join(temp_repo, "link"))
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_UNSTAGED
+
+
+def test_typechange(temp_repo):
+    p = os.path.join(temp_repo, "README.md")
+    os.unlink(p)
+    os.symlink("elsewhere", p)
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_UNSTAGED
+
+
+def test_untracked_and_gitignore(temp_repo, git):
+    with open(os.path.join(temp_repo, ".gitignore"), "w") as f:
+        f.write("*.log\n/build/\nsecret*\n!secret.keep\n")
+    git(temp_repo, "add", ".gitignore")
+    git(temp_repo, "commit", "-m", "ignores")
+
+    # all-ignored additions → clean
+    os.makedirs(os.path.join(temp_repo, "build/objs"))
+    with open(os.path.join(temp_repo, "build/objs/x.o"), "w") as f:
+        f.write("o")
+    with open(os.path.join(temp_repo, "a.log"), "w") as f:
+        f.write("log")
+    with open(os.path.join(temp_repo, "secret.txt"), "w") as f:
+        f.write("s")
+    got, want = scan(temp_repo)
+    assert got == want == 0
+
+    # negated pattern re-includes
+    with open(os.path.join(temp_repo, "secret.keep"), "w") as f:
+        f.write("k")
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_UNTRACKED
+
+
+def test_nested_gitignore_scopes(temp_repo, git):
+    os.makedirs(os.path.join(temp_repo, "sub"))
+    with open(os.path.join(temp_repo, "sub/.gitignore"), "w") as f:
+        f.write("local-only.txt\n")
+    git(temp_repo, "add", ".")
+    git(temp_repo, "commit", "-m", "sub ignores")
+    # ignored inside sub/ …
+    with open(os.path.join(temp_repo, "sub/local-only.txt"), "w") as f:
+        f.write("x")
+    got, want = scan(temp_repo)
+    assert got == want == 0
+    # … but not at the root
+    with open(os.path.join(temp_repo, "local-only.txt"), "w") as f:
+        f.write("x")
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_UNTRACKED
+
+
+def test_double_star_pattern(temp_repo, git):
+    with open(os.path.join(temp_repo, ".gitignore"), "w") as f:
+        f.write("docs/**/generated\n")
+    git(temp_repo, "add", ".gitignore")
+    git(temp_repo, "commit", "-m", "glob")
+    os.makedirs(os.path.join(temp_repo, "docs/a/b/generated"))
+    with open(os.path.join(temp_repo, "docs/a/b/generated/out.txt"), "w") as f:
+        f.write("g")
+    got, want = scan(temp_repo)
+    assert got == want == 0
+
+
+def test_conflict_state(temp_repo, git):
+    p = os.path.join(temp_repo, "README.md")
+    git(temp_repo, "checkout", "-q", "-b", "side")
+    with open(p, "w") as f:
+        f.write("side\n")
+    git(temp_repo, "commit", "-am", "side edit")
+    git(temp_repo, "checkout", "-q", "main")
+    with open(p, "w") as f:
+        f.write("main\n")
+    git(temp_repo, "commit", "-am", "main edit")
+    subprocess.run(["git", "-C", temp_repo, "merge", "side"],
+                   capture_output=True)
+    got, want = scan(temp_repo)
+    assert got is not None
+    assert got & native.DIRTY_CONFLICTED
+    assert got == want
+
+
+def test_packed_objects_and_refs(temp_repo, git):
+    # Force everything into packfiles (deltas included) and packed-refs.
+    for i in range(30):
+        with open(os.path.join(temp_repo, "file.txt"), "w") as f:
+            f.write(("line %d\n" % i) * 50)
+        git(temp_repo, "add", "file.txt")
+        git(temp_repo, "commit", "-m", f"rev {i}")
+    git(temp_repo, "gc", "-q", "--aggressive", "--prune=now")
+    got, want = scan(temp_repo)
+    assert got == want == 0
+    # staged compare must read HEAD's tree out of the pack
+    with open(os.path.join(temp_repo, "file.txt"), "a") as f:
+        f.write("tail\n")
+    git(temp_repo, "add", "file.txt")
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_STAGED
+
+
+def test_detached_head(temp_repo, git):
+    git(temp_repo, "commit", "--allow-empty", "-m", "two")
+    git(temp_repo, "checkout", "-q", "HEAD~1")
+    assert_agrees(temp_repo)
+
+
+def test_unborn_head_with_staged(tmp_path, git):
+    repo = tmp_path / "fresh"
+    repo.mkdir()
+    git(repo, "init", "-b", "main")
+    git(repo, "config", "user.email", "t@e.c")
+    git(repo, "config", "user.name", "T")
+    assert_agrees(str(repo))
+    (repo / "f.txt").write_text("x\n")
+    git(repo, "add", "f.txt")
+    got, want = scan(str(repo))
+    assert got == want == native.DIRTY_STAGED
+
+
+def test_intent_to_add(temp_repo, git):
+    with open(os.path.join(temp_repo, "ita.txt"), "w") as f:
+        f.write("x\n")
+    git(temp_repo, "add", "-N", "ita.txt")
+    got, want = scan(temp_repo)
+    assert got is not None
+    assert got != 0 and want != 0  # both sides agree it's dirty
+
+
+def test_linked_worktree(temp_repo, git):
+    wt = os.path.join(os.path.dirname(temp_repo), "wt")
+    git(temp_repo, "worktree", "add", "-q", wt, "-b", "wt-branch")
+    assert_agrees(wt)
+    with open(os.path.join(wt, "scratch.txt"), "w") as f:
+        f.write("x")
+    got, want = scan(wt)
+    assert got == want == native.DIRTY_UNTRACKED
+    # the main worktree must stay unaffected
+    got, want = scan(temp_repo)
+    assert got == want == 0
+
+
+def test_submodule_changes_excluded(temp_repo, git, tmp_path):
+    inner = tmp_path / "inner"
+    inner.mkdir()
+    git(inner, "init", "-b", "main")
+    git(inner, "config", "user.email", "t@e.c")
+    git(inner, "config", "user.name", "T")
+    (inner / "lib.txt").write_text("v1\n")
+    git(inner, "add", ".")
+    git(inner, "commit", "-m", "inner")
+    subprocess.run(["git", "-C", temp_repo, "-c", "protocol.file.allow=always",
+                    "submodule", "add", str(inner), "vendor/inner"],
+                   check=True, capture_output=True)
+    git(temp_repo, "commit", "-m", "add submodule")
+    assert_agrees(temp_repo)
+    # dirty the submodule working copy: parent must stay clean
+    with open(os.path.join(temp_repo, "vendor/inner/lib.txt"), "a") as f:
+        f.write("v2\n")
+    with open(os.path.join(temp_repo, "vendor/inner/junk.txt"), "w") as f:
+        f.write("junk")
+    got, want = scan(temp_repo)
+    assert got == want == 0
+
+
+def test_fallback_on_autocrlf(temp_repo, git):
+    git(temp_repo, "config", "core.autocrlf", "true")
+    repo = GitRepo.open(temp_repo)
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) is None
+
+
+def test_fallback_on_filter_attributes(temp_repo, git):
+    with open(os.path.join(temp_repo, ".gitattributes"), "w") as f:
+        f.write("*.txt filter=lfs\n")
+    git(temp_repo, "add", ".gitattributes")
+    git(temp_repo, "commit", "-m", "attrs")
+    # Force a re-hash under the filtered path → scanner must decline.
+    p = os.path.join(temp_repo, "data.txt")
+    with open(p, "w") as f:
+        f.write("x\n")
+    git(temp_repo, "add", "data.txt")
+    git(temp_repo, "commit", "-m", "data")
+    os.utime(p, (1_700_000_000, 1_700_000_000))
+    repo = GitRepo.open(temp_repo)
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) is None
+
+
+def test_safe_attributes_do_not_fallback(temp_repo, git):
+    # linguist/diff attributes don't change blob hashing → still certifiable.
+    with open(os.path.join(temp_repo, ".gitattributes"), "w") as f:
+        f.write("*.lock linguist-generated\n*.bin diff=hex\n")
+    git(temp_repo, "add", ".gitattributes")
+    git(temp_repo, "commit", "-m", "attrs")
+    os.utime(os.path.join(temp_repo, "README.md"),
+             (1_700_000_000, 1_700_000_000))
+    assert_agrees(temp_repo)
+
+
+def test_randomized_states_agree(temp_repo, git):
+    """Pseudo-random walk over repo mutations; verdicts must track git."""
+    import random
+    rng = random.Random(1234)
+    ops = 0
+    for step in range(40):
+        roll = rng.random()
+        name = f"f{rng.randrange(6)}.txt"
+        p = os.path.join(temp_repo, name)
+        if roll < 0.3:
+            with open(p, "w") as f:
+                f.write(f"content {step} {rng.random()}\n")
+        elif roll < 0.5 and os.path.exists(p):
+            git(temp_repo, "add", name)
+        elif roll < 0.6 and os.path.exists(p):
+            os.unlink(p)
+        elif roll < 0.75:
+            subprocess.run(["git", "-C", temp_repo, "commit", "-q", "-m",
+                            f"step {step}"], capture_output=True)
+        elif roll < 0.85 and os.path.exists(p):
+            os.chmod(p, 0o755 if rng.random() < 0.5 else 0o644)
+        else:
+            subprocess.run(["git", "-C", temp_repo, "reset", "-q"],
+                           capture_output=True)
+        got, want = scan(temp_repo)
+        assert got is not None
+        assert got == want, f"divergence at step {step}: {got:04b} vs {want:04b}"
+        ops += 1
+    assert ops == 40
+
+
+def test_quick_dirty_is_fast(temp_repo, git):
+    """The reason this exists: a big tree must check in ~single-digit ms
+    (subprocess porcelain costs ~10-30 ms even on small repos)."""
+    import time
+    for d in range(20):
+        os.makedirs(os.path.join(temp_repo, f"dir{d}"), exist_ok=True)
+        for i in range(50):
+            with open(os.path.join(temp_repo, f"dir{d}/f{i}.txt"), "w") as f:
+                f.write(f"file {d}/{i}\n")
+    git(temp_repo, "add", ".")
+    git(temp_repo, "commit", "-m", "1000 files")
+    repo = GitRepo.open(temp_repo)
+    native.quick_dirty(repo.workdir, repo.git_dir, repo.common_dir)  # warm
+    t0 = time.perf_counter()
+    for _ in range(20):
+        bits = native.quick_dirty(repo.workdir, repo.git_dir, repo.common_dir)
+    per_call = (time.perf_counter() - t0) / 20 * 1000
+    assert bits == 0
+    assert per_call < 25.0  # generous bound for loaded CI machines

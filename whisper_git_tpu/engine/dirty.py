@@ -16,6 +16,7 @@ import threading
 from dataclasses import dataclass
 from typing import Optional
 
+from ..gitcore import native as gnative
 from ..gitcore import status as gstatus
 from ..gitcore.repo import GitRepo
 from .proxy import EventLoopProxy
@@ -30,13 +31,27 @@ class DirtyCheckResult:
     error: Optional[str] = None
 
 
+def check_dirty(repo: GitRepo) -> bool:
+    """One entity's dirty verdict. Fast path: the native scanner
+    (native/statusscan.cc) reads the index/object store/worktree directly —
+    no subprocess, ~100x cheaper than porcelain for a clean tree, which is
+    what makes the per-refresh fanout over dozens of submodules/worktrees
+    cheap. Falls back to `git status` whenever the scanner declines to
+    certify the repo (filters, sha256, v4 index, …)."""
+    if repo.workdir is not None:
+        bits = gnative.quick_dirty(repo.workdir, repo.git_dir, repo.common_dir)
+        if bits is not None:
+            return bits != 0
+    st = gstatus.status(repo, exclude_submodules=True)
+    return not st.is_clean()
+
+
 def _check_one(tab_id: int, kind: str, key: str, path: str,
                out: "queue.Queue[DirtyCheckResult]",
                proxy: Optional[EventLoopProxy]) -> None:
     try:
         sub = GitRepo.open(path)
-        st = gstatus.status(sub, exclude_submodules=True)
-        result = DirtyCheckResult(tab_id, kind, key, dirty=not st.is_clean())
+        result = DirtyCheckResult(tab_id, kind, key, dirty=check_dirty(sub))
     except Exception as exc:
         result = DirtyCheckResult(tab_id, kind, key, dirty=False, error=str(exc))
     out.put(result)

@@ -36,6 +36,10 @@ def _lib():
                 lib.wgit_ref_fingerprint.argtypes = [
                     ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t]
                 lib.wgit_ref_fingerprint.restype = ctypes.c_int
+                if hasattr(lib, "wgit_quick_dirty"):
+                    lib.wgit_quick_dirty.argtypes = [
+                        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+                    lib.wgit_quick_dirty.restype = ctypes.c_int
                 _LIB = lib
                 break
             except OSError:
@@ -56,3 +60,28 @@ def ref_fingerprint(git_dir: str, common_dir: str) -> Optional[str]:
     if rc != 0:
         return None
     return buf.value.decode()
+
+
+# Bitmask returned by quick_dirty (keep in sync with native/statusscan.cc).
+DIRTY_STAGED = 1
+DIRTY_UNSTAGED = 2
+DIRTY_UNTRACKED = 4
+DIRTY_CONFLICTED = 8
+
+
+def quick_dirty(workdir: str, git_dir: str,
+                common_dir: str) -> Optional[int]:
+    """Subprocess-free dirty check via the native scanner (index parse +
+    object-store HEAD-tree compare + stat walk + gitignore engine). Returns
+    a DIRTY_* bitmask (0 = certainly clean), or None when the native library
+    is absent or the repository uses features the scanner cannot certify
+    (sha256, split/sparse/v4 index, autocrlf, content filters) — callers
+    must then fall back to `git status`."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "wgit_quick_dirty"):
+        return None
+    rc = lib.wgit_quick_dirty(
+        workdir.encode(), git_dir.encode(), common_dir.encode())
+    if rc < 0:
+        return None
+    return rc
