@@ -22,7 +22,12 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
+#include <deque>
+#include <mutex>
+#include <thread>
 #include <cstdio>
 #include <cstring>
 #include <dirent.h>
@@ -880,31 +885,50 @@ void parse_ignore_lines(const std::string& text, const std::string& base,
   }
 }
 
-// Final verdict for repo-relative `path` (last matching pattern wins).
-bool is_ignored(const std::vector<IgnorePattern>& stack,
-                const std::string& path, bool is_dir) {
-  bool ignored = false;
-  for (const auto& p : stack) {
-    if (p.dir_only && !is_dir) continue;
-    const char* rel = path.c_str();
-    if (!p.base.empty()) {
-      size_t bl = p.base.size();
-      if (path.size() <= bl || path.compare(0, bl, p.base) != 0 ||
-          path[bl] != '/')
-        continue;  // pattern's directory does not contain this path
-      rel = path.c_str() + bl + 1;
-    }
-    bool m;
-    if (p.anchored) {
-      m = glob_match(p.pat.c_str(), rel);
-    } else {
-      // Unanchored (no slash): matches the basename at any depth below the
-      // defining .gitignore's directory.
-      const char* bn = std::strrchr(rel, '/');
-      m = glob_match(p.pat.c_str(), bn ? bn + 1 : rel);
-    }
-    if (m) ignored = !p.negate;
+// Immutable per-directory ignore chain: each directory's .gitignore adds a
+// node pointing at its parent's, so walker tasks can fan out across threads
+// sharing ancestors without copying pattern vectors.
+struct IgnoreNode {
+  std::shared_ptr<const IgnoreNode> parent;
+  std::vector<IgnorePattern> pats;
+};
+
+bool match_pattern(const IgnorePattern& p, const std::string& path,
+                   bool is_dir, bool* verdict) {
+  if (p.dir_only && !is_dir) return false;
+  const char* rel = path.c_str();
+  if (!p.base.empty()) {
+    size_t bl = p.base.size();
+    if (path.size() <= bl || path.compare(0, bl, p.base) != 0 ||
+        path[bl] != '/')
+      return false;  // pattern's directory does not contain this path
+    rel = path.c_str() + bl + 1;
   }
+  bool m;
+  if (p.anchored) {
+    m = glob_match(p.pat.c_str(), rel);
+  } else {
+    // Unanchored (no slash): matches the basename at any depth below the
+    // defining .gitignore's directory.
+    const char* bn = std::strrchr(rel, '/');
+    m = glob_match(p.pat.c_str(), bn ? bn + 1 : rel);
+  }
+  if (m) *verdict = !p.negate;
+  return m;
+}
+
+// Final verdict for repo-relative `path`: patterns apply outermost .gitignore
+// first, and the last matching pattern wins.
+bool is_ignored(const IgnoreNode* node, const std::string& path,
+                bool is_dir) {
+  const IgnoreNode* chain[128];
+  int n = 0;
+  for (const IgnoreNode* p = node; p && n < 128; p = p->parent.get())
+    chain[n++] = p;
+  bool ignored = false;
+  for (int i = n - 1; i >= 0; --i)
+    for (const auto& p : chain[i]->pats)
+      match_pattern(p, path, is_dir, &ignored);
   return ignored;
 }
 
@@ -940,26 +964,27 @@ bool ancestors_attr_safe(const std::string& workdir, std::string_view path,
 
 struct Tracked {
   const IndexEntry* e;
-  bool visited = false;
+  bool visited = false;  // set by exactly one walker (subtrees are disjoint)
 };
+
+using AttrCache = std::map<std::string, bool, std::less<>>;
 
 struct ScanCtx {
   std::string workdir;          // absolute, no trailing slash
   const IndexData* index;
   std::unordered_map<std::string_view, Tracked> tracked;  // stage-0 by path
   std::unordered_set<std::string_view> conflicted;   // paths with stage>0
-  std::map<std::string, bool, std::less<>> attr_cache;
   struct stat index_st {};
   bool have_index_stat = false;
-  int bits = 0;
+  std::atomic<int> bits{0};
   bool filemode = true;
-  bool uncertain = false;  // set when a content compare needed filters
+  std::atomic<bool> uncertain{false};  // a content compare needed filters
 };
 
 // Verdict for one tracked entry against its lstat. Sets kUnstaged (or
 // ctx->uncertain when a content re-hash would need attribute filters).
 void check_entry(ScanCtx* ctx, const IndexEntry* ep, std::string_view path,
-                 const struct stat& st) {
+                 const struct stat& st, AttrCache* attr_cache) {
   bool want_link = (ep->mode & 0170000) == 0120000;
   bool is_link = S_ISLNK(st.st_mode);
   if (want_link != is_link || (!is_link && !S_ISREG(st.st_mode))) {
@@ -993,7 +1018,7 @@ void check_entry(ScanCtx* ctx, const IndexEntry* ep, std::string_view path,
   if (stat_match && !racy && uint64_t(st.st_size) == ep->size) return;
   // Content comparison is only meaningful if no clean/smudge filter or
   // eol/text attribute applies to this path.
-  if (!ancestors_attr_safe(ctx->workdir, path, &ctx->attr_cache)) {
+  if (!ancestors_attr_safe(ctx->workdir, path, attr_cache)) {
     ctx->uncertain = true;
     return;
   }
@@ -1002,16 +1027,38 @@ void check_entry(ScanCtx* ctx, const IndexEntry* ep, std::string_view path,
     ctx->bits |= kUnstaged;
 }
 
-// Fused worktree walk (the libgit2-status shape): ONE pass over directory
-// fds does tracked stat-compares (unstaged) and ignore-aware untracked
-// detection together, with fstatat() so the kernel never re-resolves deep
-// paths. Tracked entries it never reaches (deleted files, files under
-// pruned ignored dirs) are settled afterwards by scan_unvisited.
-void fused_walk(ScanCtx* ctx, int dirfd, const std::string& rel,
-                std::vector<IgnorePattern>* stack) {
+// Fused worktree walk (the libgit2-status shape): one pass over directories
+// does tracked stat-compares (unstaged) and ignore-aware untracked detection
+// together. Each directory is an independent task on a shared work queue, so
+// big trees (the reference's 25k-file submodule pain case) fan out across
+// cores; the immutable IgnoreNode chain gives every task its ancestor
+// .gitignore context for free. Tracked entries no task reaches (deleted
+// files, files under pruned ignored dirs) are settled by scan_unvisited.
+struct WalkQueue {
+  std::mutex mu;
+  std::condition_variable cv;
+  std::deque<std::pair<std::string, std::shared_ptr<const IgnoreNode>>> q;
+  int active = 0;
+
+  void push(std::string rel, std::shared_ptr<const IgnoreNode> ign) {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      q.emplace_back(std::move(rel), std::move(ign));
+    }
+    cv.notify_one();
+  }
+};
+
+void process_dir(ScanCtx* ctx, const std::string& rel,
+                 const std::shared_ptr<const IgnoreNode>& parent_ign,
+                 WalkQueue* wq, AttrCache* attr_cache) {
   constexpr int kDone = kUnstaged | kUntracked;
   if ((ctx->bits & kDone) == kDone || ctx->uncertain) return;
-  size_t stack_mark = stack->size();
+  std::string abs = rel.empty() ? ctx->workdir : ctx->workdir + "/" + rel;
+  int dirfd = ::open(abs.c_str(), O_RDONLY | O_DIRECTORY | O_NOFOLLOW |
+                                      O_CLOEXEC);
+  if (dirfd < 0) return;
+  std::shared_ptr<const IgnoreNode> ign = parent_ign;
   {
     int gfd = ::openat(dirfd, ".gitignore", O_RDONLY | O_CLOEXEC);
     if (gfd >= 0) {
@@ -1020,16 +1067,17 @@ void fused_walk(ScanCtx* ctx, int dirfd, const std::string& rel,
       ssize_t n;
       while ((n = ::read(gfd, buf, sizeof buf)) > 0) text.append(buf, n);
       ::close(gfd);
-      parse_ignore_lines(text, rel, stack);
+      auto node = std::make_shared<IgnoreNode>();
+      node->parent = parent_ign;
+      parse_ignore_lines(text, rel, &node->pats);
+      if (!node->pats.empty()) ign = std::move(node);
     }
   }
-  int iterfd = ::dup(dirfd);
-  DIR* d = iterfd >= 0 ? ::fdopendir(iterfd) : nullptr;
+  DIR* d = ::fdopendir(dirfd);
   if (!d) {
-    if (iterfd >= 0) ::close(iterfd);
+    ::close(dirfd);
     return;
   }
-  std::vector<std::string> subdirs;
   std::string child_rel, probe;
   while (dirent* ent = ::readdir(d)) {
     const char* name = ent->d_name;
@@ -1064,12 +1112,12 @@ void fused_walk(ScanCtx* ctx, int dirfd, const std::string& rel,
         // Untracked nested repository: its directory itself is untracked
         // content (git reports "? nested/"), but its insides are not ours.
         if (!(ctx->bits & kUntracked) &&
-            !is_ignored(*stack, child_rel, /*is_dir=*/true))
+            !is_ignored(ign.get(), child_rel, /*is_dir=*/true))
           ctx->bits |= kUntracked;
         continue;
       }
-      if (is_ignored(*stack, child_rel, /*is_dir=*/true)) continue;
-      subdirs.push_back(child_rel);
+      if (is_ignored(ign.get(), child_rel, /*is_dir=*/true)) continue;
+      wq->push(child_rel, ign);
     } else if (dt == DT_REG || dt == DT_LNK) {
       auto it = ctx->tracked.find(std::string_view(child_rel));
       if (it != ctx->tracked.end()) {
@@ -1084,30 +1132,68 @@ void fused_walk(ScanCtx* ctx, int dirfd, const std::string& rel,
           ctx->bits |= kUnstaged;
           continue;
         }
-        check_entry(ctx, ep, it->first, st);
+        check_entry(ctx, ep, it->first, st, attr_cache);
         if (ctx->uncertain) break;
         continue;
       }
       if (ctx->bits & kUntracked) continue;
       if (ctx->conflicted.count(std::string_view(child_rel))) continue;
-      if (is_ignored(*stack, child_rel, /*is_dir=*/false)) continue;
+      if (is_ignored(ign.get(), child_rel, /*is_dir=*/false)) continue;
       ctx->bits |= kUntracked;
     }
     if ((ctx->bits & kDone) == kDone) break;
   }
-  ::closedir(d);  // closes iterfd
-  for (const auto& sub : subdirs) {
-    if ((ctx->bits & kDone) == kDone || ctx->uncertain) break;
-    size_t slash = sub.rfind('/');
-    const char* leaf = slash == std::string::npos ? sub.c_str()
-                                                  : sub.c_str() + slash + 1;
-    int cfd = ::openat(dirfd, leaf,
-                       O_RDONLY | O_DIRECTORY | O_NOFOLLOW | O_CLOEXEC);
-    if (cfd < 0) continue;
-    fused_walk(ctx, cfd, sub, stack);
-    ::close(cfd);
+  ::closedir(d);  // closes dirfd
+}
+
+void walk_worker(ScanCtx* ctx, WalkQueue* wq) {
+  AttrCache attr_cache;  // per-thread memo of ancestor-attr safety
+  std::unique_lock<std::mutex> lk(wq->mu);
+  for (;;) {
+    wq->cv.wait(lk, [&] { return !wq->q.empty() || wq->active == 0; });
+    if (wq->q.empty()) {
+      if (wq->active == 0) return;
+      continue;
+    }
+    auto [rel, ign] = std::move(wq->q.front());
+    wq->q.pop_front();
+    ++wq->active;
+    lk.unlock();
+    process_dir(ctx, rel, ign, wq, &attr_cache);
+    lk.lock();
+    if (--wq->active == 0 && wq->q.empty()) {
+      lk.unlock();
+      wq->cv.notify_all();
+      lk.lock();
+    }
   }
-  stack->resize(stack_mark);
+}
+
+void run_walk(ScanCtx* ctx, std::shared_ptr<const IgnoreNode> base) {
+  WalkQueue wq;
+  wq.push("", std::move(base));
+  // Threads only pay off when there is real stat volume; small trees run
+  // inline (a thread pool costs more than it saves below ~2k entries).
+  size_t n_threads = 1;
+  if (ctx->tracked.size() >= 2000) {
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = std::min<size_t>(hw ? hw : 4, 8);
+  }
+  if (n_threads <= 1) {
+    AttrCache attr_cache;
+    while (!wq.q.empty()) {
+      auto [rel, ign] = std::move(wq.q.front());
+      wq.q.pop_front();
+      process_dir(ctx, rel, ign, &wq, &attr_cache);
+      if (ctx->uncertain) break;
+    }
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (size_t i = 0; i < n_threads; ++i)
+    threads.emplace_back(walk_worker, ctx, &wq);
+  for (auto& t : threads) t.join();
 }
 
 // Settle tracked entries the walk never reached: deleted files, or files
@@ -1115,6 +1201,7 @@ void fused_walk(ScanCtx* ctx, int dirfd, const std::string& rel,
 // an individual lstat — exact, and empty in the common case.
 void scan_unvisited(ScanCtx* ctx) {
   if (ctx->bits & kUnstaged) return;
+  AttrCache attr_cache;
   std::string abs;
   for (auto& [path, tr] : ctx->tracked) {
     if (ctx->bits & kUnstaged) return;
@@ -1130,7 +1217,7 @@ void scan_unvisited(ScanCtx* ctx) {
       ctx->bits |= kUnstaged;  // tracked file missing → deleted
       return;
     }
-    check_entry(ctx, ep, path, st);
+    check_entry(ctx, ep, path, st, &attr_cache);
   }
 }
 
@@ -1248,30 +1335,27 @@ int quick_dirty_impl(const char* workdir_c, const char* git_dir_c,
     }
   }
 
-  // --- unstaged + untracked: one fused walk ---------------------------------
+  // --- unstaged + untracked: one fused (possibly multithreaded) walk --------
   {
-    std::vector<IgnorePattern> stack;
+    auto base = std::make_shared<IgnoreNode>();
     std::string text;
     if (!facts.excludes_file.empty()) {
       std::string p = facts.excludes_file;
       if (!p.empty() && p[0] == '~') {
         p = (home ? std::string(home) : "") + p.substr(1);
       }
-      if (read_file(p, &text)) parse_ignore_lines(text, "", &stack);
+      if (read_file(p, &text)) parse_ignore_lines(text, "", &base->pats);
     } else {
-      std::string base = xdg ? std::string(xdg) + "/git/ignore"
-                             : (home ? std::string(home) + "/.config/git/ignore"
-                                     : "");
-      if (!base.empty() && read_file(base, &text))
-        parse_ignore_lines(text, "", &stack);
+      std::string gi = xdg ? std::string(xdg) + "/git/ignore"
+                           : (home ? std::string(home) + "/.config/git/ignore"
+                                   : "");
+      if (!gi.empty() && read_file(gi, &text))
+        parse_ignore_lines(text, "", &base->pats);
     }
     text.clear();
     if (read_file(common_dir + "/info/exclude", &text))
-      parse_ignore_lines(text, "", &stack);
-    int rootfd = ::open(workdir.c_str(), O_RDONLY | O_DIRECTORY | O_CLOEXEC);
-    if (rootfd < 0) return kError;
-    fused_walk(&ctx, rootfd, "", &stack);
-    ::close(rootfd);
+      parse_ignore_lines(text, "", &base->pats);
+    run_walk(&ctx, std::move(base));
     if (ctx.uncertain) return kUncertain;
     scan_unvisited(&ctx);
     if (ctx.uncertain) return kUncertain;

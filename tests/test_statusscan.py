@@ -374,6 +374,37 @@ def test_randomized_states_agree(temp_repo, git):
     assert ops == 40
 
 
+def test_threaded_walk_agrees(temp_repo, git):
+    """Trees past the ~2k-entry threshold run the multithreaded walk; the
+    verdict must stay exact for dirt hidden in any corner of the tree."""
+    for d in range(30):
+        os.makedirs(os.path.join(temp_repo, f"t{d}/inner"), exist_ok=True)
+        for i in range(80):
+            with open(os.path.join(temp_repo, f"t{d}/inner/f{i}.txt"), "w") as f:
+                f.write(f"{d}-{i}\n")
+    git(temp_repo, "add", ".")
+    git(temp_repo, "commit", "-m", "2400 files")
+    assert_agrees(temp_repo)
+    got, _ = scan(temp_repo)
+    assert got == 0
+    # one modified file deep in the tree
+    with open(os.path.join(temp_repo, "t17/inner/f42.txt"), "w") as f:
+        f.write("changed\n")
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_UNSTAGED
+    git(temp_repo, "checkout", "-q", "--", "t17/inner/f42.txt")
+    # one untracked file deep in the tree
+    with open(os.path.join(temp_repo, "t23/inner/new.bin"), "w") as f:
+        f.write("n")
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_UNTRACKED
+    os.unlink(os.path.join(temp_repo, "t23/inner/new.bin"))
+    # one deleted file (settled by the unvisited pass)
+    os.unlink(os.path.join(temp_repo, "t5/inner/f3.txt"))
+    got, want = scan(temp_repo)
+    assert got == want == native.DIRTY_UNSTAGED
+
+
 def test_quick_dirty_is_fast(temp_repo, git):
     """The reason this exists: a big tree must check in ~single-digit ms
     (subprocess porcelain costs ~10-30 ms even on small repos)."""
