@@ -714,6 +714,7 @@ bool flatten_tree(ObjectStore& store, const Oid& tree_oid,
 struct ConfigFacts {
   bool filemode = true;
   bool dangerous = false;  // autocrlf / sha256 / ignorecase / symlinks=false
+  bool renames = true;     // status.renames / diff.renames (default on)
   std::string excludes_file;
 };
 
@@ -741,6 +742,9 @@ void scan_config_file(const std::string& path, ConfigFacts* facts) {
           if (key == "excludesfile") {
             facts->excludes_file = trim(line.substr(eq + 1));
           }
+        } else if (section == "status" || section == "diff") {
+          if (key == "renames" && (val == "false" || val == "0"))
+            facts->renames = false;
         } else if (section == "extensions") {
           if (key == "objectformat" && val != "sha1") facts->dangerous = true;
           if (key == "worktreeconfig" && val == "true") facts->dangerous = true;
@@ -967,6 +971,16 @@ struct Tracked {
   bool visited = false;  // set by exactly one walker (subtrees are disjoint)
 };
 
+// One full-status record: bucket 0 staged / 1 unstaged / 2 untracked /
+// 3 conflicted; letter A M D R T U; orig set for staged renames.
+struct StatusRecord {
+  char bucket;
+  char letter;
+  std::string path;
+  std::string orig;
+};
+using Collector = std::vector<StatusRecord>;
+
 using AttrCache = std::map<std::string, bool, std::less<>>;
 
 struct ScanCtx {
@@ -978,33 +992,28 @@ struct ScanCtx {
   bool have_index_stat = false;
   std::atomic<int> bits{0};
   bool filemode = true;
+  bool collect = false;  // full-status mode: no early exits, gather records
   std::atomic<bool> uncertain{false};  // a content compare needed filters
 };
 
-// Verdict for one tracked entry against its lstat. Sets kUnstaged (or
-// ctx->uncertain when a content re-hash would need attribute filters).
-void check_entry(ScanCtx* ctx, const IndexEntry* ep, std::string_view path,
-                 const struct stat& st, AttrCache* attr_cache) {
+// Verdict for one tracked entry against its lstat: 0 = clean, else the
+// porcelain letter ('M' modified, 'T' typechange). Sets ctx->uncertain when
+// a content re-hash would need attribute filters.
+char classify_entry(ScanCtx* ctx, const IndexEntry* ep, std::string_view path,
+                    const struct stat& st, AttrCache* attr_cache) {
   bool want_link = (ep->mode & 0170000) == 0120000;
   bool is_link = S_ISLNK(st.st_mode);
-  if (want_link != is_link || (!is_link && !S_ISREG(st.st_mode))) {
-    ctx->bits |= kUnstaged;  // typechange
-    return;
-  }
+  if (want_link != is_link || (!is_link && !S_ISREG(st.st_mode)))
+    return 'T';  // typechange
   std::string abs;
   abs.reserve(ctx->workdir.size() + path.size() + 1);
   abs.assign(ctx->workdir); abs += '/'; abs += path;
-  if (is_link) {
-    if (!symlink_hash_matches(abs, ep->oid)) ctx->bits |= kUnstaged;
-    return;
-  }
+  if (is_link)
+    return symlink_hash_matches(abs, ep->oid) ? 0 : 'M';
   if (ctx->filemode) {
     bool want_exec = (ep->mode & 0100) != 0;
     bool have_exec = (st.st_mode & 0100) != 0;
-    if (want_exec != have_exec) {
-      ctx->bits |= kUnstaged;
-      return;
-    }
+    if (want_exec != have_exec) return 'M';
   }
   bool stat_match =
       uint32_t(st.st_mtim.tv_sec) == ep->mtime_s &&
@@ -1015,16 +1024,21 @@ void check_entry(ScanCtx* ctx, const IndexEntry* ep, std::string_view path,
   // written may have been modified after without changing its mtime.
   bool racy = ctx->have_index_stat &&
               ep->mtime_s >= uint32_t(ctx->index_st.st_mtim.tv_sec);
-  if (stat_match && !racy && uint64_t(st.st_size) == ep->size) return;
+  if (stat_match && !racy && uint64_t(st.st_size) == ep->size) return 0;
   // Content comparison is only meaningful if no clean/smudge filter or
   // eol/text attribute applies to this path.
   if (!ancestors_attr_safe(ctx->workdir, path, attr_cache)) {
     ctx->uncertain = true;
-    return;
+    return 0;
   }
-  if (uint64_t(st.st_size) != ep->size || !blob_hash_matches(abs, ep->size,
-                                                             ep->oid))
-    ctx->bits |= kUnstaged;
+  // Git's smudged-entry convention: entries written without worktree stat
+  // info (racily-clean smudge, `git apply --cached`, …) carry size 0 and
+  // mean "verify content", NOT "the blob is empty" — the size shortcut
+  // only applies to entries with real cached stat.
+  bool smudged = ep->size == 0 && st.st_size != 0;
+  if (!smudged && uint64_t(st.st_size) != ep->size) return 'M';
+  uint64_t fsize = uint64_t(st.st_size);
+  return blob_hash_matches(abs, fsize, ep->oid) ? 0 : 'M';
 }
 
 // Fused worktree walk (the libgit2-status shape): one pass over directories
@@ -1051,9 +1065,10 @@ struct WalkQueue {
 
 void process_dir(ScanCtx* ctx, const std::string& rel,
                  const std::shared_ptr<const IgnoreNode>& parent_ign,
-                 WalkQueue* wq, AttrCache* attr_cache) {
+                 WalkQueue* wq, AttrCache* attr_cache, Collector* rec) {
   constexpr int kDone = kUnstaged | kUntracked;
-  if ((ctx->bits & kDone) == kDone || ctx->uncertain) return;
+  if ((!ctx->collect && (ctx->bits & kDone) == kDone) || ctx->uncertain)
+    return;
   std::string abs = rel.empty() ? ctx->workdir : ctx->workdir + "/" + rel;
   int dirfd = ::open(abs.c_str(), O_RDONLY | O_DIRECTORY | O_NOFOLLOW |
                                       O_CLOEXEC);
@@ -1111,9 +1126,10 @@ void process_dir(ScanCtx* ctx, const std::string& rel,
       if (::fstatat(dirfd, probe.c_str(), &g, AT_SYMLINK_NOFOLLOW) == 0) {
         // Untracked nested repository: its directory itself is untracked
         // content (git reports "? nested/"), but its insides are not ours.
-        if (!(ctx->bits & kUntracked) &&
-            !is_ignored(ign.get(), child_rel, /*is_dir=*/true))
+        if (!is_ignored(ign.get(), child_rel, /*is_dir=*/true)) {
           ctx->bits |= kUntracked;
+          if (rec) rec->push_back({2, '?', child_rel + "/", {}});
+        }
         continue;
       }
       if (is_ignored(ign.get(), child_rel, /*is_dir=*/true)) continue;
@@ -1123,30 +1139,36 @@ void process_dir(ScanCtx* ctx, const std::string& rel,
       if (it != ctx->tracked.end()) {
         it->second.visited = true;
         const IndexEntry* ep = it->second.e;
-        if (ctx->bits & kUnstaged) continue;
+        if (!ctx->collect && (ctx->bits & kUnstaged)) continue;
         if (ep->assume_valid || ep->skip_worktree ||
             ep->mode == kModeGitlink || ep->intent_to_add)
           continue;  // i-t-a already settled at map build
         if (!have_st &&
             ::fstatat(dirfd, name, &st, AT_SYMLINK_NOFOLLOW) != 0) {
           ctx->bits |= kUnstaged;
+          if (rec) rec->push_back({1, 'D', child_rel, {}});
           continue;
         }
-        check_entry(ctx, ep, it->first, st, attr_cache);
+        char cl = classify_entry(ctx, ep, it->first, st, attr_cache);
         if (ctx->uncertain) break;
+        if (cl) {
+          ctx->bits |= kUnstaged;
+          if (rec) rec->push_back({1, cl, child_rel, {}});
+        }
         continue;
       }
-      if (ctx->bits & kUntracked) continue;
+      if (!ctx->collect && (ctx->bits & kUntracked)) continue;
       if (ctx->conflicted.count(std::string_view(child_rel))) continue;
       if (is_ignored(ign.get(), child_rel, /*is_dir=*/false)) continue;
       ctx->bits |= kUntracked;
+      if (rec) rec->push_back({2, '?', child_rel, {}});
     }
-    if ((ctx->bits & kDone) == kDone) break;
+    if (!ctx->collect && (ctx->bits & kDone) == kDone) break;
   }
   ::closedir(d);  // closes dirfd
 }
 
-void walk_worker(ScanCtx* ctx, WalkQueue* wq) {
+void walk_worker(ScanCtx* ctx, WalkQueue* wq, Collector* rec) {
   AttrCache attr_cache;  // per-thread memo of ancestor-attr safety
   std::unique_lock<std::mutex> lk(wq->mu);
   for (;;) {
@@ -1159,7 +1181,7 @@ void walk_worker(ScanCtx* ctx, WalkQueue* wq) {
     wq->q.pop_front();
     ++wq->active;
     lk.unlock();
-    process_dir(ctx, rel, ign, wq, &attr_cache);
+    process_dir(ctx, rel, ign, wq, &attr_cache, rec);
     lk.lock();
     if (--wq->active == 0 && wq->q.empty()) {
       lk.unlock();
@@ -1169,7 +1191,8 @@ void walk_worker(ScanCtx* ctx, WalkQueue* wq) {
   }
 }
 
-void run_walk(ScanCtx* ctx, std::shared_ptr<const IgnoreNode> base) {
+void run_walk(ScanCtx* ctx, std::shared_ptr<const IgnoreNode> base,
+              Collector* rec) {
   WalkQueue wq;
   wq.push("", std::move(base));
   // Threads only pay off when there is real stat volume; small trees run
@@ -1184,27 +1207,32 @@ void run_walk(ScanCtx* ctx, std::shared_ptr<const IgnoreNode> base) {
     while (!wq.q.empty()) {
       auto [rel, ign] = std::move(wq.q.front());
       wq.q.pop_front();
-      process_dir(ctx, rel, ign, &wq, &attr_cache);
+      process_dir(ctx, rel, ign, &wq, &attr_cache, rec);
       if (ctx->uncertain) break;
     }
     return;
   }
+  std::vector<Collector> locals(rec ? n_threads : 0);
   std::vector<std::thread> threads;
   threads.reserve(n_threads);
   for (size_t i = 0; i < n_threads; ++i)
-    threads.emplace_back(walk_worker, ctx, &wq);
+    threads.emplace_back(walk_worker, ctx, &wq,
+                         rec ? &locals[i] : nullptr);
   for (auto& t : threads) t.join();
+  for (auto& l : locals)
+    rec->insert(rec->end(), std::make_move_iterator(l.begin()),
+                std::make_move_iterator(l.end()));
 }
 
 // Settle tracked entries the walk never reached: deleted files, or files
 // under directories the walk pruned (ignored dirs, nested repos). Each gets
 // an individual lstat — exact, and empty in the common case.
-void scan_unvisited(ScanCtx* ctx) {
-  if (ctx->bits & kUnstaged) return;
+void scan_unvisited(ScanCtx* ctx, Collector* rec) {
+  if (!ctx->collect && (ctx->bits & kUnstaged)) return;
   AttrCache attr_cache;
   std::string abs;
   for (auto& [path, tr] : ctx->tracked) {
-    if (ctx->bits & kUnstaged) return;
+    if (!ctx->collect && (ctx->bits & kUnstaged)) return;
     if (ctx->uncertain) return;
     if (tr.visited) continue;
     const IndexEntry* ep = tr.e;
@@ -1215,14 +1243,22 @@ void scan_unvisited(ScanCtx* ctx) {
     struct stat st;
     if (::lstat(abs.c_str(), &st) != 0) {
       ctx->bits |= kUnstaged;  // tracked file missing → deleted
-      return;
+      if (rec) rec->push_back({1, 'D', std::string(path), {}});
+      if (!ctx->collect) return;
+      continue;
     }
-    check_entry(ctx, ep, path, st, &attr_cache);
+    char cl = classify_entry(ctx, ep, path, st, &attr_cache);
+    if (cl) {
+      ctx->bits |= kUnstaged;
+      if (rec) rec->push_back({1, cl, std::string(path), {}});
+    }
   }
 }
 
-int quick_dirty_impl(const char* workdir_c, const char* git_dir_c,
-                     const char* common_dir_c) {
+// Shared scan. rec == nullptr → fast bitmask mode (early exits); rec set →
+// full-status mode (records collected, porcelain-equivalent letters).
+int scan_impl(const char* workdir_c, const char* git_dir_c,
+              const char* common_dir_c, Collector* rec) {
   if (!workdir_c || !git_dir_c || !common_dir_c) return kError;
   std::string workdir = workdir_c, git_dir = git_dir_c,
               common_dir = common_dir_c;
@@ -1254,15 +1290,22 @@ int quick_dirty_impl(const char* workdir_c, const char* git_dir_c,
   ctx.have_index_stat =
       ::stat((git_dir + "/index").c_str(), &ctx.index_st) == 0;
 
+  ctx.collect = rec != nullptr;
   for (const auto& e : index.entries) {
     if (e.stage != 0) {
-      ctx.conflicted.insert(e.path);
+      if (!ctx.conflicted.count(e.path)) {
+        ctx.conflicted.insert(e.path);
+        if (rec) rec->push_back({3, 'U', std::string(e.path), {}});
+      }
       ctx.bits |= kConflicted;
       continue;
     }
     // intent-to-add is visibly pending (added-but-unstaged) whether or not
     // the file still exists in the worktree.
-    if (e.intent_to_add) ctx.bits |= kUnstaged;
+    if (e.intent_to_add) {
+      ctx.bits |= kUnstaged;
+      if (rec) rec->push_back({1, 'A', std::string(e.path), {}});
+    }
     ctx.tracked[e.path] = Tracked{&e};
   }
 
@@ -1305,6 +1348,8 @@ int quick_dirty_impl(const char* workdir_c, const char* git_dir_c,
       return kUncertain;
     }
     // Compare: index stage-0 (minus intent-to-add, minus gitlinks) vs tree.
+    std::vector<std::pair<std::string, const IndexEntry*>> adds;
+    std::vector<std::pair<std::string, TreeEnt>> dels;
     if (!compared) {
       std::string key;
       for (const auto& [path, tr] : ctx.tracked) {
@@ -1313,24 +1358,71 @@ int quick_dirty_impl(const char* workdir_c, const char* git_dir_c,
         if (ep->mode == kModeGitlink) continue;
         key.assign(path.data(), path.size());
         auto it = head_tree.find(key);
-        if (it == head_tree.end()) { ctx.bits |= kStaged; continue; }
+        if (it == head_tree.end()) {
+          ctx.bits |= kStaged;
+          if (rec) adds.emplace_back(key, ep);
+          continue;
+        }
+        bool type_diff = (it->second.mode & 0170000) != (ep->mode & 0170000);
         bool mode_diff = facts.filemode ? (it->second.mode != ep->mode)
-                                        : ((it->second.mode & 0170000) !=
-                                           (ep->mode & 0170000));
-        if (mode_diff || it->second.oid != ep->oid) ctx.bits |= kStaged;
+                                        : type_diff;
+        if (mode_diff || it->second.oid != ep->oid) {
+          ctx.bits |= kStaged;
+          if (rec)
+            rec->push_back({0, char(type_diff ? 'T' : 'M'), key, {}});
+        }
+      }
+      if (rec || !(ctx.bits & kStaged)) {
+        for (const auto& [path, te] : head_tree) {
+          std::string_view pv(path);
+          if (!ctx.tracked.count(pv) && !ctx.conflicted.count(pv)) {
+            // A path present in HEAD and absent from stage-0 *without*
+            // conflict stages is a staged delete.
+            ctx.bits |= kStaged;
+            if (!rec) break;
+            dels.emplace_back(path, te);
+          }
+        }
       }
     }
-    // Conflicted paths count as "HEAD differs from index" only via the 'u'
-    // bucket, which kConflicted already covers; but a path present in HEAD
-    // and absent from stage-0 *without* conflict stages is a staged delete.
-    if (!compared && !(ctx.bits & kStaged)) {
-      for (const auto& [path, te] : head_tree) {
-        (void)te;
-        std::string_view pv(path);
-        if (!ctx.tracked.count(pv) && !ctx.conflicted.count(pv)) {
-          ctx.bits |= kStaged;
-          break;
+    if (rec && (!adds.empty() || !dels.empty())) {
+      if (facts.renames) {
+        // git always pairs exact (identical-oid) renames; pair greedily in
+        // path order, like diffcore-rename's exact pass.
+        auto by_path = [](const auto& a, const auto& b) {
+          return a.first < b.first;
+        };
+        std::sort(adds.begin(), adds.end(), by_path);
+        std::sort(dels.begin(), dels.end(), by_path);
+        std::vector<char> del_used(dels.size(), 0);
+        std::map<Oid, std::vector<size_t>> del_by_oid;
+        for (size_t i = 0; i < dels.size(); ++i)
+          del_by_oid[dels[i].second.oid].push_back(i);
+        std::vector<char> add_used(adds.size(), 0);
+        for (size_t i = 0; i < adds.size(); ++i) {
+          auto it = del_by_oid.find(adds[i].second->oid);
+          if (it == del_by_oid.end() || it->second.empty()) continue;
+          size_t di = it->second.front();
+          it->second.erase(it->second.begin());
+          add_used[i] = del_used[di] = 1;
+          rec->push_back({0, 'R', adds[i].first, dels[di].first});
         }
+        bool rest_adds = false, rest_dels = false;
+        for (size_t i = 0; i < adds.size(); ++i)
+          if (!add_used[i]) rest_adds = true;
+        for (size_t i = 0; i < dels.size(); ++i)
+          if (!del_used[i]) rest_dels = true;
+        // Content-similarity renames are git's call, not ours: when both
+        // unmatched adds and deletes remain, porcelain might pair some of
+        // them — decline rather than diverge.
+        if (rest_adds && rest_dels) return kUncertain;
+        for (size_t i = 0; i < adds.size(); ++i)
+          if (!add_used[i]) rec->push_back({0, 'A', adds[i].first, {}});
+        for (size_t i = 0; i < dels.size(); ++i)
+          if (!del_used[i]) rec->push_back({0, 'D', dels[i].first, {}});
+      } else {
+        for (auto& a : adds) rec->push_back({0, 'A', a.first, {}});
+        for (auto& d : dels) rec->push_back({0, 'D', d.first, {}});
       }
     }
   }
@@ -1355,9 +1447,9 @@ int quick_dirty_impl(const char* workdir_c, const char* git_dir_c,
     text.clear();
     if (read_file(common_dir + "/info/exclude", &text))
       parse_ignore_lines(text, "", &base->pats);
-    run_walk(&ctx, std::move(base));
+    run_walk(&ctx, std::move(base), rec);
     if (ctx.uncertain) return kUncertain;
-    scan_unvisited(&ctx);
+    scan_unvisited(&ctx, rec);
     if (ctx.uncertain) return kUncertain;
   }
 
@@ -1375,9 +1467,48 @@ extern "C" {
 int wgit_quick_dirty(const char* workdir, const char* git_dir,
                      const char* common_dir) {
   try {
-    return quick_dirty_impl(workdir, git_dir, common_dir);
+    return scan_impl(workdir, git_dir, common_dir, nullptr);
   } catch (...) {
     return kError;
+  }
+}
+
+// Full status query: porcelain-equivalent record list. Returns a pointer to
+// a thread-local buffer of `*len` bytes — records are
+//   <bucket char '0'..'3'> <letter> <path> '\0' <orig> '\0'
+// sorted by path within each bucket (bucket 0 staged, 1 unstaged,
+// 2 untracked, 3 conflicted; letters A M D R T U ?). On refusal the return
+// is NULL with *len = -1 (fall back to `git status`), on error -2.
+const char* wgit_status_scan(const char* workdir, const char* git_dir,
+                             const char* common_dir, long* len) {
+  static thread_local std::string buf;
+  if (!len) return nullptr;
+  try {
+    Collector rec;
+    int bits = scan_impl(workdir, git_dir, common_dir, &rec);
+    if (bits < 0) {
+      *len = bits;
+      return nullptr;
+    }
+    std::sort(rec.begin(), rec.end(),
+              [](const StatusRecord& a, const StatusRecord& b) {
+                if (a.bucket != b.bucket) return a.bucket < b.bucket;
+                return a.path < b.path;
+              });
+    buf.clear();
+    for (const auto& r : rec) {
+      buf += char('0' + r.bucket);
+      buf += r.letter;
+      buf += r.path;
+      buf += '\0';
+      buf += r.orig;
+      buf += '\0';
+    }
+    *len = long(buf.size());
+    return buf.data();
+  } catch (...) {
+    *len = kError;
+    return nullptr;
   }
 }
 

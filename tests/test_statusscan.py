@@ -22,8 +22,17 @@ needs_native = pytest.mark.skipif(
 pytestmark = needs_native
 
 
+def porcelain_status(repo: GitRepo):
+    """Ground truth: the subprocess path, with the native fast path off."""
+    os.environ["WGIT_NATIVE_STATUS"] = "0"
+    try:
+        return gstatus.status(repo, exclude_submodules=True)
+    finally:
+        del os.environ["WGIT_NATIVE_STATUS"]
+
+
 def ground_truth_bits(repo: GitRepo) -> int:
-    st = gstatus.status(repo, exclude_submodules=True)
+    st = porcelain_status(repo)
     bits = 0
     if st.staged:
         bits |= native.DIRTY_STAGED
@@ -47,6 +56,32 @@ def assert_agrees(repo_path: str):
     got, want = scan(repo_path)
     assert got is not None, "scanner declined a certifiable repo"
     assert got == want, f"native bits {got:04b} != git bits {want:04b}"
+    assert_full_agrees(repo_path)
+
+
+def assert_full_agrees(repo_path: str):
+    """Full-status differential: the native record list must reproduce the
+    porcelain buckets exactly (paths, letters, rename origins) — or decline
+    (None), in which case status() transparently used porcelain anyway."""
+    repo = GitRepo.open(repo_path)
+    records = native.status_scan(repo.workdir, repo.git_dir, repo.common_dir)
+    truth = porcelain_status(repo)
+    via_status = gstatus.status(repo, exclude_submodules=True)
+    for bucket in ("staged", "unstaged", "untracked", "conflicted"):
+        want = sorted((e.path, e.status, e.orig_path or None)
+                      for e in getattr(truth, bucket))
+        got = sorted((e.path, e.status, e.orig_path or None)
+                     for e in getattr(via_status, bucket))
+        assert got == want, f"{bucket}: {got} != {want}"
+    if records is None:
+        return  # declined — fallback covered above
+    st = gstatus._native_status(repo, include_untracked=True)
+    for bucket in ("staged", "unstaged", "untracked", "conflicted"):
+        want = sorted((e.path, e.status, e.orig_path or None)
+                      for e in getattr(truth, bucket))
+        got = sorted((e.path, e.status, e.orig_path or None)
+                     for e in getattr(st, bucket))
+        assert got == want, f"native {bucket}: {got} != {want}"
 
 
 def test_clean_repo(temp_repo, git):
@@ -128,6 +163,28 @@ def test_staged_rename(temp_repo, git):
     git(temp_repo, "mv", "README.md", "README2.md")
     got, want = scan(temp_repo)
     assert got == want == native.DIRTY_STAGED
+    # exact rename: full status must report R with the origin path
+    repo = GitRepo.open(temp_repo)
+    records = native.status_scan(repo.workdir, repo.git_dir, repo.common_dir)
+    assert records == [(0, "R", "README2.md", "README.md")]
+    assert_full_agrees(temp_repo)
+
+
+def test_similarity_rename_declines(temp_repo, git):
+    """A rename with edits is git's similarity call, not ours: the full scan
+    must decline and status() must fall back to porcelain (which pairs it)."""
+    content = open(os.path.join(temp_repo, "README.md")).read()
+    os.unlink(os.path.join(temp_repo, "README.md"))
+    with open(os.path.join(temp_repo, "MOVED.md"), "w") as f:
+        f.write(content + "one extra line to drop below 100% similarity\n" * 2)
+    git(temp_repo, "add", "-A")
+    repo = GitRepo.open(temp_repo)
+    assert native.status_scan(repo.workdir, repo.git_dir,
+                              repo.common_dir) is None
+    assert_full_agrees(temp_repo)  # exercises the fallback equality
+    # the cheap bitmask stays answerable (staged, whatever the pairing)
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) == native.DIRTY_STAGED
 
 
 def test_exec_bit_flip_unstaged(temp_repo):
@@ -370,6 +427,7 @@ def test_randomized_states_agree(temp_repo, git):
         got, want = scan(temp_repo)
         assert got is not None
         assert got == want, f"divergence at step {step}: {got:04b} vs {want:04b}"
+        assert_full_agrees(temp_repo)
         ops += 1
     assert ops == 40
 

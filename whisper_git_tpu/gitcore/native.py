@@ -40,6 +40,11 @@ def _lib():
                     lib.wgit_quick_dirty.argtypes = [
                         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
                     lib.wgit_quick_dirty.restype = ctypes.c_int
+                if hasattr(lib, "wgit_status_scan"):
+                    lib.wgit_status_scan.argtypes = [
+                        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                        ctypes.POINTER(ctypes.c_long)]
+                    lib.wgit_status_scan.restype = ctypes.c_void_p
                 _LIB = lib
                 break
             except OSError:
@@ -85,3 +90,35 @@ def quick_dirty(workdir: str, git_dir: str,
     if rc < 0:
         return None
     return rc
+
+
+def status_scan(workdir: str, git_dir: str,
+                common_dir: str) -> Optional[list[tuple[int, str, str, str]]]:
+    """Full status via the native scanner: a porcelain-equivalent record
+    list [(bucket, letter, path, orig_path)] — bucket 0 staged / 1 unstaged /
+    2 untracked / 3 conflicted, letters A M D R T U ?, paths sorted within
+    each bucket. Returns None when the library is absent or the scanner
+    declines to certify (incl. possible content-similarity renames, which
+    only git can adjudicate)."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "wgit_status_scan"):
+        return None
+    ln = ctypes.c_long(0)
+    ptr = lib.wgit_status_scan(
+        workdir.encode(), git_dir.encode(), common_dir.encode(),
+        ctypes.byref(ln))
+    if not ptr or ln.value < 0:
+        return None
+    data = ctypes.string_at(ptr, ln.value)
+    records = []
+    off = 0
+    while off < len(data):
+        bucket = data[off] - 0x30
+        letter = chr(data[off + 1])
+        end = data.index(b"\0", off + 2)
+        path = data[off + 2:end].decode("utf-8", "surrogateescape")
+        end2 = data.index(b"\0", end + 1)
+        orig = data[end + 1:end2].decode("utf-8", "surrogateescape")
+        records.append((bucket, letter, path, orig))
+        off = end2 + 1
+    return records

@@ -7,6 +7,9 @@ stage/unstage ops with their new-file/deleted-file special cases.
 
 from __future__ import annotations
 
+import os
+
+from . import native
 from .cli import run_git
 from .repo import GitRepo
 from .types import FileStatus, StatusEntry, WorkingDirStatus
@@ -67,12 +70,48 @@ def working_dir_status_from_porcelain(records: list[str]) -> WorkingDirStatus:
     return st
 
 
+_NATIVE_LETTER = {
+    "A": FileStatus.ADDED, "M": FileStatus.MODIFIED, "D": FileStatus.DELETED,
+    "R": FileStatus.RENAMED, "T": FileStatus.TYPECHANGE,
+    "U": FileStatus.CONFLICTED, "?": FileStatus.UNTRACKED,
+}
+
+
+def _native_status(repo: GitRepo,
+                   include_untracked: bool) -> WorkingDirStatus | None:
+    """Subprocess-free full status via native/statusscan.cc (None → caller
+    falls back to porcelain). Semantics certified against `git status` by
+    tests/test_statusscan.py's differential suite."""
+    if repo.workdir is None or os.environ.get("WGIT_NATIVE_STATUS") == "0":
+        return None
+    records = native.status_scan(repo.workdir, repo.git_dir, repo.common_dir)
+    if records is None:
+        return None
+    st = WorkingDirStatus()
+    buckets = (st.staged, st.unstaged, st.untracked, st.conflicted)
+    for bucket, letter, path, orig in records:
+        if bucket == 2 and not include_untracked:
+            continue
+        buckets[bucket].append(StatusEntry(
+            path, _NATIVE_LETTER.get(letter, FileStatus.MODIFIED),
+            orig_path=orig or None))
+    return st
+
+
 def status(repo: GitRepo, exclude_submodules: bool = True,
            include_untracked: bool = True) -> WorkingDirStatus:
     """Full status query (reference: status.rs:131 — include_untracked +
     recurse_untracked_dirs + exclude_submodules). exclude_submodules is the
     load-bearing default: it is one of the three layers keeping a giant
-    submodule from stalling the parent (SURVEY §5 invariant #4)."""
+    submodule from stalling the parent (SURVEY §5 invariant #4).
+
+    Fast path: the native scanner answers without a subprocess whenever it
+    can certify the repo; `git status` remains the source of truth for
+    everything it declines (filters, similarity renames, sha256, …)."""
+    if exclude_submodules:
+        st = _native_status(repo, include_untracked)
+        if st is not None:
+            return st
     args = ["status", "--porcelain=v2", "-z"]
     args.append("--untracked-files=all" if include_untracked else "--untracked-files=no")
     if exclude_submodules:
