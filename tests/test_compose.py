@@ -1,0 +1,151 @@
+"""The layer-image compose pipeline (render/compose.py) must stay within
+one u8 step of the packed path at every scroll offset (re-associating the
+`over` operator across cached layer boundaries is a ≤1-ulp change; integer
+scroll crops are exact — see the module docstring), must hit its slab and
+chrome caches on pure scroll frames, and must fall back cleanly on
+sub-pixel scroll."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import whisper_git_tpu.render.compose as C
+import whisper_git_tpu.render.frame as F
+from whisper_git_tpu.render import rasterizer as R
+from whisper_git_tpu.render.renderer import get_renderer
+from whisper_git_tpu.ui.theme import DARK
+
+VIEWPORT = (640, 480)
+
+
+@pytest.fixture(scope="module")
+def app_fixture(tmp_path_factory):
+    import subprocess
+
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+    from whisper_git_tpu.tools.dump_bundles import make_fixture_repo
+
+    # The compose tests need real scrolling headroom: a history tall enough
+    # that offsets past OVERSCAN are reachable at this viewport.
+    repo = make_fixture_repo(str(tmp_path_factory.mktemp("compose")))
+    env = dict(os.environ, GIT_TERMINAL_PROMPT="0")
+    for i in range(60):
+        env["GIT_AUTHOR_DATE"] = env["GIT_COMMITTER_DATE"] = str(
+            1_750_000_000 + i * 3600)
+        subprocess.run(["git", "-C", repo, "commit", "--allow-empty", "-m",
+                        f"scroll filler {i}"], check=True,
+                       capture_output=True, env=env)
+    tab = RepoTab.open(repo)
+    tab.refresh_sync(include_orphans=False)
+    app = WhisperApp.with_tabs([tab])
+    return app, tab, get_renderer()
+
+
+def _scene(app, tab, r, off: float):
+    tab.history_scroll = float(off)
+    tree = app.build((float(VIEWPORT[0]), float(VIEWPORT[1])))
+    root = r.layout(tree, VIEWPORT)
+    return r.compile(root, VIEWPORT, DARK.background)
+
+
+def _render_packed(scene, r):
+    os.environ["WGIT_FRAME_CACHE"] = "0"
+    try:
+        return np.asarray(R.render_scene_device(
+            scene, r.font_tex_device(), r.image_atlas_device()))
+    finally:
+        os.environ.pop("WGIT_FRAME_CACHE", None)
+
+
+def _render_composed(scene, r):
+    img = C.render_frame_composed(scene, r.font_tex_device(),
+                                  r.image_atlas_device())
+    return None if img is None else np.asarray(img)
+
+
+def test_compose_matches_packed_across_scroll(app_fixture):
+    app, tab, r = app_fixture
+    C.clear_caches()
+    F.clear_caches()
+    for off in (0.0, 17.0, 51.0, 120.0, 203.0, 340.0):
+        scene = _scene(app, tab, r, off)
+        got = _render_composed(scene, r)
+        assert got is not None, f"compose declined integer scroll {off}"
+        want = _render_packed(scene, r)
+        assert got.shape == want.shape
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, (
+            f"off={off}: max u8 diff {diff.max()} at "
+            f"{np.unravel_index(diff.argmax(), diff.shape)}")
+        # the re-association is a last-ulp effect: differing pixels are rare
+        frac = (diff > 0).mean()
+        assert frac < 0.02, f"off={off}: {frac:.2%} pixels differ"
+
+
+def test_pure_scroll_hits_caches(app_fixture):
+    app, tab, r = app_fixture
+    C.clear_caches()
+    scene = _scene(app, tab, r, 17.0)
+    assert _render_composed(scene, r) is not None
+    groups = dict(C._GROUP_CACHE)
+    slabs = {k: v["y0s"] for k, v in C._SLAB_CACHE.items()}
+    # A scroll inside the layout materialization bucket (window uid stable)
+    # re-renders NOTHING: pure crop + compose.
+    scene = _scene(app, tab, r, 34.0)
+    assert _render_composed(scene, r) is not None
+    assert list(C._GROUP_CACHE) == list(groups), "chrome group re-rendered"
+    assert {k: v["y0s"] for k, v in C._SLAB_CACHE.items()} == slabs, \
+        "slab re-rendered inside its overscan window"
+
+
+def test_slab_rebuild_outside_overscan(app_fixture):
+    app, tab, r = app_fixture
+    C.clear_caches()
+    scene = _scene(app, tab, r, 0.0)
+    assert _render_composed(scene, r) is not None
+    before = {k: v["y0s"] for k, v in C._SLAB_CACHE.items()}
+    if not before:
+        pytest.skip("fixture produced no scroll windows")
+    far = float(C.OVERSCAN + 200)
+    scene = _scene(app, tab, r, far)
+    got = _render_composed(scene, r)
+    assert got is not None
+    after = {k: v["y0s"] for k, v in C._SLAB_CACHE.items()}
+    assert any(after.get(k) != y for k, y in before.items()
+               if k in after) or set(after) != set(before)
+    want = _render_packed(scene, r)
+    assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
+
+
+def test_fractional_scroll_falls_back(app_fixture):
+    app, tab, r = app_fixture
+    scene = _scene(app, tab, r, 13.5)
+    if not getattr(scene, "windows", None):
+        pytest.skip("fixture produced no scroll windows")
+    assert _render_composed(scene, r) is None
+    # the public entry still renders (classic path) and matches packed
+    img = np.asarray(R.render_scene_device(
+        scene, r.font_tex_device(), r.image_atlas_device()))
+    want = _render_packed(scene, r)
+    assert np.array_equal(img, want)
+
+
+def test_content_change_invalidates(app_fixture):
+    app, tab, r = app_fixture
+    C.clear_caches()
+    scene = _scene(app, tab, r, 0.0)
+    base = _render_composed(scene, r)
+    assert base is not None
+    # selecting a commit changes chrome + window content
+    sel = tab.commits[2].oid if len(tab.commits) > 2 else tab.commits[0].oid
+    tab.select_commit(sel)
+    scene2 = _scene(app, tab, r, 0.0)
+    got = _render_composed(scene2, r)
+    want = _render_packed(scene2, r)
+    assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
+    assert not np.array_equal(np.asarray(base), got), \
+        "selection change did not change pixels"

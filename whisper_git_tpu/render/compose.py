@@ -1,0 +1,466 @@
+"""Layer-image compose pipeline — steady-state frames become a memory-bound
+blend of cached device-resident layers.
+
+The frame cache (render/frame.py) already makes the HOST cheap (~1 KB
+upload), but the device still re-composites every command into every tile
+each frame (~2.4 ms for a 1280×800 history view). This module exploits the
+next invariant of an interactive GUI stream: between frames, the *rendered
+pixels* of almost everything are unchanged too —
+
+  * **Chrome runs** (the static command segments between scroll windows,
+    in z order) are rendered ONCE per content hash into transparent
+    premultiplied RGBA layer images that stay on device.
+  * **Scroll windows** are rendered into a device-resident SLAB — a tall
+    transparent image in window-content space covering the viewport plus
+    ±`OVERSCAN` rows. A scroll frame is then a `dynamic_slice` crop; the
+    slab re-renders only when scrolling escapes the overscan or content
+    changes (keyed by the window's content uid).
+  * **Volatile commands** (scrollbar thumbs — the per-layer dynamic tail)
+    are the only per-frame rasterization: one small blocks-kernel pass
+    over a transparent canvas.
+  * The frame is assembled by ONE fused XLA elementwise pass:
+    `out = quantize(over(over(bg ⊕ run₀, run₁), …))` — a few tens of MB of
+    HBM traffic, no per-command math at all.
+
+Exactness: every layer preserves the kernel's per-command compositing
+internally; only the boundaries between layers re-associate the `over`
+operator, which is exact where layers don't overlap and differs by ≤1 ulp
+(→ ≤1 u8 step after quantization) where they do. Integer scroll offsets
+translate commands exactly in f32 (coordinates are ≤2^13 with 1/8 px
+quantization), so slab crops reproduce direct rendering bit-for-bit; the
+compose path therefore guarantees ≤1 u8 per channel vs the packed path
+(tests/test_compose.py sweeps scroll offsets asserting it) and falls back
+to the classic frame path whenever an assumption doesn't hold
+(non-integer dy). Disable with WGIT_FRAME_COMPOSE=0.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import frame as F
+from . import rasterizer as R
+
+TILE_H = R.TILE_H
+TILE_W = R.TILE_W
+
+# Slab rows beyond the viewport on each side. The window's content uid
+# already changes every ~128 px of scroll (layout._OVERSCAN materialization
+# buckets), which rebuilds the slab anyway — so the slab only needs to
+# cover one uid bucket's worth of scroll, not survive long scrolls.
+OVERSCAN = 192
+
+_GROUP_CACHE: dict = {}   # group key -> (H, W, 4) f32 device image
+_SLAB_CACHE: dict = {}    # slab key  -> dict(y0s, img)
+
+_CLS_TBL = ((0, 1), (2, 3, 4), (5, 6))  # class -> indices into 7-part tuple
+
+
+def compose_enabled() -> bool:
+    want = os.environ.get("WGIT_FRAME_COMPOSE")
+    if want is not None:
+        return want not in ("0", "false", "")
+    return True
+
+
+def _render_blocks_image(layers_blocks, font_tex, image_atlas, tiles_y: int,
+                         tiles_x: int, height: int, width: int):
+    """Render a block list over a TRANSPARENT canvas → (H, W, 4) f32
+    premultiplied layer image (pallas on TPU, XLA scan fallback on CPU)."""
+    return _render_blocks_image_jit(
+        layers_blocks, jnp.asarray(font_tex), jnp.asarray(image_atlas),
+        tiles_y=tiles_y, tiles_x=tiles_x, height=height, width=width,
+        use_pallas=R._use_pallas())
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "height",
+                                             "width", "use_pallas"))
+def _render_blocks_image_jit(layers_blocks, font_tex, image_atlas,
+                             tiles_y: int, tiles_x: int, height: int,
+                             width: int, use_pallas: bool):
+    if use_pallas:
+        from . import pallas_raster as PR
+
+        font_cells, font_cols = PR.cellify(font_tex.astype(jnp.bfloat16))
+        image_cells, img_cols = PR.cellify(
+            image_atlas.astype(jnp.bfloat16), channels=4)
+        tiles = PR.render_tiles_blocks(layers_blocks, font_cells, font_cols,
+                                       image_cells, img_cols, None,
+                                       tiles_y, tiles_x)
+        return PR.assemble_f32(tiles, tiles_y, tiles_x, height, width)
+    tiles = F._render_tiles_blocks_xla(layers_blocks, font_tex, image_atlas,
+                                       None, tiles_y, tiles_x)
+    img = tiles.reshape(tiles_y, tiles_x, TILE_H, TILE_W, 4)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE_H,
+                                               tiles_x * TILE_W, 4)
+    return img[:height, :width]
+
+
+def _single_class_blocks(ci: int, block):
+    """Wrap one class's block list in the layers_blocks structure."""
+    cls = [(), (), ()]
+    cls[ci] = (block,)
+    return (tuple(cls),)
+
+
+# ---------------------------------------------------------------------------
+# Run flattening: the z-ordered sequence of compose layers.
+# ---------------------------------------------------------------------------
+
+def _flatten_runs(scene, chrome_entries, windows, lws_by_layer):
+    """→ ordered run list; each run is
+    ("chrome", li, ci, si) | ("win", gi, ci) | ("dyn", li, ci)."""
+    runs = []
+    for li, lb in enumerate(scene.layers):
+        ch = chrome_entries[li]
+        lws = lws_by_layer[li]
+        dyn_counts = (lb.n_dyn_shapes, lb.n_dyn_images, lb.n_dyn_glyphs)
+        for zi, ci in enumerate((0, 2, 1)):  # z order: shapes, images, glyphs
+            n_seg = len(lws) + 1
+            for si in range(n_seg):
+                if ch["ks"][ci] and ch["seg_totals"][ci][si]:
+                    runs.append(("chrome", li, ci, si))
+                if si < len(lws):
+                    gi = lws[si]
+                    w = windows[gi]
+                    counts = (w.comp.shapes.shape[0], w.comp.glyphs.shape[0],
+                              w.comp.images.shape[0])
+                    if counts[ci]:
+                        runs.append(("win", gi, ci))
+            if dyn_counts[zi]:
+                runs.append(("dyn", li, ci))
+    return runs
+
+
+def _group_chrome(runs):
+    """Merge consecutive chrome runs into render groups. Returns a list of
+    ops: ("group", [chrome runs...]) | ("win", gi, ci) | ("dyn", li, ci)."""
+    ops = []
+    for run in runs:
+        if run[0] == "chrome":
+            if ops and ops[-1][0] == "group":
+                ops[-1][1].append(run)
+            else:
+                ops.append(("group", [run]))
+        else:
+            ops.append(run)
+    return ops
+
+
+# ---------------------------------------------------------------------------
+# Layer image construction.
+# ---------------------------------------------------------------------------
+
+def _chrome_group_image(members, chrome_entries, font_tex, image_atlas,
+                        tiles_y, tiles_x, height, width):
+    key = (tuple((chrome_entries[li]["key"], ci, si)
+                 for _, li, ci, si in members), height, width)
+    hit = _GROUP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    # One blocks-kernel pass rendering every member segment in z order.
+    # Each member gets its own pseudo-layer so the kernel preserves the
+    # member order exactly (kernel class order within a layer is fixed).
+    layers = []
+    for _, li, ci, si in members:
+        ch = chrome_entries[li]
+        tables = tuple(ch["parts"][j] for j in _CLS_TBL[ci])
+        block = (tables, ch["bins"][ci], ch["segs"][ci][si],
+                 ch["segs"][ci][si + 1])
+        layers.append(_single_class_blocks(ci, block)[0])
+    img = _render_blocks_image(tuple(layers), font_tex, image_atlas,
+                               tiles_y, tiles_x, height, width)
+    while len(_GROUP_CACHE) > 16:
+        _GROUP_CACHE.pop(next(iter(_GROUP_CACHE)))
+    _GROUP_CACHE[key] = img
+    return img
+
+
+def _slab_height(height: int) -> int:
+    return -(-(height + 2 * OVERSCAN) // TILE_H) * TILE_H
+
+
+@functools.partial(jax.jit, static_argnames=("caps",))
+def _shift_window_jit(parts, dx, dy, c0, c1, c2, c3, caps: tuple):
+    del caps  # signature stability only
+    return F._shift_parts(parts, dx, dy, (c0, c1, c2, c3))
+
+
+def _window_slab(w, gi, ci, art, caps, font_tex, image_atlas, tiles_x,
+                 height, width):
+    """Device-resident content-space slab for one window+class, valid while
+    the scroll offset stays within ±OVERSCAN of the build offset. Returns
+    (slab_img, y0s) or None when this class lands nothing on screen."""
+    slab_h = _slab_height(height)
+    dy = float(w.dy)
+    key = (w.comp.uid, ci, caps, round(w.dx * 8.0),
+           tuple(round(c * 4.0) for c in w.clip), tiles_x, height)
+    hit = _SLAB_CACHE.get(key)
+    if hit is not None:
+        start = -dy - hit["y0s"]
+        if 0.0 <= start <= slab_h - height:
+            return hit["img"], hit["y0s"]
+    y0s = -dy - OVERSCAN
+    c0, c1, c2, c3 = (float(c) for c in w.clip)
+    # Device: dequantized window parts shifted (dx, -y0s); x clip baked,
+    # y clip left open (it rides the compose mask, which varies with dy).
+    parts = F._win_parts(w.comp.uid, caps, art["blob"])
+    shifted = _shift_window_jit(parts, float(w.dx), -y0s,
+                                c0, -1e6, c2, 1e6, caps)
+    # Host: bins over the slab grid from the window-space boxes.
+    boxes = art["boxes"][ci]
+    b = boxes + np.array([w.dx, -y0s, w.dx, -y0s], np.float32)
+    b = np.stack([np.maximum(b[:, 0], c0), b[:, 1],
+                  np.minimum(b[:, 2], c2), b[:, 3]], axis=1)
+    tiles_y_slab = slab_h // TILE_H
+    bins, _ = R._bin_indexed(b, np.arange(b.shape[0], dtype=np.int64),
+                             tiles_y_slab, tiles_x, F._CLS_KCAP[ci])
+    counts = (bins >= 0).sum(axis=1).astype(np.int32)
+    tables = tuple(shifted[j] for j in _CLS_TBL[ci])
+    block = (tables, jnp.asarray(bins), None, jnp.asarray(counts))
+    img = _render_blocks_image(_single_class_blocks(ci, block), font_tex,
+                               image_atlas, tiles_y_slab, tiles_x,
+                               slab_h, width)
+    while len(_SLAB_CACHE) > 40:
+        _SLAB_CACHE.pop(next(iter(_SLAB_CACHE)))
+    _SLAB_CACHE[key] = {"img": img, "y0s": y0s}
+    return img, y0s
+
+
+# ---------------------------------------------------------------------------
+# The fused per-frame step: ONE ~1 KB i16 upload (slab starts + quantized
+# volatile tails + their bins) and ONE jit dispatch that renders the
+# volatile layers and blends everything — per-frame link traffic stays flat
+# no matter how much is cached.
+# ---------------------------------------------------------------------------
+
+_DYN_PACK_CACHE: dict = {}
+
+
+def _dyn_layer_cached(lb, li: int, tiles_y: int, tiles_x: int):
+    """Content-keyed memo of the volatile tail's quantized blob + bins —
+    thumb geometry recurs across a scroll cycle, so steady-state frames
+    skip the numpy quantize/bin work entirely."""
+    nds, ndg, ndi = lb.n_dyn_shapes, lb.n_dyn_glyphs, lb.n_dyn_images
+    s0 = (lb.n_shapes - nds, lb.n_glyphs - ndg, lb.n_images - ndi)
+    key = (li, tiles_y, tiles_x, nds, ndg, ndi,
+           hash(lb.shapes[s0[0]:s0[0] + nds].tobytes()),
+           hash(lb.shape_clips[s0[0]:s0[0] + nds].tobytes()),
+           hash(lb.glyphs[s0[1]:s0[1] + ndg].tobytes()),
+           hash(lb.glyph_colors[s0[1]:s0[1] + ndg].tobytes()),
+           hash(lb.glyph_clips[s0[1]:s0[1] + ndg].tobytes()),
+           hash(lb.images[s0[2]:s0[2] + ndi].tobytes()),
+           hash(lb.image_clips[s0[2]:s0[2] + ndi].tobytes()))
+    hit = _DYN_PACK_CACHE.get(key)
+    if hit is None:
+        hit = F._dyn_layer(lb, li, tiles_y, tiles_x)
+        while len(_DYN_PACK_CACHE) > 64:
+            _DYN_PACK_CACHE.pop(next(iter(_DYN_PACK_CACHE)))
+        _DYN_PACK_CACHE[key] = hit
+    return hit
+
+
+def _pack_frame_blob(scene, slab_starts, tiles_y: int, tiles_x: int):
+    """→ (blob i16, dyn_meta) where dyn_meta[li] = (caps3, ks3)."""
+    parts = [np.asarray(slab_starts, np.int16)]
+    dyn_meta = []
+    for li, lb in enumerate(scene.layers):
+        dyn_blob, dyn_bins, meta = _dyn_layer_cached(lb, li, tiles_y,
+                                                     tiles_x)
+        parts += [dyn_blob, dyn_bins]
+        dyn_meta.append(meta)
+    return (np.concatenate(parts) if parts else np.zeros(0, np.int16),
+            tuple(dyn_meta))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "background", "height", "width",
+                              "tiles_y", "tiles_x", "use_pallas"))
+def _compose_frame(blob, images, slabs, font_tex, image_atlas,
+                   background: tuple, height: int, width: int,
+                   tiles_y: int, tiles_x: int, meta: tuple,
+                   use_pallas: bool):
+    """meta = (ops, dyn_meta, n_slabs); ops entries —
+    ("img", i): composite images[i];
+    ("slab", j, clip): crop slabs[j] at blob start j, mask to clip;
+    ("dyn", li, ci): render that volatile tail from the blob and composite."""
+    ops, dyn_meta, n_slabs = meta
+    T = tiles_y * tiles_x
+    starts = blob[:n_slabs].astype(jnp.int32)
+    fo = n_slabs
+
+    # Volatile tails: dequantize tables + bins from the blob, render each
+    # (layer, class) run to a transparent layer image (in-executable — no
+    # extra dispatch).
+    dyn_imgs = {}
+    for li, (dyn_caps, dyn_ks) in enumerate(dyn_meta):
+        dyn_tables = None
+        if sum(dyn_caps):
+            nwords = sum(dyn_caps[F._PART_CLS[name]] * cols
+                         for name, cols, _ in R._PART_SPECS)
+            dyn_tables = F._dequant_parts_traced(blob[fo:fo + nwords],
+                                                 dyn_caps)
+            fo += nwords
+        for ci in range(3):
+            k = dyn_ks[ci]
+            if k == 0:
+                continue
+            b = blob[fo:fo + T * k].reshape(T, k).astype(jnp.int32)
+            fo += T * k
+            if dyn_tables is None:
+                continue
+            tabs = tuple(dyn_tables[j] for j in _CLS_TBL[ci])
+            cnt = jnp.sum(b >= 0, axis=1, dtype=jnp.int32)
+            block = (tabs, b, None, cnt)
+            dyn_imgs[(li, ci)] = _render_blocks_image_jit(
+                _single_class_blocks(ci, block), font_tex, image_atlas,
+                tiles_y=tiles_y, tiles_x=tiles_x, height=height,
+                width=width, use_pallas=use_pallas)
+
+    rows = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
+    cols = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
+    out_rgb = jnp.broadcast_to(
+        jnp.asarray(background[:3], jnp.float32), (height, width, 3))
+    for op in ops:
+        if op[0] == "img":
+            img = images[op[1]]
+            rgb, a = img[..., :3], img[..., 3]
+        elif op[0] == "slab":
+            _, j, clip = op
+            crop = jax.lax.dynamic_slice(
+                slabs, (j, starts[j], 0, 0), (1, height, width, 4))[0]
+            mask = ((rows >= clip[1]) & (rows <= clip[3])
+                    & (cols >= clip[0]) & (cols <= clip[2])
+                    ).astype(jnp.float32)
+            rgb, a = crop[..., :3] * mask[..., None], crop[..., 3] * mask
+        else:
+            img = dyn_imgs.get((op[1], op[2]))
+            if img is None:
+                continue
+            rgb, a = img[..., :3], img[..., 3]
+        out_rgb = rgb + out_rgb * (1.0 - a)[..., None]
+    out = jnp.concatenate(
+        [out_rgb, jnp.ones((height, width, 1), jnp.float32)], axis=-1)
+    return jnp.clip(out * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+
+# Plan memo: everything about a frame that is NOT the scroll offset.
+# A steady scroll frame re-validates the plan with hash lookups, computes
+# the slab crop starts, and issues the single _compose_frame dispatch with
+# pre-stacked device args — no flatten/group/slab rebuilding, no per-image
+# dispatch overhead.
+_PLAN_CACHE: dict = {}
+
+
+def _build_plan(scene, windows, chrome_entries, win_art, win_caps,
+                lws_by_layer, font_tex, image_atlas, tiles_y, tiles_x,
+                height, width):
+    runs = _flatten_runs(scene, chrome_entries, windows, lws_by_layer)
+    ops = _group_chrome(runs)
+    images, slabs, op_meta = [], [], []
+    slab_src = []  # (gi, y0s) per slab, for per-frame start computation
+    for op in ops:
+        if op[0] == "group":
+            img = _chrome_group_image(op[1], chrome_entries, font_tex,
+                                      image_atlas, tiles_y, tiles_x,
+                                      height, width)
+            op_meta.append(("img", len(images)))
+            images.append(img)
+        elif op[0] == "win":
+            _, gi, ci = op
+            w = windows[gi]
+            slab, y0s = _window_slab(w, gi, ci, win_art[gi], win_caps[gi],
+                                     font_tex, image_atlas, tiles_x,
+                                     height, width)
+            clip = tuple(round(float(c) * 4.0) / 4.0 for c in w.clip)
+            op_meta.append(("slab", len(slabs), clip))
+            slabs.append(slab)
+            slab_src.append((gi, y0s))
+        else:
+            op_meta.append(op)  # ("dyn", li, ci) — rendered inside the jit
+    slab_h = _slab_height(height)
+    return {
+        "ops": tuple(op_meta),
+        # one stacked device array per kind → constant dispatch arg count
+        "img_stack": (jnp.stack(images) if images
+                      else jnp.zeros((0, height, width, 4), jnp.float32)),
+        "slab_stack": (jnp.stack(slabs) if slabs
+                       else jnp.zeros((0, slab_h, width, 4), jnp.float32)),
+        "slab_src": tuple(slab_src),
+        "slab_h": slab_h,
+    }
+
+
+def render_frame_composed(scene, font_tex, image_atlas):
+    """Compose-path frame render → (H, W, 4) u8 device image, or None when
+    an assumption doesn't hold (caller falls back to the classic path)."""
+    windows = list(getattr(scene, "windows", ()) or ())
+    for w in windows:
+        if float(w.dy) != float(int(w.dy)):
+            return None  # sub-pixel scroll: crop can't reproduce it
+    tiles_x = -(-scene.width // TILE_W)
+    tiles_y = -(-scene.height // TILE_H)
+    height, width = scene.height, scene.width
+
+    lws_by_layer = []
+    chrome_entries = []
+    win_art = {}
+    slot_count: dict[int, int] = {}
+    win_caps = {}
+    for gi, w in enumerate(windows):
+        slot = slot_count.get(w.layer, 0)
+        slot_count[w.layer] = slot + 1
+        caps = R._window_caps(w, slot)
+        win_caps[gi] = caps
+        win_art[gi] = R._window_artifacts(w, caps)
+    for li, lb in enumerate(scene.layers):
+        lws = [gi for gi, w in enumerate(windows) if w.layer == li]
+        lws_by_layer.append(lws)
+        pos_lists = tuple(tuple(windows[gi].pos[ci] for gi in lws)
+                          for ci in range(3))
+        chrome_entries.append(F._chrome_entry(lb, li, pos_lists, tiles_y,
+                                              tiles_x))
+
+    plan_key = (tuple(ch["key"] for ch in chrome_entries),
+                tuple((w.comp.uid, win_caps[gi], w.layer,
+                       round(float(w.dx) * 8.0),
+                       tuple(round(float(c) * 4.0) for c in w.clip))
+                      for gi, w in enumerate(windows)),
+                height, width)
+    plan = _PLAN_CACHE.get(plan_key)
+    if plan is not None:
+        # slab validity: the crop must stay inside every cached slab
+        for j, (gi, y0s) in enumerate(plan["slab_src"]):
+            start = -float(windows[gi].dy) - y0s
+            if not (0.0 <= start <= plan["slab_h"] - height):
+                plan = None
+                break
+    if plan is None:
+        plan = _build_plan(scene, windows, chrome_entries, win_art,
+                           win_caps, lws_by_layer, font_tex, image_atlas,
+                           tiles_y, tiles_x, height, width)
+        while len(_PLAN_CACHE) > 16:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[plan_key] = plan
+
+    starts = [int(-float(windows[gi].dy) - y0s)
+              for gi, y0s in plan["slab_src"]]
+    blob, dyn_meta = _pack_frame_blob(scene, starts, tiles_y, tiles_x)
+    meta = (plan["ops"], dyn_meta, len(starts))
+    return _compose_frame(jnp.asarray(blob), plan["img_stack"],
+                          plan["slab_stack"], font_tex, image_atlas,
+                          tuple(float(c) for c in scene.background[:3]),
+                          height, width, tiles_y, tiles_x, meta,
+                          R._use_pallas())
+
+
+def clear_caches() -> None:
+    _GROUP_CACHE.clear()
+    _SLAB_CACHE.clear()
+    _DYN_PACK_CACHE.clear()
+    _PLAN_CACHE.clear()

@@ -227,7 +227,7 @@ def _win_parts(uid: int, caps: tuple, blob: np.ndarray):
     key = (uid, caps)
     hit = _WIN_PARTS_DEV.get(key)
     if hit is None:
-        while len(_WIN_PARTS_DEV) > 16:
+        while len(_WIN_PARTS_DEV) > 32:
             _WIN_PARTS_DEV.pop(next(iter(_WIN_PARTS_DEV)))
         hit = _dequant_parts(jnp.asarray(blob), caps)
         _WIN_PARTS_DEV[key] = hit
@@ -284,13 +284,14 @@ def _chrome_entry(lb, li: int, pos_lists: tuple, tiles_y: int,
              R._intersect_boxes(R._quad_boxes(lb.images, ni),
                                 lb.image_clips[:ni]))
     counts_n = (ns, ng, ni)
-    bins_dev, segs_dev, ks = [], [], []
+    bins_dev, segs_dev, ks, seg_totals = [], [], [], []
     for ci in range(3):
         nc = counts_n[ci]
         if nc == 0:
             bins_dev.append(None)
             segs_dev.append(None)
             ks.append(0)
+            seg_totals.append(None)
             continue
         bins, _ = R._bin_indexed(boxes[ci], np.arange(nc, dtype=np.int64),
                                  tiles_y, tiles_x, _CLS_KCAP[ci])
@@ -307,9 +308,15 @@ def _chrome_entry(lb, li: int, pos_lists: tuple, tiles_y: int,
         bins_dev.append(jnp.asarray(bins))
         segs_dev.append(jnp.asarray(seg))
         ks.append(bins.shape[1])
+        # host-side per-segment totals so the compose path can skip empty
+        # chrome segments without a device readback
+        seg_totals.append(tuple(
+            int((seg[si + 1] - seg[si]).sum())
+            for si in range(seg.shape[0] - 1)))
     entry = {"parts": parts, "bins": tuple(bins_dev),
              "segs": tuple(segs_dev), "ks": tuple(ks), "caps": caps,
-             "counts": counts_n}
+             "counts": counts_n, "key": key,
+             "seg_totals": tuple(seg_totals)}
     while len(_CHROME_CACHE) > 24:
         _CHROME_CACHE.pop(next(iter(_CHROME_CACHE)))
     _CHROME_CACHE[key] = entry
@@ -589,11 +596,14 @@ def _render_tiles_blocks_xla(layers_blocks, font_tex, image_atlas,
     yy = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
 
-    # Flatten per-tile scan inputs: every block's bins/lo/hi rows.
+    # Flatten per-tile scan inputs: every block's bins/lo/hi rows. Z order
+    # within a layer is shapes → images → glyphs (class index 1 is glyphs,
+    # 2 is images), matching scene.py and the single-shot kernel.
+    _Z = (0, 2, 1)
     per_tile = []
     for cls_lists in layers_blocks:
-        for ci, blocks in enumerate(cls_lists):
-            for tables, bins, lo, hi in blocks:
+        for ci in _Z:
+            for tables, bins, lo, hi in cls_lists[ci]:
                 per_tile.append(bins)
                 per_tile.append(jnp.zeros((T,), jnp.int32) if lo is None
                                 else lo)
@@ -603,12 +613,13 @@ def _render_tiles_blocks_xla(layers_blocks, font_tex, image_atlas,
         px = xx + ox + 0.5
         py = yy + oy + 0.5
         fb = jnp.zeros((TILE_H, TILE_W, 4), jnp.float32)
-        fb = fb.at[..., :3].set(jnp.asarray(background[:3], jnp.float32))
-        fb = fb.at[..., 3].set(1.0)
+        if background is not None:
+            fb = fb.at[..., :3].set(jnp.asarray(background[:3], jnp.float32))
+            fb = fb.at[..., 3].set(1.0)
         fi = 0
         for cls_lists in layers_blocks:
-            for ci, blocks in enumerate(cls_lists):
-                for tables, _bins, _lo, _hi in blocks:
+            for ci in _Z:
+                for tables, _bins, _lo, _hi in cls_lists[ci]:
                     bins_row, lo, hi = flat[fi], flat[fi + 1], flat[fi + 2]
                     fi += 3
                     if ci == 0:

@@ -399,10 +399,18 @@ def render_tiles_blocks(layers_blocks, font_cells, font_cols: int,
         py1 = py[:, 0:1]
         px1 = px[0:1, :]
 
-        fb[0] = jnp.full((TILE_H, TILE_W), background[0], jnp.float32)
-        fb[1] = jnp.full((TILE_H, TILE_W), background[1], jnp.float32)
-        fb[2] = jnp.full((TILE_H, TILE_W), background[2], jnp.float32)
-        fb[3] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+        if background is None:
+            # Transparent canvas: the output is a premultiplied RGBA layer
+            # for the compose pipeline (render/compose.py), not a frame.
+            fb[0] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            fb[1] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            fb[2] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            fb[3] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        else:
+            fb[0] = jnp.full((TILE_H, TILE_W), background[0], jnp.float32)
+            fb[1] = jnp.full((TILE_H, TILE_W), background[1], jnp.float32)
+            fb[2] = jnp.full((TILE_H, TILE_W), background[2], jnp.float32)
+            fb[3] = jnp.ones((TILE_H, TILE_W), jnp.float32)
 
         def clip_mask(c0, c1, c2, c3):
             return ((px >= c0) & (py >= c1) & (px <= c2) & (py <= c3)
@@ -434,7 +442,10 @@ def render_tiles_blocks(layers_blocks, font_cells, font_cols: int,
             return w * inside
 
         for lplan in plan:
-            for ci in range(3):
+            # Z order within a layer is shapes → images → glyphs (scene.py
+            # contract, same as the single-shot kernel); class index 1 is
+            # glyphs, 2 is images.
+            for ci in (0, 2, 1):
                 for tpos, bpos, lpos, hpos in lplan[ci]:
                     bins = sc[bpos]
                     lo = jnp.int32(0) if lpos is None else sc[lpos][t]
@@ -491,8 +502,15 @@ def render_tiles_blocks(layers_blocks, font_cells, font_cols: int,
 def assemble_planar(tiles_f32, tiles_y: int, tiles_x: int,
                     height: int, width: int):
     """(T, 4, TH, TW) f32 → (H, W, 4) u8 (device-side epilogue)."""
+    img = assemble_f32(tiles_f32, tiles_y, tiles_x, height, width)
+    return jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+
+def assemble_f32(tiles_f32, tiles_y: int, tiles_x: int,
+                 height: int, width: int):
+    """(T, 4, TH, TW) f32 → (H, W, 4) f32 — the un-quantized variant for
+    cached compose layers (render/compose.py)."""
     img = tiles_f32.reshape(tiles_y, tiles_x, 4, TILE_H, TILE_W)
     img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * TILE_H,
                                                tiles_x * TILE_W, 4)
-    img = img[:height, :width]
-    return jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    return img[:height, :width]

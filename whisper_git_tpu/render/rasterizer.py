@@ -873,13 +873,22 @@ def _render_packed(fused, win_blobs, font_tex, image_atlas,
 def render_scene_device(scene: Scene, font_tex, image_atlas=None):
     """Rasterize → device-resident (H, W, 4) uint8 frame (no readback).
 
-    Default path: the device-resident frame cache (render/frame.py —
-    content-addressed chrome, window pair bins gathered on device).
-    WGIT_FRAME_CACHE=0 falls back to the single-shot packed path below
-    (also used by the mesh-sharded demo); both are bit-identical."""
+    Default path: the layer-image compose pipeline (render/compose.py —
+    cached chrome images + scroll slabs + one fused blend; ≤1 u8 from the
+    packed path, see its module docstring). WGIT_FRAME_COMPOSE=0 drops to
+    the device-resident frame cache (render/frame.py — content-addressed
+    chrome, window pair bins gathered on device), WGIT_FRAME_CACHE=0 to the
+    single-shot packed path below (also used by the mesh-sharded demo);
+    frame-cache and packed paths are bit-identical."""
+    from . import compose as C
     from . import frame as F
 
     if F.frame_cache_enabled():
+        atlas = image_atlas if image_atlas is not None else scene.image_atlas
+        if C.compose_enabled():
+            img = C.render_frame_composed(scene, font_tex, atlas)
+            if img is not None:
+                return img
         return F.render_frame_device(scene, font_tex, image_atlas)
     fused, meta, tiles_y, tiles_x, win_list = pack_scene(scene)
     dev_wins = []
