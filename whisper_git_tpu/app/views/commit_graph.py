@@ -126,13 +126,28 @@ def build_row(tab, index: int, segments_by_row: dict,
     # Content-addressed cache key: everything that affects this row's
     # pixels. Lets the layout pass and scene compiler replay the row from
     # cache while scrolling (see ui.layout/_render docs).
+    lv = getattr(tab, "layout_version", 0)
+    # oid → (tips, tags) index, memoised per layout version: the cache key
+    # below is built for every visible row every frame, so it must not scan
+    # the full tip/tag lists each time.
+    ref_memo = getattr(tab, "_row_ref_memo", None)
+    if ref_memo is None or ref_memo[0] != lv:
+        tips_by_oid: dict = {}
+        for tip in tab.branch_tips:
+            tips_by_oid.setdefault(tip.oid, []).append(
+                (tip.name, tip.is_remote, tip.is_head))
+        tags_by_oid: dict = {}
+        for t in tab.tags:
+            tags_by_oid.setdefault(t.oid, []).append(t.name)
+        ref_memo = (lv, {k: tuple(v) for k, v in tips_by_oid.items()},
+                    {k: tuple(v) for k, v in tags_by_oid.items()})
+        tab._row_ref_memo = ref_memo
     cache_key = (
         "history-row", commit.oid, index % 2, selected, bool(dimmed),
         commit.additions, commit.deletions, rh,
-        (tab.tab_id, getattr(tab, "layout_version", 0)),  # new layout → new prims
-        tuple(p for p in ((tip.name, tip.is_remote, tip.is_head)
-                          for tip in tab.branch_tips if tip.oid == commit.oid)),
-        tuple(t.name for t in tab.tags if t.oid == commit.oid),
+        (tab.tab_id, lv),  # new layout → new prims
+        ref_memo[1].get(commit.oid, ()),
+        ref_memo[2].get(commit.oid, ()),
         commit.oid == tab.pinned_oid, show_avatars,
         id(avatar_arr) if avatar_arr is not None else None,
         tuple(getattr(rollup, "states", ()) or ()),
