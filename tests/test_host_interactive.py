@@ -1,0 +1,161 @@
+"""Interactive terminal host: SGR mouse decoding, cell→pixel mapping,
+half-block diff emission, and hover restyling through the Runner → build →
+scene pipeline (reference: hover highlighting on buttons/sidebar/file
+rows; host.rs pointer translation)."""
+
+from __future__ import annotations
+
+import io
+import numpy as np
+import pytest
+
+from whisper_git_tpu.host.term_display import TermDisplay
+from whisper_git_tpu.host.term_input import MouseEvent, parse_sgr_mouse
+from whisper_git_tpu.ui import rect, text
+from whisper_git_tpu.ui.hover import apply_hover
+from whisper_git_tpu.ui.runner import Runner
+
+
+# -- SGR mouse decoding -------------------------------------------------------
+
+def test_sgr_press_release_move_wheel():
+    assert parse_sgr_mouse("0;10;5", "M") == MouseEvent("down", 10, 5, "left")
+    assert parse_sgr_mouse("0;10;5", "m") == MouseEvent("up", 10, 5, "left")
+    assert parse_sgr_mouse("2;3;4", "M") == MouseEvent("down", 3, 4, "right")
+    assert parse_sgr_mouse("35;7;8", "M") == MouseEvent(
+        "move", 7, 8, "none")
+    assert parse_sgr_mouse("32;7;8", "M") == MouseEvent(
+        "move", 7, 8, "left")  # drag
+    assert parse_sgr_mouse("64;2;2", "M").wheel == 1
+    assert parse_sgr_mouse("65;2;2", "M").wheel == -1
+    assert parse_sgr_mouse("68;2;2", "M").shift  # shift+wheel up
+    assert parse_sgr_mouse("garbage", "M") is None
+
+
+def test_terminal_input_parses_mouse_bytes():
+    import os
+
+    from whisper_git_tpu.host.term_input import TerminalInput
+
+    r, w = os.pipe()
+    os.write(w, b"\x1b[<0;12;7M")
+    ti = TerminalInput(fd=r)
+    ev = ti.poll(timeout=0.2)
+    assert ev == MouseEvent("down", 12, 7, "left")
+    os.write(w, b"\x1b[<65;1;1M")
+    ev = ti.poll(timeout=0.2)
+    assert ev.kind == "wheel" and ev.wheel == -1
+    os.close(r)
+    os.close(w)
+
+
+# -- cell→pixel mapping + diff emission ---------------------------------------
+
+def test_cell_to_px_center_mapping():
+    d = TermDisplay((1280, 800), out=io.StringIO())
+    d.cols, d.rows = 160, 50
+    x, y = d.cell_to_px(1, 1)
+    assert (x, y) == (0.5 * 1280 / 160, 0.5 * 800 / 50)
+    x, y = d.cell_to_px(160, 50)
+    assert x < 1280 and y < 800
+
+
+def test_diff_emit_only_changed_rows():
+    out = io.StringIO()
+    d = TermDisplay((64, 64), out=out)
+    d.cols, d.rows = 8, 4
+    top = np.zeros((4, 8, 3), np.uint8)
+    bot = np.zeros((4, 8, 3), np.uint8)
+    first = d._diff_emit(top, bot)
+    assert first.count("\x1b[") > 0  # full paint
+    again = d._diff_emit(top, bot)
+    assert again == ""  # nothing changed
+    top2 = top.copy()
+    top2[2, 3] = (255, 0, 0)
+    partial = d._diff_emit(top2, bot)
+    assert "\x1b[3;1H" in partial  # only row 3 re-emitted
+    assert "\x1b[1;1H" not in partial
+
+
+def test_row_str_half_blocks():
+    top = np.array([[255, 0, 0], [255, 0, 0]], np.uint8)
+    bot = np.array([[0, 0, 255], [0, 0, 255]], np.uint8)
+    s = TermDisplay._row_str(top, bot)
+    assert s.count("▀") == 2
+    # color state is only re-emitted when it changes
+    assert s.count("38;2;255;0;0") == 1
+    assert s.count("48;2;0;0;255") == 1
+
+
+# -- hover restyling -----------------------------------------------------------
+
+def test_apply_hover_swaps_fill_copy_on_write():
+    from whisper_git_tpu.ui import column
+
+    btn = rect(text("Fetch"), route="fetch", fill=(0, 0, 0, 1),
+               hover_fill=(1, 0, 0, 1), cache_key=("btn",))
+    sibling = rect(text("Pull"), route="pull", fill=(0, 0, 0, 1))
+    tree = column(btn, sibling, cache_key=("bar",))
+    out = apply_hover(tree, "fetch")
+    assert out is not tree
+    assert out.children[0].fill == (1, 0, 0, 1)
+    assert out.children[0].cache_key == ("btn", "hover")
+    assert out.children[1] is sibling  # sibling identity preserved
+    # no hover target → tree unchanged, same identity
+    assert apply_hover(tree, "nonexistent") is tree
+    assert apply_hover(tree, None) is tree
+    # element without hover_fill is not restyled
+    assert apply_hover(tree, "pull") is tree
+
+
+def test_hover_paints_through_app_build(temp_repo):
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync(include_orphans=False)
+    app = WhisperApp.with_tabs([tab])
+    runner = Runner(app)
+    runner.prepare((1280.0, 800.0))
+    # find a hoverable element (header buttons carry hover_fill)
+    target = None
+
+    def walk(node):
+        nonlocal target
+        if target is not None:
+            return
+        el = node.el
+        if el.route and el.hover_fill is not None:
+            target = node
+            return
+        for c in node.children:
+            walk(c)
+
+    walk(runner.root)
+    assert target is not None, "no hoverable element in the chrome"
+    cx, cy = target.x + target.w / 2, target.y + target.h / 2
+    assert runner.pointer_move(cx, cy) is True
+    assert app.hover_route == target.el.route
+    tree = app.build((1280.0, 800.0))
+
+    # the rebuilt tree paints the hover fill on that route
+    def find(el, route):
+        if el.route == route:
+            return el
+        for c in el.children:
+            got = find(c, route)
+            if got is not None:
+                return got
+        return None
+
+    hovered = find(tree, target.el.route)
+    assert hovered is not None
+    assert hovered.fill == target.el.hover_fill
+    # moving off clears it
+    assert runner.pointer_move(0.0, 799.0) in (True, False)
+    if app.hover_route != target.el.route:
+        tree2 = app.build((1280.0, 800.0))
+        cleared = find(tree2, target.el.route)
+        assert cleared.fill == target.el.fill
+    for tb in app.tabs:
+        tb.stop_workers()

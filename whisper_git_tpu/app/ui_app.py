@@ -74,6 +74,7 @@ class WhisperApp:
         self.proxy = proxy
         self.tabs: list[RepoTab] = []
         self.active_tab = 0
+        self.hover_route: Optional[str] = None  # set by Runner.pointer_move
         self.focus = "graph"            # graph | sidebar | staging
         self.focused_input = ""         # subject | body | search | modal keys
         self.modal: Optional[tuple[str, object]] = None
@@ -186,7 +187,12 @@ class WhisperApp:
         overlay = toasts_overlay(self.toasts)
         if overlay is not None:
             layers.append(overlay)
-        return stack(*layers, width="fill", height="fill", fill=T.background)
+        tree = stack(*layers, width="fill", height="fill", fill=T.background)
+        if self.hover_route:
+            from ..ui.hover import apply_hover
+
+            tree = apply_hover(tree, self.hover_route)
+        return tree
 
     def _main_layer(self) -> El:
         tab = self.current()

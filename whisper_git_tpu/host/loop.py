@@ -2,11 +2,16 @@
 
 The reference's Host (src/host.rs) waits on winit events and timer
 deadlines (`ControlFlow::WaitUntil`, next_wake — host.rs:46-50,206-219),
-then runs before_build → build → render. This environment has no display
-server, so the loop drives the same protocol headlessly: it blocks on the
-EventLoopProxy doorbell with a timer-derived timeout, polls the async
-engine, rebuilds the El tree, and (when WGIT_FRAME_DUMP is set) renders
-each frame to a PNG so an operator can watch the app live.
+translates pointer/keyboard input through `Runner` hit-testing
+(host.rs:268-301), then runs before_build → build → render → present.
+This environment has no display server, so the loop drives the same
+protocol through the terminal: it blocks on the EventLoopProxy doorbell
+with a timer-derived timeout, polls the async engine, rebuilds and lays
+out the El tree through the Runner, routes terminal keys AND xterm SGR
+mouse events (click / double-click / right-click / wheel / hover) through
+the same string-routed dispatch as the windowed design, and presents
+frames either live in the terminal (half-block truecolor, see
+term_display) or to a PNG (WGIT_FRAME_DUMP) so an operator can watch.
 """
 
 from __future__ import annotations
@@ -31,65 +36,120 @@ def next_wake_timeout(app: WhisperApp, now: float) -> float:
     return timeout
 
 
+def _route_mouse(app, runner, display, ev) -> bool:
+    """Map one terminal MouseEvent into Runner dispatch. Returns True when
+    the frame should re-render."""
+    x, y = display.cell_to_px(ev.col, ev.row)
+    if ev.kind == "down":
+        runner.pointer_down(x, y, button=ev.button)
+        return True
+    if ev.kind == "wheel":
+        step = 84.0  # one wheel click ≈ three rows; on_scroll applies the
+        # Scroll Speed setting itself, like the windowed design.
+        if ev.shift:
+            # Shift+wheel: horizontal diff scroll (reference README,
+            # "Diff Viewer — Shift+ScrollWheel").
+            tab = app.current()
+            if tab is not None and app.diff_open:
+                tab.diff_hscroll = max(0.0,
+                                       tab.diff_hscroll - ev.wheel * step)
+        else:
+            app.on_scroll(-ev.wheel * step, x, y)
+        return True
+    if ev.kind == "move":
+        return runner.pointer_move(x, y)
+    return False
+
+
 def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
     import sys
 
     proxy = EventLoopProxy()
     app.proxy = proxy
     dump_path = os.environ.get("WGIT_FRAME_DUMP")
-    renderer = None
-    if dump_path:
-        from ..render.renderer import get_renderer
-
-        renderer = get_renderer()
 
     interactive = sys.stdin.isatty() and not os.environ.get("WGIT_NO_INPUT")
-    term_ctx = None
-    term = None
+    term_ctx = term = None
+    display_ctx = display = None
+    renderer = None
+
+    from ..ui.runner import Runner
+
     if interactive:
+        from .term_display import TermDisplay, display_enabled
         from .term_input import TerminalInput
 
         term_ctx = TerminalInput()
         term = term_ctx.__enter__()
+        if display_enabled():
+            display_ctx = TermDisplay((int(app.config.window_width),
+                                       int(app.config.window_height)))
+            display = display_ctx.__enter__()
+    if dump_path or display is not None:
+        from ..render.renderer import get_renderer
+
+        renderer = get_renderer()
+
+    measurer = None
+    if renderer is not None:
+        measurer = getattr(renderer, "measurer", None)
+    runner = Runner(app, measurer=measurer)
 
     frames = 0
     try:
         while not app.quit_requested:
             app.before_build()
-            tree = app.build((app.config.window_width,
-                              app.config.window_height))
+            viewport = (float(app.config.window_width),
+                        float(app.config.window_height))
+            root = runner.prepare(viewport)
             if renderer is not None:
-                from ..render.renderer import save_png
+                from ..render.rasterizer import render_scene_device
                 from ..ui.theme import DARK
 
-                img = renderer.render(tree, (int(app.config.window_width),
-                                             int(app.config.window_height)),
-                                      DARK.background)
-                save_png(img, dump_path)
+                scene = renderer.compile(root, (int(viewport[0]),
+                                                int(viewport[1])),
+                                         DARK.background)
+                img = render_scene_device(scene, renderer.font_tex_device(),
+                                          renderer.image_atlas_device())
+                if display is not None:
+                    display.show(img)
+                if dump_path:
+                    from ..render.renderer import save_png
+                    import numpy as np
+
+                    save_png(np.asarray(img), dump_path)
             frames += 1
             if max_frames is not None and frames >= max_frames:
                 break
             timeout = next_wake_timeout(app, time.monotonic())
             if term is not None:
-                from .term_input import dispatch
+                from .term_input import KeyEvent, dispatch
 
-                # Drain keys while waiting out the frame budget.
+                # Drain input while waiting out the frame budget; any event
+                # or doorbell ends the wait and re-renders.
                 deadline = time.monotonic() + timeout
-                got_key = False
+                need_frame = False
                 while time.monotonic() < deadline:
                     ev = term.poll(timeout=min(
                         0.05, max(0.0, deadline - time.monotonic())))
                     if ev is not None:
-                        dispatch(app, ev)
-                        got_key = True
-                        break
+                        if isinstance(ev, KeyEvent):
+                            dispatch(app, ev)
+                            need_frame = True
+                        elif display is not None:
+                            need_frame = _route_mouse(app, runner, display,
+                                                      ev) or need_frame
+                        if need_frame:
+                            break
                     if proxy.pending():
                         break
-                if not got_key:
+                if not need_frame:
                     proxy.wait(timeout=0.0)
             else:
                 proxy.wait(timeout=timeout)
     finally:
+        if display_ctx is not None:
+            display_ctx.__exit__(None, None, None)
         if term_ctx is not None:
             term_ctx.__exit__(None, None, None)
         for tab in app.tabs:

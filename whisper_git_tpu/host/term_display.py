@@ -1,0 +1,122 @@
+"""In-terminal presentation: live half-block truecolor frames + mouse.
+
+The reference presents through a Vulkan swapchain; this environment has no
+display server, so the interactive host presents the SAME rendered frames
+in the terminal: the device-resident u8 frame is area-downsampled ON the
+accelerator to a (2·rows, cols) RGB grid (one text cell shows two vertical
+pixels via '▀' with independent fg/bg), and only cells that changed since
+the previous frame are re-emitted. Alongside, xterm SGR mouse tracking
+(DECSET 1002/1003/1006) feeds the Runner's hit-testing, which is what makes
+click/double-click/right-click/wheel/hover work without a windowing stack.
+
+Cell→pixel mapping is exact by construction: cell (col, row) covers
+pixels [col·W/cols, (col+1)·W/cols) × [row·H/rows, (row+1)·H/rows).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import shutil
+import sys
+
+import numpy as np
+
+_ENTER = ("\x1b[?1049h"   # alt screen
+          "\x1b[?25l"     # hide cursor
+          "\x1b[?1002h"   # button-event mouse tracking (incl. drag)
+          "\x1b[?1003h"   # any-motion tracking (hover)
+          "\x1b[?1006h")  # SGR extended coordinates
+_EXIT = "\x1b[?1006l\x1b[?1003l\x1b[?1002l\x1b[?25h\x1b[?1049l"
+
+
+@functools.partial(__import__("jax").jit,
+                   static_argnames=("rows2", "cols"))
+def _downsample(frame_u8, rows2: int, cols: int):
+    """(H, W, 4) u8 → (rows2, cols, 3) u8, area-average on device."""
+    import jax
+    import jax.numpy as jnp
+
+    rgb = frame_u8[..., :3].astype(jnp.float32)
+    out = jax.image.resize(rgb, (rows2, cols, 3), method="linear")
+    return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
+
+
+class TermDisplay:
+    """Half-block frame presenter. Use as a context manager around the
+    interactive loop; `show(frame)` presents one device frame."""
+
+    def __init__(self, viewport: tuple[int, int], out=None):
+        self.viewport = viewport
+        self.out = out if out is not None else sys.stdout
+        size = shutil.get_terminal_size((120, 40))
+        self.cols = max(20, size.columns)
+        self.rows = max(10, size.lines - 1)  # keep one line for the prompt
+        self._prev: np.ndarray | None = None
+
+    def __enter__(self):
+        self.out.write(_ENTER)
+        self.out.flush()
+        return self
+
+    def __exit__(self, *exc):
+        self.out.write(_EXIT)
+        self.out.flush()
+
+    # -- coordinates -----------------------------------------------------
+
+    def cell_to_px(self, col: int, row: int) -> tuple[float, float]:
+        """1-based terminal cell → app pixel (cell center)."""
+        w, h = self.viewport
+        return ((col - 0.5) * w / self.cols,
+                (row - 0.5) * h / self.rows)
+
+    # -- presentation ------------------------------------------------------
+
+    def show(self, frame_device) -> None:
+        grid = np.asarray(_downsample(frame_device, self.rows * 2,
+                                      self.cols))
+        top, bot = grid[0::2], grid[1::2]
+        self.out.write(self._diff_emit(top, bot))
+        self.out.flush()
+
+    def _diff_emit(self, top: np.ndarray, bot: np.ndarray) -> str:
+        """Emit only cells whose colors changed since the previous frame."""
+        cur = np.concatenate([top, bot], axis=-1)  # (rows, cols, 6)
+        prev = self._prev
+        self._prev = cur
+        chunks: list[str] = []
+        if prev is None or prev.shape != cur.shape:
+            dirty_rows = range(cur.shape[0])
+        else:
+            changed = (cur != prev).any(axis=-1)
+            dirty_rows = np.nonzero(changed.any(axis=1))[0]
+        for r in dirty_rows:
+            chunks.append(f"\x1b[{r + 1};1H")
+            chunks.append(self._row_str(top[r], bot[r]))
+        return "".join(chunks)
+
+    @staticmethod
+    def _row_str(top_row: np.ndarray, bot_row: np.ndarray) -> str:
+        parts = []
+        last_fg = last_bg = None
+        for (tr, tg, tb), (br, bg_, bb) in zip(top_row.tolist(),
+                                               bot_row.tolist()):
+            fg = (tr, tg, tb)
+            bg = (br, bg_, bb)
+            if fg != last_fg:
+                parts.append(f"\x1b[38;2;{tr};{tg};{tb}m")
+                last_fg = fg
+            if bg != last_bg:
+                parts.append(f"\x1b[48;2;{br};{bg_};{bb}m")
+                last_bg = bg
+            parts.append("▀")
+        parts.append("\x1b[0m")
+        return "".join(parts)
+
+
+def display_enabled() -> bool:
+    want = os.environ.get("WGIT_TERM_DISPLAY")
+    if want is not None:
+        return want not in ("0", "false", "")
+    return sys.stdout.isatty()

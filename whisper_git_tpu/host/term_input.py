@@ -26,12 +26,51 @@ class KeyEvent:
     shift: bool = False
 
 
+@dataclass(frozen=True)
+class MouseEvent:
+    """One SGR-encoded (DECSET 1006) terminal mouse event. col/row are
+    1-based terminal cells; the host maps them to app pixels."""
+
+    kind: str   # down | up | move | wheel
+    col: int
+    row: int
+    button: str = "left"   # left | middle | right | none
+    wheel: int = 0         # +1 up, -1 down
+    shift: bool = False
+    ctrl: bool = False
+
+
 _ESC_MAP = {
     "[A": "Up", "[B": "Down", "[C": "Right", "[D": "Left",
     "[5~": "PageUp", "[6~": "PageDown",
     "[H": "Home", "[F": "End", "[3~": "Delete",
     "[Z": "ShiftTab",
 }
+
+
+def parse_sgr_mouse(body: str, final: str) -> Optional[MouseEvent]:
+    """Decode `ESC [ < Cb ; Cx ; Cy (M|m)` (xterm SGR mouse, DECSET 1006).
+    `body` is "Cb;Cx;Cy", `final` is "M" (press/move/wheel) or "m"
+    (release)."""
+    try:
+        cb_s, cx_s, cy_s = body.split(";")
+        cb, col, row = int(cb_s), int(cx_s), int(cy_s)
+    except ValueError:
+        return None
+    shift = bool(cb & 4)
+    ctrl = bool(cb & 16)
+    motion = bool(cb & 32)
+    low = cb & 3
+    if cb & 64:  # wheel
+        return MouseEvent("wheel", col, row, "none",
+                          wheel=1 if low == 0 else -1,
+                          shift=shift, ctrl=ctrl)
+    button = ("left", "middle", "right", "none")[low]
+    if motion:
+        return MouseEvent("move", col, row, button, shift=shift, ctrl=ctrl)
+    if final == "m":
+        return MouseEvent("up", col, row, button, shift=shift, ctrl=ctrl)
+    return MouseEvent("down", col, row, button, shift=shift, ctrl=ctrl)
 
 
 class TerminalInput:
@@ -63,7 +102,8 @@ class TerminalInput:
         data = os.read(self.fd, 1)
         return data or None
 
-    def poll(self, timeout: float = 0.0) -> Optional[KeyEvent]:
+    def poll(self, timeout: float = 0.0):
+        """→ KeyEvent | MouseEvent | None."""
         b = self._read_byte(timeout)
         if b is None:
             return None
@@ -75,6 +115,18 @@ class TerminalInput:
                 if nxt is None:
                     break
                 seq += nxt
+                if seq == b"[<":  # SGR mouse: read until M/m
+                    body = b""
+                    while len(body) < 16:
+                        nxt = self._read_byte(0.01)
+                        if nxt is None:
+                            return None
+                        if nxt in (b"M", b"m"):
+                            return parse_sgr_mouse(
+                                body.decode("latin1"),
+                                nxt.decode("latin1"))
+                        body += nxt
+                    return None
                 if seq.decode("latin1") in _ESC_MAP:
                     break
             name = _ESC_MAP.get(seq.decode("latin1"))

@@ -79,6 +79,9 @@ class Runner:
         route = self.root.find_route_at(x, y)
         changed = route != self.hover_route
         self.hover_route = route
+        # The app repaints hover at build time (ui.hover.apply_hover).
+        if changed and hasattr(self.app, "hover_route"):
+            self.app.hover_route = route
         return changed
 
     # -- keyboard / wheel ----------------------------------------------------
