@@ -108,6 +108,65 @@ def test_apply_hover_swaps_fill_copy_on_write():
     assert apply_hover(tree, "pull") is tree
 
 
+def test_pane_divider_drag(temp_repo):
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync(include_orphans=False)
+    app = WhisperApp.with_tabs([tab])
+    runner = Runner(app)
+    root = runner.prepare((1280.0, 800.0))
+    w0 = app.config.sidebar_width
+    # find the sidebar divider
+    div = None
+
+    def walk(node):
+        nonlocal div
+        if node.el.route_drag == "pane-resize:sidebar":
+            div = node
+        for c in node.children:
+            walk(c)
+
+    walk(root)
+    assert div is not None, "sidebar divider missing"
+    cx, cy = div.x + div.w / 2, div.y + div.h / 2
+    runner.pointer_down(cx, cy)
+    assert runner.pointer_drag(cx + 40.0, cy) is True
+    assert app.config.sidebar_width == pytest.approx(w0 + 40.0)
+    runner.pointer_up()
+    assert runner.pointer_drag(cx + 80.0, cy) is False  # drag released
+    assert app.config.sidebar_width == pytest.approx(w0 + 40.0)
+    # right divider drags inverted (left = wider panel)
+    app.handle_action("pane-resize:right:-30.0:0.0")
+    assert app.config.right_panel_width >= 140.0
+    for tb in app.tabs:
+        tb.stop_workers()
+
+
+def test_scrollbar_thumb_drag(temp_repo, git):
+    import subprocess
+
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+
+    env_args = ["git", "-C", temp_repo, "commit", "--allow-empty", "-m"]
+    for i in range(60):
+        subprocess.run(env_args + [f"filler {i}"], check=True,
+                       capture_output=True)
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync(include_orphans=False)
+    app = WhisperApp.with_tabs([tab])
+    assert tab.history_scroll == 0.0
+    app.handle_action("scroll-drag:history:0.0:60.0")
+    assert tab.history_scroll > 0.0
+    before = tab.history_scroll
+    app.handle_action("scroll-drag:history:0.0:-600.0")
+    assert tab.history_scroll == 0.0 < before
+    for tb in app.tabs:
+        tb.stop_workers()
+
+
 def test_hover_paints_through_app_build(temp_repo):
     from whisper_git_tpu.app.repo_tab import RepoTab
     from whisper_git_tpu.app.ui_app import WhisperApp

@@ -221,16 +221,26 @@ class WhisperApp:
             right = staging_well(tab, focused_input=self.focused_input,
                                  ai_busy=tab.ai_op is not None)
 
+        def divider(pane: str) -> El:
+            # Drag-resizable pane divider (reference README: "drag-
+            # resizable dividers"); the drag route receives move deltas.
+            return rect(width=5, height="fill", fill=T.background,
+                        hover_fill=T.surface_hover,
+                        route_drag=f"pane-resize:{pane}",
+                        key=f"divider-{pane}")
+
         body = row(
             rect(sidebar_view(tab), width=self.config.sidebar_width,
                  height="fill"),
+            divider("sidebar"),
             rect(history_view(tab, show_avatars=self.config.show_avatars,
                               avatar_cache=self.avatar_cache),
                  flex=1, height="fill",
                  border=T.accent if self.focus == "graph" else None,
                  border_width=2 if self.focus == "graph" else 0),
+            divider("right"),
             rect(right, width=self.config.right_panel_width, height="fill"),
-            width="fill", flex=1, gap=1)
+            width="fill", flex=1)
         rows.append(body)
         return column(*rows, width="fill", height="fill")
 
@@ -952,19 +962,50 @@ class WhisperApp:
 
     def _act_pane_resize(self, arg, x, y):
         """Resizable pane dividers (reference: resizable pane widths +
-        drag state, ui_app.rs struct). arg: '<pane>:<delta>'."""
-        pane, _, delta = arg.partition(":")
+        drag state, ui_app.rs struct). arg: '<pane>:<delta>' (keyboard) or
+        '<pane>:<dx>:<dy>' (Runner drag deltas)."""
+        pane, _, rest = arg.partition(":")
         try:
-            d = float(delta)
-        except ValueError:
+            d = float(rest.split(":")[0])
+        except (ValueError, IndexError):
             return
         attr = {"sidebar": "sidebar_width",
                 "right": "right_panel_width"}.get(pane)
         if attr is None:
             return
+        if pane == "right":
+            d = -d  # dragging the right divider left widens the panel
         value = getattr(self.config, attr) + d
         setattr(self.config, attr, max(140.0, min(700.0, value)))
         self.config.save()
+
+    def _act_scroll_drag(self, arg, x, y):
+        """Scrollbar thumb drag (reference README: scrollbars with "drag
+        support"). arg: '<which>:<dx>:<dy>' — dy in track pixels maps to
+        content pixels by the track's content/track ratio."""
+        tab = self.current()
+        if tab is None:
+            return
+        parts = arg.split(":")
+        if len(parts) < 3:
+            return
+        which = parts[0]
+        try:
+            dy = float(parts[2])
+        except ValueError:
+            return
+        if which == "history":
+            total = max(tab.graph_layout.total_height, 1.0)
+            track = 600.0  # matches the thumb geometry in commit_graph
+            tab.history_scroll = max(0.0, min(
+                tab.history_scroll + dy * total / track,
+                max(0.0, total - 200.0)))
+        elif which == "sidebar":
+            from .views.sidebar import ITEM_H
+            max_scroll = max(0.0, (len(self._sidebar_keys(tab)) + 7)
+                             * ITEM_H - 200.0)
+            tab.sidebar_scroll = max(0.0, min(
+                tab.sidebar_scroll + dy * 3.0, max_scroll))
 
     # -- context menus (reference: ui_app.rs:4546-4788) ----------------------
 

@@ -277,6 +277,7 @@ def history_view(tab, show_avatars: bool = True,
                        tab.history_scroll / max(total_h, 1.0))
         thumb = rect(width=6, height=max(30.0, frac_view * track_h),
                      radius=3, fill=(1, 1, 1, 0.14),
+                     route_drag="scroll-drag:history",
                      key="history-scrollbar", volatile=True)
         overlay = row(
             spacer(),

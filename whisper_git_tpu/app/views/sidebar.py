@@ -186,6 +186,7 @@ def _sidebar_impl(tab) -> El:
             column(rect(width=5, height=frac_pos * track_h),
                    rect(width=5, height=max(24.0, frac_view * track_h),
                         radius=2.5, fill=(1, 1, 1, 0.14),
+                        route_drag="scroll-drag:sidebar",
                         key="sidebar-scrollbar", volatile=True),
                    width=8),
             width="fill", height="fill")

@@ -57,7 +57,11 @@ def _route_mouse(app, runner, display, ev) -> bool:
             app.on_scroll(-ev.wheel * step, x, y)
         return True
     if ev.kind == "move":
+        if ev.button != "none":  # drag: move with the button held
+            return runner.pointer_drag(x, y)
         return runner.pointer_move(x, y)
+    if ev.kind == "up":
+        runner.pointer_up()
     return False
 
 

@@ -55,6 +55,11 @@ class El:
     route: Optional[str] = None        # click action id
     route_right: Optional[str] = None  # right-click action id
     route_double: Optional[str] = None  # double-click action id
+    # Drag action id: while the pointer is held after pressing on this
+    # element, each move dispatches "<route_drag>:<dx>:<dy>" (pane
+    # dividers, scrollbar thumbs — reference: drag-resizable dividers,
+    # scrollbar drag support).
+    route_drag: Optional[str] = None
     hover_fill: Optional[Color] = None
     key: Optional[str] = None          # stable identity (focus, scroll)
     # Content-addressed cache key: when set, the layout pass and scene

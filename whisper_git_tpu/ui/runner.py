@@ -28,6 +28,7 @@ class Runner:
         self.root: Optional[LayoutNode] = None
         self.hover_route: Optional[str] = None
         self._last_click = (0.0, -1e9, -1e9, None)  # t, x, y, route
+        self._drag: Optional[tuple] = None  # (route_drag, last_x, last_y)
 
     # -- frame ---------------------------------------------------------------
 
@@ -54,6 +55,8 @@ class Runner:
             if route:
                 self.app.handle_action(route, x, y)
             return route
+        drag = self.root.find_route_at(x, y, attr="route_drag")
+        self._drag = (drag, x, y) if drag else None
         route = self.root.find_route_at(x, y)
         t = time.monotonic() if now is None else now
         lt, lx, ly, lroute = self._last_click
@@ -83,6 +86,23 @@ class Runner:
         if changed and hasattr(self.app, "hover_route"):
             self.app.hover_route = route
         return changed
+
+    def pointer_drag(self, x: float, y: float) -> bool:
+        """Pointer moved with the button held: dispatch the captured drag
+        route with the move delta. Returns True when a drag consumed the
+        move (caller should redraw)."""
+        if self._drag is None:
+            return False
+        route, lx, ly = self._drag
+        dx, dy = x - lx, y - ly
+        if dx == 0.0 and dy == 0.0:
+            return False
+        self._drag = (route, x, y)
+        self.app.handle_action(f"{route}:{dx:.2f}:{dy:.2f}", x, y)
+        return True
+
+    def pointer_up(self) -> None:
+        self._drag = None
 
     # -- keyboard / wheel ----------------------------------------------------
 
