@@ -24,8 +24,9 @@ VIEWPORT = (1280, 800)
 TARGET_FPS = 60.0
 WARMUP = 3
 ITERS = 20
-BATCHES = 6  # best-of-N: the remote-device link has multi-ms latency
-             # spikes; one slow batch must not define the number
+BATCHES = 10  # best-of-N: the remote-device link has multi-ms latency
+              # spikes and multi-second congestion windows; one slow
+              # stretch must not define the number
 
 
 def build_history_repo(base: str, n_commits: int = 240) -> str:

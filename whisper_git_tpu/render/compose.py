@@ -355,6 +355,7 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
 # pre-stacked device args — no flatten/group/slab rebuilding, no per-image
 # dispatch overhead.
 _PLAN_CACHE: dict = {}
+_BLOB_DEV_CACHE: dict = {}
 
 
 def _build_plan(scene, windows, chrome_entries, win_art, win_caps,
@@ -451,8 +452,19 @@ def render_frame_composed(scene, font_tex, image_atlas):
     starts = [int(-float(windows[gi].dy) - y0s)
               for gi, y0s in plan["slab_src"]]
     blob, dyn_meta = _pack_frame_blob(scene, starts, tiles_y, tiles_x)
+    # Scroll positions and thumb geometry recur: keep the uploaded blob
+    # device-resident keyed by content, so a revisited frame state ships
+    # ZERO bytes (the tunnel's ~0.4 ms small-transfer latency is the single
+    # largest per-frame cost once everything else is cached).
+    bkey = hash(blob.tobytes())
+    blob_dev = _BLOB_DEV_CACHE.get(bkey)
+    if blob_dev is None or blob_dev.shape != blob.shape:
+        blob_dev = jnp.asarray(blob)
+        while len(_BLOB_DEV_CACHE) > 128:
+            _BLOB_DEV_CACHE.pop(next(iter(_BLOB_DEV_CACHE)))
+        _BLOB_DEV_CACHE[bkey] = blob_dev
     meta = (plan["ops"], dyn_meta, len(starts))
-    return _compose_frame(jnp.asarray(blob), plan["img_stack"],
+    return _compose_frame(blob_dev, plan["img_stack"],
                           plan["slab_stack"], font_tex, image_atlas,
                           tuple(float(c) for c in scene.background[:3]),
                           height, width, tiles_y, tiles_x, meta,
@@ -464,3 +476,4 @@ def clear_caches() -> None:
     _SLAB_CACHE.clear()
     _DYN_PACK_CACHE.clear()
     _PLAN_CACHE.clear()
+    _BLOB_DEV_CACHE.clear()
