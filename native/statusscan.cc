@@ -716,12 +716,39 @@ struct ConfigFacts {
   bool dangerous = false;  // autocrlf / sha256 / ignorecase / symlinks=false
   bool renames = true;     // status.renames / diff.renames (default on)
   std::string excludes_file;
+  std::string attributes_file;  // core.attributesFile (checked later)
 };
 
-void scan_config_file(const std::string& path, ConfigFacts* facts) {
+// git's boolean grammar: true/yes/on/1 and false/no/off/0, case-insensitive
+// (val arrives already lowered); empty value after '=' means false, a key
+// with no '=' means true — callers pass the literal value text.
+// Returns 1 true, 0 false, -1 not-a-boolean.
+int git_bool(const std::string& val) {
+  if (val == "true" || val == "yes" || val == "on" || val == "1") return 1;
+  if (val == "false" || val == "no" || val == "off" || val == "0"
+      || val.empty())
+    return 0;
+  return -1;
+}
+
+std::string expand_home(const std::string& p) {
+  if (!p.empty() && p[0] == '~') {
+    const char* home = std::getenv("HOME");
+    return (home ? std::string(home) : "") + p.substr(1);
+  }
+  return p;
+}
+
+// `conditional` marks config reached through [includeIf]: we cannot
+// evaluate the condition, so behaviour-affecting keys there force a
+// refusal instead of being applied.
+void scan_config_file(const std::string& path, ConfigFacts* facts,
+                      int depth = 0, bool conditional = false) {
+  if (depth > 8) return;
   std::string text;
   if (!read_file(path, &text)) return;
   std::string section;
+  bool section_conditional = false;
   size_t start = 0;
   while (start <= text.size()) {
     size_t nl = text.find('\n', start);
@@ -729,25 +756,57 @@ void scan_config_file(const std::string& path, ConfigFacts* facts) {
         start, nl == std::string::npos ? std::string::npos : nl - start));
     if (!line.empty() && line[0] == '[') {
       section = lower(trim(line.substr(1, line.find(']') - 1)));
+      section_conditional = section.rfind("includeif", 0) == 0;
     } else if (!line.empty() && line[0] != '#' && line[0] != ';') {
       size_t eq = line.find('=');
       if (eq != std::string::npos) {
         std::string key = lower(trim(line.substr(0, eq)));
-        std::string val = lower(trim(line.substr(eq + 1)));
-        if (section == "core") {
-          if (key == "filemode") facts->filemode = (val != "false");
-          if (key == "autocrlf" && val != "false") facts->dangerous = true;
-          if (key == "ignorecase" && val == "true") facts->dangerous = true;
-          if (key == "symlinks" && val == "false") facts->dangerous = true;
+        std::string raw = trim(line.substr(eq + 1));
+        std::string val = lower(raw);
+        bool cond = conditional || section_conditional;
+        if (section == "include" || section_conditional) {
+          if (key == "path") {
+            std::string inc = expand_home(raw);
+            if (!inc.empty() && inc[0] != '/') {
+              size_t slash = path.rfind('/');
+              inc = (slash == std::string::npos ? inc
+                     : path.substr(0, slash + 1) + inc);
+            }
+            scan_config_file(inc, facts, depth + 1, cond);
+          }
+        } else if (section == "core") {
+          if (key == "filemode") {
+            // In conditionally-included config we cannot know whether the
+            // value applies — refuse rather than guess either way.
+            if (cond) facts->dangerous = true;
+            else facts->filemode = git_bool(val) != 0;
+          }
+          if (key == "autocrlf" && git_bool(val) != 0)
+            facts->dangerous = true;  // true OR input OR unknown
+          if (key == "ignorecase" && git_bool(val) != 0)
+            facts->dangerous = true;
+          if (key == "symlinks" && git_bool(val) != 1)
+            facts->dangerous = true;
+          if (key == "eol" && val == "crlf") facts->dangerous = true;
           if (key == "excludesfile") {
-            facts->excludes_file = trim(line.substr(eq + 1));
+            if (cond) facts->dangerous = true;
+            else facts->excludes_file = raw;
+          }
+          if (key == "attributesfile") {
+            if (cond) facts->dangerous = true;
+            else facts->attributes_file = raw;
           }
         } else if (section == "status" || section == "diff") {
-          if (key == "renames" && (val == "false" || val == "0"))
-            facts->renames = false;
+          if (key == "renames") {
+            if (cond) facts->dangerous = true;
+            else facts->renames = git_bool(val) != 0;
+          }
         } else if (section == "extensions") {
           if (key == "objectformat" && val != "sha1") facts->dangerous = true;
-          if (key == "worktreeconfig" && val == "true") facts->dangerous = true;
+          if (key == "worktreeconfig" && git_bool(val) != 0)
+            facts->dangerous = true;
+          if (key == "refstorage" && val != "files")
+            facts->dangerous = true;  // reftable: our ref reader can't see it
         }
       }
     }
@@ -772,7 +831,8 @@ bool attributes_dangerous(const std::string& path) {
       std::string attrs = sp == std::string::npos ? "" : line.substr(sp);
       for (const char* danger :
            {"filter=", " text", "\ttext", "-text", " eol", "\teol",
-            " ident", "\tident", " crlf", "\tcrlf"}) {
+            " ident", "\tident", " crlf", "\tcrlf",
+            "working-tree-encoding", "export-subst"}) {
         if (attrs.find(danger) != std::string::npos) return true;
       }
     }
@@ -1275,6 +1335,28 @@ int scan_impl(const char* workdir_c, const char* git_dir_c,
   scan_config_file(common_dir + "/config", &facts);
   if (facts.dangerous) return kUncertain;
   if (attributes_dangerous(common_dir + "/info/attributes")) return kUncertain;
+  // Global attributes: core.attributesFile, else the XDG default —
+  // text/eol/filter rules there change blob hashing exactly like
+  // in-worktree .gitattributes do.
+  {
+    std::string gattr;
+    if (!facts.attributes_file.empty()) {
+      gattr = expand_home(facts.attributes_file);
+    } else if (xdg) {
+      gattr = std::string(xdg) + "/git/attributes";
+    } else if (home) {
+      gattr = std::string(home) + "/.config/git/attributes";
+    }
+    if (!gattr.empty() && attributes_dangerous(gattr)) return kUncertain;
+  }
+  // Belt-and-braces for ref backends our resolver cannot read (reftable
+  // repos always have extensions.refstorage, but a stray layout must
+  // refuse rather than misread HEAD as unborn).
+  {
+    struct stat rt;
+    if (::stat((common_dir + "/reftable").c_str(), &rt) == 0)
+      return kUncertain;
+  }
 
   // --- index ---------------------------------------------------------------
   IndexData index;

@@ -372,6 +372,109 @@ def test_fallback_on_autocrlf(temp_repo, git):
                               repo.common_dir) is None
 
 
+def test_fallback_on_autocrlf_input(temp_repo, git):
+    git(temp_repo, "config", "core.autocrlf", "input")
+    repo = GitRepo.open(temp_repo)
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) is None
+
+
+def test_git_boolean_grammar(temp_repo, git):
+    """git accepts yes/no/on/off/1/0 for booleans; the scanner must too."""
+    # core.ignorecase = yes → dangerous → decline
+    git(temp_repo, "config", "core.ignorecase", "yes")
+    repo = GitRepo.open(temp_repo)
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) is None
+    git(temp_repo, "config", "--unset", "core.ignorecase")
+    # core.filemode = off → exec-bit differences are not modifications
+    git(temp_repo, "config", "core.filemode", "off")
+    os.chmod(os.path.join(temp_repo, "README.md"), 0o755)
+    assert_agrees(temp_repo)
+    got, _ = scan(temp_repo)
+    assert got == 0
+
+
+def test_fallback_on_included_config(temp_repo, git, tmp_path):
+    """[include]d config files carry the same certainty preconditions."""
+    inc = tmp_path / "inc.cfg"
+    inc.write_text("[core]\n\tautocrlf = true\n")
+    with open(os.path.join(temp_repo, ".git", "config"), "a") as f:
+        f.write(f"[include]\n\tpath = {inc}\n")
+    repo = GitRepo.open(temp_repo)
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) is None
+
+
+def test_fallback_on_conditional_include_filemode(temp_repo, git, tmp_path):
+    """[includeIf] conditions can't be evaluated natively: behaviour keys
+    reached through one force a refusal instead of a guess."""
+    inc = tmp_path / "cond.cfg"
+    inc.write_text("[core]\n\tfilemode = false\n")
+    with open(os.path.join(temp_repo, ".git", "config"), "a") as f:
+        f.write(f'[includeIf "gitdir:/nowhere/"]\n\tpath = {inc}\n')
+    repo = GitRepo.open(temp_repo)
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) is None
+
+
+def test_fallback_on_global_attributes(temp_repo, git, tmp_path,
+                                       monkeypatch):
+    """Global gitattributes (XDG default) carrying text/eol rules must make
+    the scanner decline — they change blob hashing like local ones."""
+    gdir = tmp_path / "xdg" / "git"
+    gdir.mkdir(parents=True)
+    (gdir / "attributes").write_text("* text=auto\n")
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "xdg"))
+    repo = GitRepo.open(temp_repo)
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) is None
+    # harmless global attributes keep the fast path
+    (gdir / "attributes").write_text("*.lock linguist-generated\n")
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) == 0
+
+
+def test_fallback_on_working_tree_encoding(temp_repo, git):
+    with open(os.path.join(temp_repo, ".gitattributes"), "w") as f:
+        f.write("*.txt working-tree-encoding=UTF-16LE\n")
+    git(temp_repo, "add", ".gitattributes")
+    git(temp_repo, "-c", "core.attributesfile=/dev/null", "commit", "-m",
+        "attrs")
+    with open(os.path.join(temp_repo, "data.txt"), "wb") as f:
+        f.write("hi\n".encode("utf-16-le"))
+    git(temp_repo, "add", "data.txt")
+    git(temp_repo, "commit", "-m", "data")
+    os.utime(os.path.join(temp_repo, "data.txt"),
+             (1_700_000_000, 1_700_000_000))
+    repo = GitRepo.open(temp_repo)
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) is None
+
+
+def test_fallback_on_reftable(tmp_path, git):
+    """Repos with a ref backend our resolver can't read must refuse, not
+    misreport every file as staged."""
+    import subprocess
+    repo = tmp_path / "rt"
+    repo.mkdir()
+    r = subprocess.run(["git", "init", "-b", "main",
+                        "--ref-format=reftable", str(repo)],
+                       capture_output=True)
+    if r.returncode != 0:
+        # this git predates reftable; simulate the layout markers
+        git(repo, "init", "-b", "main") if False else subprocess.run(
+            ["git", "init", "-b", "main", str(repo)], check=True,
+            capture_output=True)
+        subprocess.run(["git", "-C", str(repo), "config",
+                        "extensions.refstorage", "reftable"], check=True,
+                       capture_output=True)
+        os.makedirs(repo / ".git" / "reftable", exist_ok=True)
+    repo_o = GitRepo.open(str(repo))
+    assert native.quick_dirty(repo_o.workdir, repo_o.git_dir,
+                              repo_o.common_dir) is None
+
+
 def test_fallback_on_filter_attributes(temp_repo, git):
     with open(os.path.join(temp_repo, ".gitattributes"), "w") as f:
         f.write("*.txt filter=lfs\n")

@@ -96,6 +96,20 @@ class WhisperApp:
         self.quit_requested = False
         self._last_viewport = (1280.0, 800.0)
 
+    # The host assigns the proxy after construction (the reference wires it
+    # through host::run's on_proxy callback); propagate it to services that
+    # captured it at init so their completion doorbells actually ring.
+    @property
+    def proxy(self):
+        return self._proxy
+
+    @proxy.setter
+    def proxy(self, value) -> None:
+        self._proxy = value
+        cache = getattr(self, "avatar_cache", None)
+        if cache is not None:
+            cache._proxy = value
+
     # -- construction --------------------------------------------------------
 
     @classmethod

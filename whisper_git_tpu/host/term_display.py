@@ -73,7 +73,20 @@ class TermDisplay:
 
     # -- presentation ------------------------------------------------------
 
+    def _refresh_size(self) -> None:
+        """Track terminal resizes (cheap enough per frame that no SIGWINCH
+        handler is needed): a size change forces a full repaint and keeps
+        cell→pixel mouse mapping correct."""
+        size = shutil.get_terminal_size((120, 40))
+        cols = max(20, size.columns)
+        rows = max(10, size.lines - 1)
+        if cols != self.cols or rows != self.rows:
+            self.cols, self.rows = cols, rows
+            self._prev = None
+            self.out.write("\x1b[2J")  # clear: old cells may lie outside
+
     def show(self, frame_device) -> None:
+        self._refresh_size()
         grid = np.asarray(_downsample(frame_device, self.rows * 2,
                                       self.cols))
         top, bot = grid[0::2], grid[1::2]

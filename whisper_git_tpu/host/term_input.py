@@ -110,7 +110,7 @@ class TerminalInput:
         c = b[0]
         if c == 0x1B:  # ESC: sequence or bare Escape
             seq = b""
-            while len(seq) < 6:
+            while len(seq) < 8:
                 nxt = self._read_byte(0.01)
                 if nxt is None:
                     break
@@ -129,12 +129,23 @@ class TerminalInput:
                     return None
                 if seq.decode("latin1") in _ESC_MAP:
                     break
+                # CSI/SS3 sequences terminate on a final byte (0x40-0x7E
+                # after the introducer); stop collecting there so an
+                # unknown chord is consumed whole.
+                if len(seq) >= 2 and seq[:1] in (b"[", b"O") \
+                        and 0x40 <= seq[-1] <= 0x7E and seq != b"[":
+                    break
+            if not seq:
+                return KeyEvent("Escape")  # a bare Escape press
             name = _ESC_MAP.get(seq.decode("latin1"))
             if name == "ShiftTab":
                 return KeyEvent("Tab", shift=True)
             if name is not None:
                 return KeyEvent(name)
-            return KeyEvent("Escape")
+            # Unknown sequence (F1-F4 SS3, Alt+key, unmapped CSI): swallow
+            # it rather than synthesizing Escape — a stray Escape would
+            # close the user's modal/search state (reference Escape ladder).
+            return None
         if c in (0x0D, 0x0A):
             return KeyEvent("Enter")
         if c == 0x09:

@@ -55,8 +55,21 @@ TILE_W = R.TILE_W
 # cover one uid bucket's worth of scroll, not survive long scrolls.
 OVERSCAN = 192
 
+# Device-image caches. Python 3.7+ dicts iterate in insertion order, so
+# re-inserting on hit makes `pop(next(iter(...)))` evict the LEAST recently
+# used entry, not the steady-state hot set. HBM budget at 1280×800 (f32
+# premultiplied): groups ≤ 12×~16 MB + slabs ≤ 24×~25 MB + plan stacks
+# ≤ 4×~120 MB ≈ 1.3 GB worst case — well inside a TPU chip's HBM, and the
+# caps bound it regardless of session length.
 _GROUP_CACHE: dict = {}   # group key -> (H, W, 4) f32 device image
 _SLAB_CACHE: dict = {}    # slab key  -> dict(y0s, img)
+
+
+def _lru_get(cache: dict, key):
+    hit = cache.pop(key, None)
+    if hit is not None:
+        cache[key] = hit  # re-insert → most recently used
+    return hit
 
 _CLS_TBL = ((0, 1), (2, 3, 4), (5, 6))  # class -> indices into 7-part tuple
 
@@ -160,7 +173,7 @@ def _chrome_group_image(members, chrome_entries, font_tex, image_atlas,
                         tiles_y, tiles_x, height, width):
     key = (tuple((chrome_entries[li]["key"], ci, si)
                  for _, li, ci, si in members), height, width)
-    hit = _GROUP_CACHE.get(key)
+    hit = _lru_get(_GROUP_CACHE, key)
     if hit is not None:
         return hit
     # One blocks-kernel pass rendering every member segment in z order.
@@ -175,7 +188,7 @@ def _chrome_group_image(members, chrome_entries, font_tex, image_atlas,
         layers.append(_single_class_blocks(ci, block)[0])
     img = _render_blocks_image(tuple(layers), font_tex, image_atlas,
                                tiles_y, tiles_x, height, width)
-    while len(_GROUP_CACHE) > 16:
+    while len(_GROUP_CACHE) > 12:
         _GROUP_CACHE.pop(next(iter(_GROUP_CACHE)))
     _GROUP_CACHE[key] = img
     return img
@@ -200,7 +213,7 @@ def _window_slab(w, gi, ci, art, caps, font_tex, image_atlas, tiles_x,
     dy = float(w.dy)
     key = (w.comp.uid, ci, caps, round(w.dx * 8.0),
            tuple(round(c * 4.0) for c in w.clip), tiles_x, height)
-    hit = _SLAB_CACHE.get(key)
+    hit = _lru_get(_SLAB_CACHE, key)
     if hit is not None:
         start = -dy - hit["y0s"]
         if 0.0 <= start <= slab_h - height:
@@ -226,7 +239,7 @@ def _window_slab(w, gi, ci, art, caps, font_tex, image_atlas, tiles_x,
     img = _render_blocks_image(_single_class_blocks(ci, block), font_tex,
                                image_atlas, tiles_y_slab, tiles_x,
                                slab_h, width)
-    while len(_SLAB_CACHE) > 40:
+    while len(_SLAB_CACHE) > 24:
         _SLAB_CACHE.pop(next(iter(_SLAB_CACHE)))
     _SLAB_CACHE[key] = {"img": img, "y0s": y0s}
     return img, y0s
@@ -433,7 +446,7 @@ def render_frame_composed(scene, font_tex, image_atlas):
                        tuple(round(float(c) * 4.0) for c in w.clip))
                       for gi, w in enumerate(windows)),
                 height, width)
-    plan = _PLAN_CACHE.get(plan_key)
+    plan = _lru_get(_PLAN_CACHE, plan_key)
     if plan is not None:
         # slab validity: the crop must stay inside every cached slab
         for j, (gi, y0s) in enumerate(plan["slab_src"]):
@@ -445,7 +458,7 @@ def render_frame_composed(scene, font_tex, image_atlas):
         plan = _build_plan(scene, windows, chrome_entries, win_art,
                            win_caps, lws_by_layer, font_tex, image_atlas,
                            tiles_y, tiles_x, height, width)
-        while len(_PLAN_CACHE) > 16:
+        while len(_PLAN_CACHE) > 4:
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[plan_key] = plan
 
@@ -457,7 +470,7 @@ def render_frame_composed(scene, font_tex, image_atlas):
     # ZERO bytes (the tunnel's ~0.4 ms small-transfer latency is the single
     # largest per-frame cost once everything else is cached).
     bkey = hash(blob.tobytes())
-    blob_dev = _BLOB_DEV_CACHE.get(bkey)
+    blob_dev = _lru_get(_BLOB_DEV_CACHE, bkey)
     if blob_dev is None or blob_dev.shape != blob.shape:
         blob_dev = jnp.asarray(blob)
         while len(_BLOB_DEV_CACHE) > 128:
