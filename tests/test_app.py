@@ -214,6 +214,21 @@ def test_confirm_discard_file(temp_repo):
     assert open(p).read() == "hello\n"
 
 
+def test_worktree_menu_jump_to_branch(temp_repo, git, tmp_path):
+    wt = tmp_path / "wt-jump"
+    git(temp_repo, "worktree", "add", "-b", "jumpy", str(wt))
+    app = make_app(temp_repo)
+    tab = app.current()
+    name = next(w.name for w in tab.worktrees if not w.is_main)
+    app.handle_action(f"menu-worktree:{name}", 50, 50)
+    jump = next((i for i in app.context_menu.items
+                 if i.label == "Jump to Branch"), None)
+    assert jump is not None
+    app.handle_action(jump.route)
+    wt_head = next(w.head_oid for w in tab.worktrees if w.name == name)
+    assert tab.selected_oid == wt_head
+
+
 def test_context_menu_and_escape_ladder(temp_repo):
     app = make_app(temp_repo)
     tab = app.current()

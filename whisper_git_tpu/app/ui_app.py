@@ -1081,13 +1081,22 @@ class WhisperApp:
             ], x=x, y=y, target=f"stash:{arg}")
 
     def _act_menu_worktree(self, arg, x, y):
+        items = [
+            MenuItem("Switch to", f"select-worktree:{arg}"),
+            MenuItem("Open in Terminal", f"open-terminal:{arg}"),
+        ]
+        # reference README sidebar: worktree menu offers "Jump to Branch" —
+        # select the worktree's HEAD commit in the history view.
+        tab = self.current()
+        if tab is not None:
+            wt = next((w for w in tab.worktrees if w.name == arg), None)
+            if wt is not None and wt.head_oid:
+                items.append(MenuItem("Jump to Branch",
+                                      f"jump-to:{wt.head_oid}"))
+        items.append(MenuItem("Remove", f"confirm-remove-worktree:{arg}",
+                              destructive=True))
         self.context_menu = ContextMenuState(
-            items=[
-                MenuItem("Switch to", f"select-worktree:{arg}"),
-                MenuItem("Open in Terminal", f"open-terminal:{arg}"),
-                MenuItem("Remove", f"confirm-remove-worktree:{arg}",
-                         destructive=True),
-            ], x=x, y=y, target=f"worktree:{arg}")
+            items=items, x=x, y=y, target=f"worktree:{arg}")
 
     def _act_menu_submodule(self, arg, x, y):
         self.context_menu = ContextMenuState(
