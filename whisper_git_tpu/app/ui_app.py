@@ -50,6 +50,7 @@ from ..gitcore.repo import GitRepo
 from ..services.config import Config
 from ..ui import El, column, rect, row, stack, text
 from ..ui.theme import DARK as T
+from .palette import PaletteState, build_commands
 from .repo_tab import RepoTab, TimedOp
 from .views import chrome, dialogs
 from .views.commit_details import commit_details_pane
@@ -58,7 +59,8 @@ from .views.diff import diff_view
 from .views.sidebar import sidebar as sidebar_view
 from .views.staging import staging_well, worktree_picker_overlay
 from .views.welcome import welcome_view
-from .views.widgets import ContextMenuState, MenuItem, Toast, context_menu, toasts_overlay
+from .views.widgets import (ContextMenuState, MenuItem, Toast, context_menu,
+                            palette_overlay, toasts_overlay)
 
 STATUS_SAFETY_NET_SECS = 30.0   # reference: ui_app.rs:3326
 FINGERPRINT_INTERVAL_SECS = 5.0  # reference: ui_app.rs:3355
@@ -79,6 +81,7 @@ class WhisperApp:
         self.focused_input = ""         # subject | body | search | modal keys
         self.modal: Optional[tuple[str, object]] = None
         self.context_menu: Optional[ContextMenuState] = None
+        self.palette: Optional[PaletteState] = None
         self.worktree_picker_open = False
         self.toasts: list[Toast] = []
         self.diff_files = []            # currently shown diff
@@ -198,6 +201,8 @@ class WhisperApp:
             layers.append(context_menu(self.context_menu))
         if self.modal is not None:
             layers.append(self._modal_layer())
+        if self.palette is not None:
+            layers.append(palette_overlay(self.palette))
         overlay = toasts_overlay(self.toasts)
         if overlay is not None:
             layers.append(overlay)
@@ -344,6 +349,53 @@ class WhisperApp:
     def _act_close_modal(self, arg, x, y):
         self.modal = None
         self.focused_input = ""
+
+    def _act_close_palette(self, arg, x, y):
+        self.palette = None
+
+    def _act_palette_run(self, arg, x, y):
+        """Mouse activation of a palette row (`palette-run:<index>`)."""
+        pal = self.palette
+        if pal is None:
+            return
+        matches = pal.matches()
+        try:
+            idx = int(arg)
+        except ValueError:
+            return
+        if not 0 <= idx < len(matches):
+            return
+        self.palette = None
+        self.handle_action(matches[idx][0].route)
+
+    def _act_search_history(self, arg, x, y):
+        tab = self.current()
+        if tab is None:
+            return
+        self.focus = "graph"
+        tab.search_active = True
+        self.focused_input = "search"
+
+    def _palette_key(self, key: str, ctrl: bool) -> None:
+        """All keyboard input while the palette is open lands here
+        (the Escape ladder already closed it if Escape was pressed)."""
+        pal = self.palette
+        matches = pal.matches()
+        if key in ("Down", "Tab") or (ctrl and key.lower() in ("n", "j")):
+            pal.selected = min(pal.selected + 1, max(0, len(matches) - 1))
+        elif key == "Up" or (ctrl and key.lower() in ("p", "k")):
+            pal.selected = max(pal.selected - 1, 0)
+        elif key == "Backspace":
+            pal.query = pal.query[:-1]
+            pal.selected = 0
+        elif key == "Enter":
+            if matches:
+                sel = min(pal.selected, len(matches) - 1)
+                self.palette = None
+                self.handle_action(matches[sel][0].route)
+        elif len(key) == 1 and not ctrl:
+            pal.query += key
+            pal.selected = 0
 
     def _act_close_diff(self, arg, x, y):
         self.diff_open = False
@@ -1613,9 +1665,12 @@ class WhisperApp:
     def on_key(self, key: str, ctrl: bool = False, shift: bool = False
                ) -> None:
         tab = self.current()
-        # Escape ladder: menu → modal → picker → search → diff → details.
+        # Escape ladder: palette → menu → modal → picker → search → diff →
+        # details.
         if key == "Escape":
-            if self.context_menu is not None:
+            if self.palette is not None:
+                self.palette = None
+            elif self.context_menu is not None:
                 self.context_menu = None
             elif self.modal is not None:
                 self.modal = None
@@ -1631,6 +1686,13 @@ class WhisperApp:
                 tab.select_commit(None)
             else:
                 self.quit_requested = True
+            return
+        # Command palette captures all input while open (topmost surface).
+        if self.palette is not None:
+            self._palette_key(key, ctrl)
+            return
+        if ctrl and key.lower() in ("p", "k") and self.modal is None:
+            self.palette = PaletteState(commands=build_commands(self))
             return
         if key == "Backspace":
             self._backspace()

@@ -98,3 +98,63 @@ def toasts_overlay(toasts: list[Toast]) -> Optional[El]:
         column(spacer(), stackcol, spacer(12), align="center",
                width="fill", height="fill"),
         width="fill", height="fill", key="toasts")
+
+
+def palette_overlay(state) -> El:
+    """Command palette overlay: centered query box + ranked result rows.
+
+    `state` is an app.palette.PaletteState. Matched characters in each
+    label render in the accent color (spans composed from the matcher's
+    position list). The scrim click closes; rows run `palette-run:<i>`.
+    """
+    matches = state.matches()
+    rows: list[El] = []
+    query_label = state.query if state.query else "Type a command…"
+    rows.append(rect(
+        row(text(">", font_size=T.font_size, color=T.accent, bold=True),
+            text(query_label, font_size=T.font_size,
+                 color=T.text_bright if state.query else T.text_muted),
+            rect(width=2, height=15, fill=T.accent, volatile=True),
+            gap=7, align="center"),
+        width="fill", height=30, padding=(4, 10, 4, 10),
+        fill=T.background, radius=6, border=T.border_light, border_width=1,
+        key="palette-query"))
+    sel = min(state.selected, max(0, len(matches) - 1))
+    for i, (cmd, positions) in enumerate(matches):
+        pos = set(positions)
+        spans: list[El] = []
+        run_start = 0
+        # Coalesce adjacent chars with the same match-state into runs so
+        # a row stays a handful of text elements, not one per character.
+        label = cmd.label
+        for j in range(1, len(label) + 1):
+            if j == len(label) or (j in pos) != (run_start in pos):
+                seg = label[run_start:j]
+                hit = run_start in pos
+                spans.append(text(seg, font_size=T.font_size,
+                                  color=T.accent if hit else T.text,
+                                  bold=hit))
+                run_start = j
+        cells = [row(*spans) if spans else
+                 text(label, font_size=T.font_size, color=T.text)]
+        if cmd.hint:
+            cells += [spacer(),
+                      text(cmd.hint, font_size=10, color=T.text_muted)]
+        rows.append(rect(
+            row(*cells, align="center", width="fill"),
+            width="fill", height=26, radius=4, padding=(3, 10, 3, 10),
+            fill=T.surface_hover if i == sel else None,
+            hover_fill=T.surface_hover, route=f"palette-run:{i}",
+            key=f"palette-item:{i}"))
+    if not matches:
+        rows.append(rect(text("No matching commands", font_size=T.font_size,
+                              color=T.text_muted),
+                         width="fill", height=26, padding=(4, 10, 4, 10)))
+    panel = rect(column(*rows, gap=3, width=440, padding=(8, 8, 8, 8)),
+                 fill=T.surface_raised, border=T.border_light,
+                 border_width=1, radius=10, shadow=True, key="palette-panel")
+    return rect(
+        column(spacer(60), panel, spacer(), align="center",
+               width="fill", height="fill"),
+        width="fill", height="fill", route="close-palette",
+        key="palette-scrim")

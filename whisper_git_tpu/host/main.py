@@ -25,6 +25,7 @@ SCREENSHOT_STATES = [
     "welcome", "history", "history-search", "commit-menu", "diff",
     "settings", "open-repo", "confirm", "error", "clone", "token",
     "token-edit", "context-menu", "many-worktrees", "many-worktrees-open",
+    "palette",
 ]
 
 
@@ -119,6 +120,9 @@ def apply_screenshot_state(app: WhisperApp, state: str) -> None:
         synthesize_many_worktrees(tab)
         if state == "many-worktrees-open":
             app.worktree_picker_open = True
+    elif state == "palette":
+        from ..app.palette import PaletteState, build_commands
+        app.palette = PaletteState(query="br", commands=build_commands(app))
     # "history" is the default rendered state — nothing to inject.
 
 
