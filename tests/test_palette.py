@@ -186,3 +186,17 @@ def test_palette_overlay_builds_and_lays_out(temp_repo):
 
     walk(laid)
     assert "palette-panel" in found and "palette-query" in found
+
+
+def test_diff_left_right_hscroll(temp_repo):
+    app = make_app(temp_repo)
+    tab = app.current()
+    tab.select_commit(tab.commits[0].oid)
+    app.handle_action(f"select-commit:{tab.commits[0].oid}")
+    app.diff_open = True
+    assert tab.diff_hscroll == 0.0
+    app.on_key("Right")
+    assert tab.diff_hscroll == 60.0
+    app.on_key("Left")
+    app.on_key("Left")  # clamps at 0
+    assert tab.diff_hscroll == 0.0

@@ -1769,6 +1769,13 @@ class WhisperApp:
             return
         if tab is None:
             return
+        # Diff viewer horizontal scroll (reference README: Left/Right
+        # arrow keys; Shift+wheel handled in the host loop).
+        if self.diff_open and key in ("Left", "Right") and not self._typing():
+            step = 60.0 * (2.0 if self.config.scroll_speed_fast else 1.0)
+            tab.diff_hscroll = max(
+                0.0, tab.diff_hscroll + (step if key == "Right" else -step))
+            return
         # Search.
         if self.focus == "graph" and (key == "/" or (ctrl and key.lower() == "f")):
             tab.search_active = True

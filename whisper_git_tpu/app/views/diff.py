@@ -131,14 +131,19 @@ def _line_el(model: DiffRowModel, hscroll: float) -> El:
         pre = raw[:start].decode("utf-8", "replace")
         mid = raw[start:end].decode("utf-8", "replace")
         post = raw[end:].decode("utf-8", "replace")
-        cells.append(row(
+        content_el = row(
             text(pre, font_size=MONO_SIZE, color=T.text),
             rect(text(mid, font_size=MONO_SIZE, color=T.text_bright),
                  fill=hl_color, radius=2),
             text(post, font_size=MONO_SIZE, color=T.text),
-            align="center"))
+            align="center")
     else:
-        cells.append(text(content, font_size=MONO_SIZE, color=T.text))
+        content_el = text(content, font_size=MONO_SIZE, color=T.text)
+    # Gutter + origin stay fixed; the code column pans by hscroll
+    # (reference README: "Horizontal scrolling with Shift+ScrollWheel or
+    # Left/Right arrow keys").
+    cells.append(row(content_el, scroll_x=hscroll, clip=True,
+                     flex=1, height="fill", align="center"))
     return rect(row(*cells, gap=4, align="center", height="fill"),
                 width="fill", height=ROW_H, fill=wash, clip=True)
 

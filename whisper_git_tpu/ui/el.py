@@ -73,6 +73,11 @@ class El:
     # byte-stable across scroll frames (the render frame-cache keys on it).
     # Volatile content must be topmost within its layer at its pixels.
     volatile: bool = False
+    # Horizontal content offset (any container kind): children lay out
+    # shifted left by this many px while the clip stays at the element's
+    # rect — the diff viewer's h-scroll. An El carrying scroll_x inside a
+    # cache_key subtree must fold scroll_x into that key.
+    scroll_x: float = 0.0
     # Scroll (kind == "scroll")
     scroll_offset: float = 0.0
     virtual_row_count: int = 0

@@ -253,6 +253,10 @@ def _layout_impl(el: El, x: float, y: float, w: float, h: float,
     pt, pr, pb, pl = el.padding
     ix, iy = x + pl, y + pt
     iw, ih = max(w - pl - pr, 0.0), max(h - pt - pb, 0.0)
+    if el.scroll_x:
+        # Horizontal content offset: children shift left, clip stays put
+        # (snapped to the 1/8-px command-quantization grid like scroll).
+        ix -= round(el.scroll_x * 8.0) / 8.0
 
     if el.kind == "scroll":
         node.children = _layout_scroll(el, ix, iy, iw, ih, child_clip, m)
