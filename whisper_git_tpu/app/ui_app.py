@@ -78,6 +78,9 @@ class WhisperApp:
         self.active_tab = 0
         self.hover_route: Optional[str] = None  # set by Runner.pointer_move
         self.focus = "graph"            # graph | sidebar | staging
+        # Caret index within the focused input; None = end-of-text. Reset
+        # whenever focus moves (the focused_input setter below).
+        self.input_cursor: Optional[int] = None
         self.focused_input = ""         # subject | body | search | modal keys
         self.modal: Optional[tuple[str, object]] = None
         self.context_menu: Optional[ContextMenuState] = None
@@ -98,6 +101,18 @@ class WhisperApp:
         self.selection_text = ""        # clipboard fallback
         self.quit_requested = False
         self._last_viewport = (1280.0, 800.0)
+
+    # Focus moves reset the caret to end-of-text (reference text inputs:
+    # click/Tab focus places the cursor at the end).
+    @property
+    def focused_input(self) -> str:
+        return self._focused_input
+
+    @focused_input.setter
+    def focused_input(self, value: str) -> None:
+        if value != getattr(self, "_focused_input", None):
+            self.input_cursor = None
+        self._focused_input = value
 
     # The host assigns the proxy after construction (the reference wires it
     # through host::run's on_proxy callback); propagate it to services that
@@ -238,7 +253,8 @@ class WhisperApp:
                 submodule_pins=self._detail_pins(tab))
         else:
             right = staging_well(tab, focused_input=self.focused_input,
-                                 ai_busy=tab.ai_op is not None)
+                                 ai_busy=tab.ai_op is not None,
+                                 cursor=self.input_cursor)
 
         def divider(pane: str) -> El:
             # Drag-resizable pane divider (reference README: "drag-
@@ -253,7 +269,9 @@ class WhisperApp:
                  height="fill"),
             divider("sidebar"),
             rect(history_view(tab, show_avatars=self.config.show_avatars,
-                              avatar_cache=self.avatar_cache),
+                              avatar_cache=self.avatar_cache,
+                              search_focused=self.focused_input == "search",
+                              search_cursor=self.input_cursor),
                  flex=1, height="fill",
                  border=T.accent if self.focus == "graph" else None,
                  border_width=2 if self.focus == "graph" else 0),
@@ -274,22 +292,23 @@ class WhisperApp:
     def _modal_layer(self) -> El:
         kind, form = self.modal
         tab = self.current()
+        cur = self.input_cursor
         builders = {
             "settings": lambda: dialogs.settings_modal(self.config),
-            "open-repo": lambda: dialogs.open_repo_modal(form),
+            "open-repo": lambda: dialogs.open_repo_modal(form, cursor=cur),
             "confirm": lambda: dialogs.confirm_modal(form),
             "error": lambda: dialogs.error_modal(form),
             "clone": lambda: dialogs.clone_modal(
-                form, busy=self.clone_rx is not None),
-            "token": lambda: dialogs.token_modal(form),
-            "branch": lambda: dialogs.branch_modal(form),
-            "tag": lambda: dialogs.tag_modal(form),
+                form, busy=self.clone_rx is not None, cursor=cur),
+            "token": lambda: dialogs.token_modal(form, cursor=cur),
+            "branch": lambda: dialogs.branch_modal(form, cursor=cur),
+            "tag": lambda: dialogs.tag_modal(form, cursor=cur),
             "pull": lambda: dialogs.pull_modal(form),
             "push": lambda: dialogs.push_modal(
                 form, tab.remotes if tab else ["origin"]),
             "merge": lambda: dialogs.merge_modal(form),
             "rebase": lambda: dialogs.rebase_modal(form),
-            "worktree": lambda: dialogs.worktree_modal(form),
+            "worktree": lambda: dialogs.worktree_modal(form, cursor=cur),
             "worktrees-manage": lambda: dialogs.worktrees_manage_modal(tab),
         }
         builder = builders.get(kind)
@@ -339,6 +358,11 @@ class WhisperApp:
         self.focused_input = arg
         if arg in ("subject", "body"):
             self.focus = "staging"
+        # Keep the modal form's own focus marker in sync so the caret
+        # renders in the field that actually receives keystrokes.
+        if self.modal is not None and self.modal[1] is not None \
+                and hasattr(self.modal[1], "focused"):
+            self.modal[1].focused = arg
 
     def _act_close_menu(self, arg, x, y):
         self.context_menu = None
@@ -1626,41 +1650,109 @@ class WhisperApp:
     # Keyboard (reference README keyboard map).
     # ========================================================================
 
-    def on_text(self, s: str) -> None:
-        """Printable text lands in the focused input."""
-        if not self.focused_input:
-            return
+    def _input_read(self) -> Optional[str]:
+        """Current text of the focused input, or None when nothing
+        editable is focused."""
         tab = self.current()
         if self.focused_input in ("subject", "body") and tab is not None:
             view = tab.active_view()
             if view is None:
-                return
-            attr = "draft_subject" if self.focused_input == "subject" \
-                else "draft_body"
-            setattr(view, attr, getattr(view, attr) + s)
-        elif self.focused_input == "search" and tab is not None:
-            tab.search_query += s
-        elif self.modal is not None and self.modal[1] is not None:
-            form = self.modal[1]
-            if hasattr(form, self.focused_input):
-                setattr(form, self.focused_input,
-                        getattr(form, self.focused_input) + s)
+                return None
+            return getattr(view, "draft_subject"
+                           if self.focused_input == "subject"
+                           else "draft_body")
+        if self.focused_input == "search" and tab is not None:
+            return tab.search_query
+        if self.modal is not None and self.modal[1] is not None \
+                and self.focused_input \
+                and hasattr(self.modal[1], self.focused_input):
+            value = getattr(self.modal[1], self.focused_input)
+            return value if isinstance(value, str) else None
+        return None
 
-    def _backspace(self) -> None:
+    def _input_write(self, s: str) -> None:
         tab = self.current()
         if self.focused_input in ("subject", "body") and tab is not None:
             view = tab.active_view()
-            if view:
-                attr = ("draft_subject" if self.focused_input == "subject"
-                        else "draft_body")
-                setattr(view, attr, getattr(view, attr)[:-1])
+            if view is not None:
+                setattr(view, "draft_subject"
+                        if self.focused_input == "subject"
+                        else "draft_body", s)
         elif self.focused_input == "search" and tab is not None:
-            tab.search_query = tab.search_query[:-1]
-        elif self.modal is not None and self.modal[1] is not None:
-            form = self.modal[1]
-            if hasattr(form, self.focused_input):
-                setattr(form, self.focused_input,
-                        getattr(form, self.focused_input)[:-1])
+            tab.search_query = s
+        elif self.modal is not None and self.modal[1] is not None \
+                and hasattr(self.modal[1], self.focused_input):
+            setattr(self.modal[1], self.focused_input, s)
+
+    def _caret(self, value: str) -> int:
+        return (len(value) if self.input_cursor is None
+                else max(0, min(self.input_cursor, len(value))))
+
+    def on_text(self, s: str) -> None:
+        """Printable text inserts at the caret in the focused input."""
+        if not self.focused_input:
+            return
+        value = self._input_read()
+        if value is None:
+            return
+        c = self._caret(value)
+        self._input_write(value[:c] + s + value[c:])
+        if self.input_cursor is not None:
+            self.input_cursor = c + len(s)
+
+    def on_paste(self, s: str) -> None:
+        """Bracketed paste into the focused input. Single-line inputs
+        flatten newlines to spaces; the commit body keeps them."""
+        s = s.replace("\r\n", "\n").replace("\r", "\n")
+        if self.palette is not None:
+            self.palette.query += " ".join(
+                part for part in s.split("\n") if part)
+            self.palette.selected = 0
+            return
+        if not self.focused_input:
+            return
+        if self.focused_input != "body":
+            s = " ".join(part for part in s.split("\n") if part)
+        self.on_text(s)
+
+    def _backspace(self) -> None:
+        value = self._input_read()
+        if value is None:
+            return
+        c = self._caret(value)
+        if c == 0:
+            return
+        self._input_write(value[:c - 1] + value[c:])
+        if self.input_cursor is not None:
+            self.input_cursor = c - 1
+
+    def _input_edit_key(self, key: str) -> bool:
+        """Caret movement / deletion inside the focused input (reference
+        text inputs support full cursor editing). Returns True when the
+        key was consumed."""
+        value = self._input_read()
+        if value is None:
+            return False
+        if key == "Left":
+            self.input_cursor = max(0, self._caret(value) - 1)
+            return True
+        if key == "Right":
+            if self.input_cursor is not None:
+                c = self.input_cursor + 1
+                self.input_cursor = None if c >= len(value) else c
+            return True
+        if key == "Home":
+            self.input_cursor = 0
+            return True
+        if key == "End":
+            self.input_cursor = None
+            return True
+        if key == "Delete":
+            c = self._caret(value)
+            if c < len(value):
+                self._input_write(value[:c] + value[c + 1:])
+            return True
+        return False
 
     def on_key(self, key: str, ctrl: bool = False, shift: bool = False
                ) -> None:
@@ -1776,12 +1868,16 @@ class WhisperApp:
             tab.diff_hscroll = max(
                 0.0, tab.diff_hscroll + (step if key == "Right" else -step))
             return
-        # Search.
-        if self.focus == "graph" and (key == "/" or (ctrl and key.lower() == "f")):
+        # Search ("/" typed into a focused input must insert, not search).
+        if self.focus == "graph" and not self._typing() \
+                and (key == "/" or (ctrl and key.lower() == "f")):
             tab.search_active = True
             self.focused_input = "search"
             return
         if self._typing():
+            if key in ("Left", "Right", "Home", "End", "Delete") \
+                    and self._input_edit_key(key):
+                return
             if len(key) == 1 and not ctrl:
                 self.on_text(key)
             return

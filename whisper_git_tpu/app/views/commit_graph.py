@@ -12,7 +12,9 @@ from typing import Optional
 
 from ...gitcore.types import CommitInfo, format_relative_time
 from ...ops.lanes import LANE_COLORS, MAX_VISIBLE_LANES, LANE_WIDTH
-from ...ui import El, column, path, rect, row, scroll, spacer, stack, text
+from ...ui import (El, column, insert_caret, path, rect, row, scroll,
+                   spacer, stack, text)
+from .widgets import cursor_visible
 from ...ui.theme import DARK as T
 
 NODE_RADIUS = 4.5
@@ -232,7 +234,9 @@ def build_row(tab, index: int, segments_by_row: dict,
 
 
 def history_view(tab, show_avatars: bool = True,
-                 now: Optional[int] = None, avatar_cache=None) -> El:
+                 now: Optional[int] = None, avatar_cache=None,
+                 search_focused: bool = False,
+                 search_cursor: Optional[int] = None) -> El:
     """The virtualized history list (reference: commit_graph.rs:1308)."""
     if not tab.commits:
         label = ("Loading…" if not tab.initial_refresh_done
@@ -288,10 +292,17 @@ def history_view(tab, show_avatars: bool = True,
 
     parts: list[El] = []
     if tab.search_active:
+        q = tab.search_query
+        # Blinking caret at the edit position (reference README:
+        # "Blinking cursor in search input").
+        if search_focused and cursor_visible():
+            shown = insert_caret(q, search_cursor) if q \
+                else "▏type to filter…"
+        else:
+            shown = q or "type to filter…"
         parts.append(rect(
             row(text("/", color=T.accent, bold=True),
-                text(tab.search_query or "type to filter…",
-                     color=T.text if tab.search_query else T.text_muted),
+                text(shown, color=T.text if q else T.text_muted),
                 gap=6, align="center"),
             fill=T.surface_raised, border=T.accent, border_width=1,
             radius=4, padding=(4, 8, 4, 8), width="fill", height=28,

@@ -12,7 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-from ...ui import El, column, rect, row, spacer, text
+from ...ui import El, column, insert_caret, rect, row, spacer, text
 from ...ui.theme import DARK as T
 
 
@@ -124,12 +124,17 @@ def _modal_frame(title: str, body: list[El], width: float = 420,
 
 
 def _field(label: str, value: str, input_key: str, focused: str,
-           placeholder: str = "", secret: bool = False) -> El:
+           placeholder: str = "", secret: bool = False,
+           cursor=None) -> El:
     shown = ("•" * len(value)) if (secret and value) else value
     is_focused = focused == input_key
+    if is_focused:
+        shown = insert_caret(shown, cursor) if value else placeholder + "▏"
+    else:
+        shown = shown or placeholder
     return column(
         text(label, font_size=10, bold=True, color=T.text_muted),
-        rect(text((shown or placeholder) + ("▏" if is_focused else ""),
+        rect(text(shown,
                   color=T.text if value else T.text_muted,
                   font_size=T.font_size),
              fill=T.background, radius=4, padding=(5, 8, 5, 8),
@@ -196,10 +201,10 @@ def settings_modal(config) -> El:
     return _modal_frame("Settings", body, key="modal-settings")
 
 
-def open_repo_modal(form: OpenRepoForm) -> El:
+def open_repo_modal(form: OpenRepoForm, cursor=None) -> El:
     body = [
         _field("Repository path", form.path, "path", "path",
-               placeholder="/path/to/repo"),
+               placeholder="/path/to/repo", cursor=cursor),
         _buttons("Open", "do-open-repo", enabled=bool(form.path)),
     ]
     return _modal_frame("Open Repository", body, key="modal-open-repo")
@@ -225,12 +230,14 @@ def error_modal(state: ErrorState) -> El:
     return _modal_frame(state.title or "Error", body, key="modal-error")
 
 
-def clone_modal(form: CloneForm, busy: bool = False) -> El:
+def clone_modal(form: CloneForm, busy: bool = False,
+                cursor=None) -> El:
     body = [
         _field("Repository URL", form.url, "url", form.focused,
-               placeholder="https://github.com/user/repo.git"),
+               placeholder="https://github.com/user/repo.git",
+               cursor=cursor),
         _field("Destination", form.dest, "dest", form.focused,
-               placeholder="~/src/repo"),
+               placeholder="~/src/repo", cursor=cursor),
         (text("Cloning…", color=T.accent) if busy else
          _buttons("Clone", "do-clone",
                   enabled=bool(form.url and form.dest))),
@@ -238,7 +245,7 @@ def clone_modal(form: CloneForm, busy: bool = False) -> El:
     return _modal_frame("Clone Repository", body, key="modal-clone")
 
 
-def token_modal(form: TokenForm) -> El:
+def token_modal(form: TokenForm, cursor=None) -> El:
     body = [
         row(_radio("GitHub", form.provider == "github",
                    "token-provider:github"),
@@ -248,10 +255,10 @@ def token_modal(form: TokenForm) -> El:
     ]
     if form.provider == "gitlab":
         body.append(_field("Host", form.host, "host", form.focused,
-                           placeholder="gitlab.com"))
+                           placeholder="gitlab.com", cursor=cursor))
     body += [
         _field("Access token", form.token, "token", form.focused,
-               secret=True, placeholder="ghp_… / glpat-…"),
+               secret=True, placeholder="ghp_… / glpat-…", cursor=cursor),
         text("Stored in the system keychain.", font_size=10,
              color=T.text_muted),
         _buttons("Save token", "do-save-token",
@@ -261,10 +268,10 @@ def token_modal(form: TokenForm) -> El:
     return _modal_frame(title, body, key="modal-token")
 
 
-def branch_modal(form: BranchForm) -> El:
+def branch_modal(form: BranchForm, cursor=None) -> El:
     at = f" at {form.at_oid[:8]}" if form.at_oid else ""
     body = [
-        _field("Branch name", form.name, "name", "name",
+        _field("Branch name", form.name, "name", "name", cursor=cursor,
                placeholder="feature/thing"),
         _buttons("Create" + at, "do-create-branch",
                  enabled=bool(form.name)),
@@ -272,13 +279,13 @@ def branch_modal(form: BranchForm) -> El:
     return _modal_frame("Create Branch", body, key="modal-branch")
 
 
-def tag_modal(form: TagForm) -> El:
+def tag_modal(form: TagForm, cursor=None) -> El:
     at = f" at {form.at_oid[:8]}" if form.at_oid else ""
     body = [
-        _field("Tag name", form.name, "name", form.focused,
+        _field("Tag name", form.name, "name", form.focused, cursor=cursor,
                placeholder="v1.0.0"),
         _field("Message (annotated if set)", form.message, "message",
-               form.focused),
+               form.focused, cursor=cursor),
         _buttons("Create" + at, "do-create-tag", enabled=bool(form.name)),
     ]
     return _modal_frame("Create Tag", body, key="modal-tag")
@@ -334,13 +341,13 @@ def rebase_modal(form: RebaseForm) -> El:
     return _modal_frame("Rebase Options", body, key="modal-rebase")
 
 
-def worktree_modal(form: WorktreeForm) -> El:
+def worktree_modal(form: WorktreeForm, cursor=None) -> El:
     body = [
-        _field("New branch", form.branch, "branch", form.focused,
+        _field("New branch", form.branch, "branch", form.focused, cursor=cursor,
                placeholder="feature/thing"),
-        _field("Path", form.path, "path", form.focused,
+        _field("Path", form.path, "path", form.focused, cursor=cursor,
                placeholder="../repo-feature"),
-        _field("Base (optional)", form.base, "base", form.focused,
+        _field("Base (optional)", form.base, "base", form.focused, cursor=cursor,
                placeholder="main"),
         _buttons("Create worktree", "do-create-worktree",
                  enabled=bool(form.branch and form.path)),

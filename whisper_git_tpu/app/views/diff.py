@@ -172,7 +172,8 @@ def _hunk_header_el(model: DiffRowModel, fi: int, hi: int,
         padding=(1, 8, 1, 8))
 
 
-def _split_cell(line: Optional[DiffLine], kind: str) -> El:
+def _split_cell(line: Optional[DiffLine], kind: str,
+                hscroll: float = 0.0) -> El:
     if line is None:
         return rect(width="fill", height="fill", fill=(1, 1, 1, 0.03))
     wash = hl = None
@@ -186,7 +187,7 @@ def _split_cell(line: Optional[DiffLine], kind: str) -> El:
     if line.highlights and hl is not None:
         start, end = line.highlights[0]
         raw = line.content.encode()
-        cells.append(row(
+        content_el = row(
             text(raw[:start].decode("utf-8", "replace"),
                  font_size=MONO_SIZE, color=T.text),
             rect(text(raw[start:end].decode("utf-8", "replace"),
@@ -194,9 +195,11 @@ def _split_cell(line: Optional[DiffLine], kind: str) -> El:
                  fill=hl, radius=2),
             text(raw[end:].decode("utf-8", "replace"),
                  font_size=MONO_SIZE, color=T.text),
-            align="center"))
+            align="center")
     else:
-        cells.append(text(line.content, font_size=MONO_SIZE, color=T.text))
+        content_el = text(line.content, font_size=MONO_SIZE, color=T.text)
+    cells.append(row(content_el, scroll_x=hscroll, clip=True,
+                     flex=1, height="fill", align="center"))
     return rect(row(*cells, gap=4, align="center", height="fill"),
                 width="fill", height="fill", fill=wash, clip=True)
 
@@ -211,7 +214,8 @@ def diff_view(files: list[DiffFile], scroll_offset: float = 0.0,
                     fill=T.background, width="fill", height="fill",
                     align="center", key="diff")
     if mode == "split":
-        return _split_diff_view(files, scroll_offset, source, title)
+        return _split_diff_view(files, scroll_offset, source, title,
+                                hscroll)
     rows = build_diff_rows(files)
 
     def build(i: int) -> El:
@@ -265,7 +269,8 @@ def _diff_header(title: str, mode: str) -> El:
 
 
 def _split_diff_view(files: list[DiffFile], scroll_offset: float,
-                     source: str, title: str) -> El:
+                     source: str, title: str,
+                     hscroll: float = 0.0) -> El:
     rows = build_split_rows(files)
 
     def build(i: int) -> El:
@@ -285,9 +290,9 @@ def _split_diff_view(files: list[DiffFile], scroll_offset: float,
             return _hunk_header_el(model, model.file_index,
                                    model.hunk_index, source)
         return rect(
-            row(_split_cell(model.left, "left"),
+            row(_split_cell(model.left, "left", hscroll),
                 rect(width=1, height="fill", fill=T.border),
-                _split_cell(model.right, "right"),
+                _split_cell(model.right, "right", hscroll),
                 width="fill", height="fill"),
             width="fill", height=ROW_H)
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 
 from ...gitcore.types import FileStatus, StatusEntry
-from ...ui import El, column, rect, row, spacer, text
+from ...ui import El, column, insert_caret, rect, row, spacer, text
 from ...ui.memo import memo_el
 from ...ui.theme import DARK as T
 
@@ -85,19 +85,24 @@ def worktree_picker_overlay(tab) -> El:
 def _cursor_visible() -> bool:
     """~1 Hz cursor blink (reference: continuous redraw drives blink; our
     frame loop ticks often enough while focused)."""
-    import time
+    from .widgets import cursor_visible
 
-    return int(time.time() * 2) % 2 == 0
+    return cursor_visible()
 
 
 def _input(value: str, placeholder: str, key: str, focused: bool,
-           multiline: bool = False, over_limit: bool = False) -> El:
-    shown = value if value else placeholder
-    color = T.text if value else T.text_muted
+           multiline: bool = False, over_limit: bool = False,
+           cursor=None) -> El:
+    caret_on = focused and _cursor_visible()
+    if value:
+        shown = insert_caret(value, cursor) if caret_on else value
+        color = T.text
+    else:
+        shown = placeholder + ("▏" if caret_on else "")
+        color = T.text_muted
     if over_limit:
         color = T.danger
-    caret = "▏" if (focused and _cursor_visible()) else ""
-    content = text(shown + caret, color=color,
+    content = text(shown, color=color,
                    font_size=T.font_size, wrap=multiline)
     return rect(content, fill=T.background,
                 border=T.accent if focused else T.border, border_width=1,
@@ -143,7 +148,8 @@ def _file_section(title: str, entries: list, bucket: str,
     return rows
 
 
-def _staging_key(tab, focused_input: str, ai_busy: bool) -> tuple:
+def _staging_key(tab, focused_input: str, ai_busy: bool,
+                 cursor=None) -> tuple:
     """Every pixel-affecting input of the staging panel. The cursor-blink
     phase enters only while an editor is focused, so steady-state frames
     alternate between two cached variants (~1 Hz)."""
@@ -161,7 +167,8 @@ def _staging_key(tab, focused_input: str, ai_busy: bool) -> tuple:
         focused_input if focused_input in ("subject", "body",
                                            "staged-list",
                                            "unstaged-list") else "",
-        _cursor_visible() if focused_input in ("subject", "body") else True,
+        (_cursor_visible(), cursor)
+        if focused_input in ("subject", "body") else (True, None),
         ai_busy,
         (bucket(status.staged), bucket(status.unstaged),
          bucket(status.untracked), bucket(status.conflicted))
@@ -176,13 +183,15 @@ def _staging_key(tab, focused_input: str, ai_busy: bool) -> tuple:
     )
 
 
-def staging_well(tab, focused_input: str = "", ai_busy: bool = False) -> El:
+def staging_well(tab, focused_input: str = "", ai_busy: bool = False,
+                 cursor=None) -> El:
     """reference: staging.rs — the full staging pane. Memoized (ui.memo)."""
-    return memo_el(_staging_key(tab, focused_input, ai_busy),
-                   lambda: _staging_impl(tab, focused_input, ai_busy))
+    return memo_el(_staging_key(tab, focused_input, ai_busy, cursor),
+                   lambda: _staging_impl(tab, focused_input, ai_busy, cursor))
 
 
-def _staging_impl(tab, focused_input: str = "", ai_busy: bool = False) -> El:
+def _staging_impl(tab, focused_input: str = "", ai_busy: bool = False,
+                  cursor=None) -> El:
     view = tab.active_view()
     parts: list[El] = []
 
@@ -205,12 +214,14 @@ def _staging_impl(tab, focused_input: str = "", ai_busy: bool = False) -> El:
 
     parts.append(_input(subject, "Commit subject", "subject",
                         focused_input == "subject",
-                        over_limit=len(subject) > SUBJECT_LIMIT))
+                        over_limit=len(subject) > SUBJECT_LIMIT,
+                        cursor=cursor))
     if len(subject) > SUBJECT_LIMIT:
         parts.append(text(f"{len(subject)}/{SUBJECT_LIMIT}", font_size=9,
                           color=T.danger))
     parts.append(_input(body, "Description (optional)", "body",
-                        focused_input == "body", multiline=True))
+                        focused_input == "body", multiline=True,
+                        cursor=cursor))
 
     can_commit = bool(view and view.status and view.status.staged) or amend
     parts.append(rect(

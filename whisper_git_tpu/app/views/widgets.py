@@ -158,3 +158,9 @@ def palette_overlay(state) -> El:
                width="fill", height="fill"),
         width="fill", height="fill", route="close-palette",
         key="palette-scrim")
+
+
+def cursor_visible() -> bool:
+    """~1 Hz caret blink shared by every text input (reference README:
+    "Cursor blinking in text inputs at approximately 1Hz")."""
+    return int(time.time() * 2) % 2 == 0

@@ -127,7 +127,7 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                 break
             timeout = next_wake_timeout(app, time.monotonic())
             if term is not None:
-                from .term_input import KeyEvent, dispatch
+                from .term_input import KeyEvent, PasteEvent, dispatch
 
                 # Drain input while waiting out the frame budget; any event
                 # or doorbell ends the wait and re-renders.
@@ -137,7 +137,7 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                     ev = term.poll(timeout=min(
                         0.05, max(0.0, deadline - time.monotonic())))
                     if ev is not None:
-                        if isinstance(ev, KeyEvent):
+                        if isinstance(ev, (KeyEvent, PasteEvent)):
                             dispatch(app, ev)
                             need_frame = True
                         elif display is not None:

@@ -26,8 +26,10 @@ _ENTER = ("\x1b[?1049h"   # alt screen
           "\x1b[?25l"     # hide cursor
           "\x1b[?1002h"   # button-event mouse tracking (incl. drag)
           "\x1b[?1003h"   # any-motion tracking (hover)
-          "\x1b[?1006h")  # SGR extended coordinates
-_EXIT = "\x1b[?1006l\x1b[?1003l\x1b[?1002l\x1b[?25h\x1b[?1049l"
+          "\x1b[?1006h"   # SGR extended coordinates
+          "\x1b[?2004h")  # bracketed paste
+_EXIT = ("\x1b[?2004l\x1b[?1006l\x1b[?1003l\x1b[?1002l"
+         "\x1b[?25h\x1b[?1049l")
 
 
 @functools.partial(__import__("jax").jit,

@@ -27,6 +27,15 @@ class KeyEvent:
 
 
 @dataclass(frozen=True)
+class PasteEvent:
+    """Bracketed paste (DECSET 2004): the terminal wraps pasted text in
+    ESC[200~ … ESC[201~ so a multi-line paste arrives as one event
+    instead of a keystroke storm (which would, e.g., trigger hotkeys)."""
+
+    text: str
+
+
+@dataclass(frozen=True)
 class MouseEvent:
     """One SGR-encoded (DECSET 1006) terminal mouse event. col/row are
     1-based terminal cells; the host maps them to app pixels."""
@@ -137,6 +146,17 @@ class TerminalInput:
                     break
             if not seq:
                 return KeyEvent("Escape")  # a bare Escape press
+            if seq == b"[200~":  # bracketed paste: read until ESC[201~
+                buf = b""
+                while len(buf) < 1 << 20:
+                    nxt = self._read_byte(0.05)
+                    if nxt is None:
+                        break
+                    buf += nxt
+                    if buf.endswith(b"\x1b[201~"):
+                        buf = buf[:-6]
+                        break
+                return PasteEvent(buf.decode("utf-8", "replace"))
             name = _ESC_MAP.get(seq.decode("latin1"))
             if name == "ShiftTab":
                 return KeyEvent("Tab", shift=True)
@@ -169,8 +189,11 @@ class TerminalInput:
         return KeyEvent(ch, shift=ch.isupper())
 
 
-def dispatch(app, ev: KeyEvent) -> None:
-    """Route one key event through the app's keyboard rules."""
+def dispatch(app, ev) -> None:
+    """Route one key or paste event through the app's keyboard rules."""
+    if isinstance(ev, PasteEvent):
+        app.on_paste(ev.text)
+        return
     if ev.ctrl or len(ev.key) > 1:
         app.on_key(ev.key, ctrl=ev.ctrl, shift=ev.shift)
     else:

@@ -130,3 +130,11 @@ def scroll(row_count: int, build, offset: float = 0.0,
     return El("scroll", virtual_row_count=row_count, virtual_build=build,
               scroll_offset=offset, virtual_row_heights=row_heights,
               clip=True, **kw)
+
+
+def insert_caret(value: str, cursor, caret: str = "▏") -> str:
+    """Place the caret glyph at `cursor` (None → end) within `value`."""
+    if cursor is None:
+        return value + caret
+    c = max(0, min(int(cursor), len(value)))
+    return value[:c] + caret + value[c:]
