@@ -20,21 +20,29 @@ from ..engine import EventLoopProxy, FsChangeKind
 from ..engine.async_ops import (
     PushOptions,
     RebaseOptions,
+    cherry_pick_abort_async,
     cherry_pick_async,
+    cherry_pick_continue_async,
     classify_git_error,
     clone_async,
     create_worktree_with_post_steps_async,
     fetch_async,
+    merge_abort_async,
     merge_async,
+    merge_continue_async,
     merge_ff_only_async,
     merge_no_ff_async,
     merge_squash_async,
     pull_async,
     pull_rebase_async,
     push_with_options_async,
+    rebase_abort_async,
+    rebase_continue_async,
     rebase_with_options_async,
     remove_submodule_async,
+    revert_abort_async,
     revert_async,
+    revert_continue_async,
     stash_apply_async,
     stash_drop_async,
     stash_pop_async,
@@ -1187,14 +1195,88 @@ class WhisperApp:
     def _act_menu_file(self, arg, x, y):
         bucket, _, path = arg.partition(":")
         items = [MenuItem("View Diff", f"view-file:{bucket}:{path}")]
-        if bucket == "staged":
+        if bucket == "conflicted":
+            # Conflict resolution (beyond-reference: deferred there).
+            items += [
+                MenuItem("Use Ours (current branch)",
+                         f"resolve-conflict:ours:{path}"),
+                MenuItem("Use Theirs (incoming)",
+                         f"resolve-conflict:theirs:{path}"),
+                MenuItem("Mark Resolved (stage as-is)",
+                         f"resolve-conflict:add:{path}",
+                         separator_before=True),
+            ]
+        elif bucket == "staged":
             items.append(MenuItem("Unstage", f"unstage-file:{path}"))
         else:
             items.append(MenuItem("Stage", f"stage-file:{path}"))
-        items.append(MenuItem("Discard", f"confirm-discard-file:{path}",
-                              destructive=True))
+        if bucket != "conflicted":
+            items.append(MenuItem("Discard", f"confirm-discard-file:{path}",
+                                  destructive=True))
         self.context_menu = ContextMenuState(items=items, x=x, y=y,
                                              target=f"file:{path}")
+
+    # -- in-progress op control (beyond-reference; reference shows the
+    # MERGING/REBASING pill with no abort/continue) ---------------------------
+
+    _STATE_OPS = {
+        "Merging": ("merge", merge_abort_async, merge_continue_async),
+        "Rebasing": ("rebase", rebase_abort_async, rebase_continue_async),
+        "Rebasing (interactive)": ("rebase", rebase_abort_async,
+                                   rebase_continue_async),
+        "Cherry-picking": ("cherry-pick", cherry_pick_abort_async,
+                           cherry_pick_continue_async),
+        "Reverting": ("revert", revert_abort_async, revert_continue_async),
+    }
+
+    def _act_menu_repo_state(self, arg, x, y):
+        tab = self.current()
+        if tab is None or tab.repo_state not in self._STATE_OPS:
+            return
+        kind = self._STATE_OPS[tab.repo_state][0]
+        self.context_menu = ContextMenuState(items=[
+            MenuItem(f"Continue {kind}", "continue-op"),
+            MenuItem(f"Abort {kind}", "abort-op", destructive=True,
+                     separator_before=True),
+        ], x=x, y=y, target="repo-state")
+
+    def _op_control(self, which: str) -> None:
+        tab = self.current()
+        if tab is None or tab.repo_state not in self._STATE_OPS \
+                or not self._slot_free(tab, "other_op"):
+            return
+        kind, abort_fn, cont_fn = self._STATE_OPS[tab.repo_state]
+        fn = abort_fn if which == "abort" else cont_fn
+        verb = "Aborting" if which == "abort" else "Continuing"
+        tab.other_op = TimedOp(fn(self._wd(tab), self.proxy),
+                               f"{verb} {kind}",
+                               "Abort" if which == "abort" else "Continue")
+
+    def _act_abort_op(self, arg, x, y):
+        self._op_control("abort")
+
+    def _act_continue_op(self, arg, x, y):
+        self._op_control("continue")
+
+    def _act_resolve_conflict(self, arg, x, y):
+        """arg: '<ours|theirs|add>:<path>' — resolve a conflicted file."""
+        side, _, path = arg.partition(":")
+        tab = self.current()
+        if tab is None or not path:
+            return
+        if side == "add":
+            ok = self.run_sync_op(
+                f"Mark {path} resolved",
+                lambda: gstatus.stage_file(tab.active_repo(), path))
+        else:
+            ok = self.run_sync_op(
+                f"Resolve {path}",
+                lambda: grefs.resolve_conflict_side(tab.active_repo(),
+                                                    path, side))
+        if ok:
+            label = {"add": "staged as-is", "ours": "took ours",
+                     "theirs": "took theirs"}[side]
+            self.toast("success", f"Resolved {path} ({label})")
 
     # -- confirms (reference: ConfirmAction, ui_app.rs:170-209) --------------
 

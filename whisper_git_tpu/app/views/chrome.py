@@ -94,10 +94,14 @@ def _header_bar_impl(app, tab) -> El:
              padding=(3, 10, 3, 10), key="branch-pill"),
     ]
     if tab.repo_state:
-        cells.append(rect(text(tab.repo_state, font_size=11, bold=True,
-                               color=T.text_bright),
+        # Clickable: Continue/Abort menu for the in-progress operation
+        # (beyond-reference — the reference pill is inert).
+        cells.append(rect(text(tab.repo_state + " ▾", font_size=11,
+                               bold=True, color=T.text_bright),
                           fill=T.warning, radius=T.radius_pill,
-                          padding=(3, 8, 3, 8)))
+                          padding=(3, 8, 3, 8), route="menu-repo-state",
+                          hover_fill=T.surface_hover,
+                          key="repo-state-pill"))
     cells.append(spacer())
 
     local = next((t for t in tab.branch_tips

@@ -333,3 +333,43 @@ def classify_git_error(stderr: str) -> ClassifiedError:
         return ClassifiedError("Unstaged changes present. Commit or stash them first.")
     first_line = next((l for l in stderr.splitlines() if l.strip()), "git operation failed")
     return ClassifiedError(first_line.strip())
+
+
+# -- in-progress operation control (beyond-reference: the reference shows
+# the MERGING/REBASING state pill but offers no way out in-app) ---------------
+
+def merge_abort_async(wd, proxy=None):
+    return run_git_async(wd, ["merge", "--abort"], proxy)
+
+
+def merge_continue_async(wd, proxy=None):
+    # core.editor=true accepts the prepared message without an editor.
+    return run_git_async(wd, ["-c", "core.editor=true", "merge",
+                              "--continue"], proxy)
+
+
+def rebase_abort_async(wd, proxy=None):
+    return run_git_async(wd, ["rebase", "--abort"], proxy)
+
+
+def rebase_continue_async(wd, proxy=None):
+    return run_git_async(wd, ["-c", "core.editor=true", "rebase",
+                              "--continue"], proxy)
+
+
+def cherry_pick_abort_async(wd, proxy=None):
+    return run_git_async(wd, ["cherry-pick", "--abort"], proxy)
+
+
+def cherry_pick_continue_async(wd, proxy=None):
+    return run_git_async(wd, ["-c", "core.editor=true", "cherry-pick",
+                              "--continue"], proxy)
+
+
+def revert_abort_async(wd, proxy=None):
+    return run_git_async(wd, ["revert", "--abort"], proxy)
+
+
+def revert_continue_async(wd, proxy=None):
+    return run_git_async(wd, ["-c", "core.editor=true", "revert",
+                              "--continue"], proxy)

@@ -229,3 +229,15 @@ def has_lfs(repo: GitRepo) -> bool:
             return "filter=lfs" in f.read()
     except OSError:
         return False
+
+
+# -- conflict resolution (beyond-reference: the reference defers "Merge
+# conflict resolution", docs/user_needs.md Deferred list) --------------------
+
+def resolve_conflict_side(repo: GitRepo, path: str, side: str) -> None:
+    """Resolve a conflicted path by taking one side wholesale, then stage
+    it. side: "ours" (current branch) | "theirs" (incoming)."""
+    if side not in ("ours", "theirs"):
+        raise ValueError(f"side must be ours|theirs, got {side!r}")
+    run_git(repo.root, "checkout", f"--{side}", "--", path)
+    run_git(repo.root, "add", "--", path)
