@@ -27,6 +27,7 @@ from ..engine.async_ops import (
     clone_async,
     create_worktree_with_post_steps_async,
     fetch_async,
+    interactive_rebase_async,
     merge_abort_async,
     merge_async,
     merge_continue_async,
@@ -317,6 +318,7 @@ class WhisperApp:
             "merge": lambda: dialogs.merge_modal(form),
             "rebase": lambda: dialogs.rebase_modal(form),
             "worktree": lambda: dialogs.worktree_modal(form, cursor=cur),
+            "rebase-i": lambda: dialogs.rebase_interactive_modal(form),
             "worktrees-manage": lambda: dialogs.worktrees_manage_modal(tab),
         }
         builder = builders.get(kind)
@@ -1119,6 +1121,8 @@ class WhisperApp:
                 MenuItem("Create Tag here…", f"open-tag-dialog:{oid}"),
                 MenuItem("Cherry-pick", f"confirm-cherry-pick:{oid}",
                          separator_before=True),
+                MenuItem("Interactive Rebase from here…",
+                         f"open-rebase-interactive:{oid}"),
                 MenuItem("Revert…", f"confirm-revert:{oid}"),
                 MenuItem("Reset Soft here…", f"confirm-reset:soft:{oid}",
                          separator_before=True),
@@ -1257,6 +1261,77 @@ class WhisperApp:
 
     def _act_continue_op(self, arg, x, y):
         self._op_control("continue")
+
+    # -- interactive rebase (beyond-reference; Deferred in the reference's
+    # user_needs.md) ----------------------------------------------------------
+
+    def _act_open_rebase_interactive(self, arg, x, y):
+        tab = self.current()
+        if tab is None or not arg:
+            return
+        self.context_menu = None
+        try:
+            plan = grefs.rebase_plan(tab.active_repo(), arg)
+        except Exception as exc:
+            self.toast("error", f"Rebase plan failed: {exc}")
+            return
+        if not plan:
+            self.toast("info", "No commits to rebase from there")
+            return
+        entries = [dialogs.RebaseIEntry("pick", oid, subj)
+                   for oid, subj in plan]
+        self.modal = ("rebase-i",
+                      dialogs.RebaseIForm(onto=arg, entries=entries))
+
+    def _act_rebase_i_action(self, arg, x, y):
+        """Cycle one todo row: pick → squash → fixup → drop → pick."""
+        if not (self.modal and self.modal[0] == "rebase-i"):
+            return
+        form = self.modal[1]
+        try:
+            i = int(arg)
+        except ValueError:
+            return
+        if not 0 <= i < len(form.entries):
+            return
+        cycle = ["pick", "squash", "fixup", "drop"]
+        e = form.entries[i]
+        e.action = cycle[(cycle.index(e.action) + 1) % len(cycle)]
+
+    def _act_rebase_i_move(self, arg, x, y):
+        """Reorder one todo row. arg: '<index>:<±1>'."""
+        if not (self.modal and self.modal[0] == "rebase-i"):
+            return
+        form = self.modal[1]
+        try:
+            i_s, _, d_s = arg.partition(":")
+            i, d = int(i_s), int(d_s)
+        except ValueError:
+            return
+        j = i + d
+        if not (0 <= i < len(form.entries) and 0 <= j < len(form.entries)):
+            return
+        form.entries[i], form.entries[j] = form.entries[j], form.entries[i]
+
+    def _act_do_rebase_i(self, arg, x, y):
+        tab = self.current()
+        if tab is None or not (self.modal and self.modal[0] == "rebase-i"):
+            return
+        form = self.modal[1]
+        kept = [e for e in form.entries if e.action != "drop"]
+        if not kept or kept[0].action != "pick":
+            self.toast("error",
+                       "The first kept commit must be a pick")
+            return
+        if not self._slot_free(tab, "other_op"):
+            return
+        self.modal = None
+        todo = [f"{e.action} {e.oid} {e.subject}"
+                for e in form.entries if e.action != "drop"]
+        tab.other_op = TimedOp(
+            interactive_rebase_async(self._wd(tab), form.onto, todo,
+                                     self.proxy),
+            f"Interactive rebase ({len(todo)} commits)", "Rebase")
 
     def _act_resolve_conflict(self, arg, x, y):
         """arg: '<ours|theirs|add>:<path>' — resolve a conflicted file."""
@@ -1878,7 +1953,8 @@ class WhisperApp:
                       "confirm": "do-confirm", "token": "do-save-token",
                       "worktree": "do-create-worktree",
                       "pull": "do-pull", "merge": "do-merge",
-                      "rebase": "do-rebase", "push": "do-push-options"}
+                      "rebase": "do-rebase", "rebase-i": "do-rebase-i",
+                      "push": "do-push-options"}
             if kind in submit:
                 self.handle_action(submit[kind])
             return

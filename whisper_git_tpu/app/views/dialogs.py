@@ -382,3 +382,70 @@ def worktrees_manage_modal(tab) -> El:
                     width="fill"))
     return _modal_frame("Worktrees", body, width=480,
                         key="modal-worktrees-manage")
+
+
+# -- interactive rebase (beyond-reference: Deferred in the reference's
+# docs/user_needs.md) ---------------------------------------------------------
+
+@dataclass
+class RebaseIEntry:
+    action: str   # pick | squash | fixup | drop
+    oid: str
+    subject: str
+
+
+@dataclass
+class RebaseIForm:
+    onto: str                 # exclusive base commit
+    entries: list = field(default_factory=list)  # oldest first (todo order)
+
+
+def rebase_interactive_modal(form: RebaseIForm) -> El:
+    action_tint = {"pick": T.success, "squash": T.info,
+                   "fixup": T.info, "drop": T.danger}
+    rows: list[El] = [
+        text(f"Rebase {len(form.entries)} commits onto "
+             f"{form.onto[:8]} — click the action to cycle "
+             "pick → squash → fixup → drop; ↑/↓ reorder.",
+             font_size=10, color=T.text_muted, wrap=True, width="fill"),
+    ]
+    for i, e in enumerate(form.entries):
+        tint = action_tint.get(e.action, T.text_muted)
+        dropped = e.action == "drop"
+        cells = [
+            rect(text(e.action.ljust(6), font_size=11, bold=True,
+                      color=T.text_bright),
+                 fill=(tint[0], tint[1], tint[2], 0.35), radius=4,
+                 padding=(2, 6, 2, 6), width=64,
+                 route=f"rebase-i-action:{i}",
+                 hover_fill=T.surface_hover,
+                 key=f"rebase-i-action:{i}"),
+            text(e.oid[:8], font_size=11, color=T.text_muted),
+            text(e.subject[:52], font_size=T.font_size,
+                 color=T.text_muted if dropped else T.text),
+            spacer(),
+            rect(text("↑", font_size=11, color=T.text_muted),
+                 route=f"rebase-i-move:{i}:-1" if i > 0 else None,
+                 radius=3, padding=(0, 5, 0, 5),
+                 hover_fill=T.surface_hover),
+            rect(text("↓", font_size=11, color=T.text_muted),
+                 route=(f"rebase-i-move:{i}:1"
+                        if i < len(form.entries) - 1 else None),
+                 radius=3, padding=(0, 5, 0, 5),
+                 hover_fill=T.surface_hover),
+        ]
+        rows.append(rect(
+            row(*cells, gap=8, align="center", width="fill",
+                height="fill"),
+            width="fill", height=26, radius=4, padding=(2, 6, 2, 6),
+            opacity=0.55 if dropped else 1.0,
+            fill=T.background, key=f"rebase-i-row:{i}"))
+    kept = [e for e in form.entries if e.action != "drop"]
+    valid = bool(kept) and kept[0].action == "pick"
+    if kept and kept[0].action != "pick":
+        rows.append(text("The first kept commit must be a pick "
+                         "(squash/fixup meld into the previous one).",
+                         font_size=10, color=T.danger))
+    rows.append(_buttons("Start rebase", "do-rebase-i", enabled=valid))
+    return _modal_frame("Interactive Rebase", rows, width=560,
+                        key="modal-rebase-i")

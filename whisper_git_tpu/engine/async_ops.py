@@ -373,3 +373,41 @@ def revert_abort_async(wd, proxy=None):
 def revert_continue_async(wd, proxy=None):
     return run_git_async(wd, ["-c", "core.editor=true", "revert",
                               "--continue"], proxy)
+
+
+# -- interactive rebase (beyond-reference: "Interactive rebase" sits on the
+# reference's Deferred list, docs/user_needs.md) ------------------------------
+
+def interactive_rebase_async(wd, onto: str, todo_lines: Sequence[str],
+                             proxy=None):
+    """Run `git rebase -i <onto>` with a pre-authored todo list.
+
+    The UI edits the plan (pick/squash/fixup/drop + reorder); here the
+    todo is written to a temp file and GIT_SEQUENCE_EDITOR (`cp <file>`)
+    replaces git's generated list with it — no terminal editor ever
+    opens. core.editor=true accepts squash/fixup messages as-is.
+    """
+    import tempfile
+
+    fd, todo_path = tempfile.mkstemp(prefix="wgit-rebase-todo-",
+                                     suffix=".txt")
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(todo_lines) + "\n")
+    rx = run_git_async(wd, ["-c", f"sequence.editor=cp {todo_path}",
+                            "-c", "core.editor=true",
+                            "rebase", "-i", onto], proxy)
+
+    # Clean the temp file up after the op lands without blocking the
+    # caller: wrap the queue so the first get also unlinks.
+    out: "queue.Queue[RemoteOpResult]" = queue.Queue(maxsize=1)
+
+    def relay():
+        result = rx.get()
+        try:
+            os.unlink(todo_path)
+        except OSError:
+            pass
+        out.put(result)
+
+    threading.Thread(target=relay, daemon=True).start()
+    return out

@@ -241,3 +241,16 @@ def resolve_conflict_side(repo: GitRepo, path: str, side: str) -> None:
         raise ValueError(f"side must be ours|theirs, got {side!r}")
     run_git(repo.root, "checkout", f"--{side}", "--", path)
     run_git(repo.root, "add", "--", path)
+
+
+def rebase_plan(repo: GitRepo, onto: str) -> list[tuple[str, str]]:
+    """(oid, subject) pairs for `onto..HEAD`, oldest first — the todo
+    order `git rebase -i` expects."""
+    out = run_git(repo.root, "log", "--reverse", "--format=%H%x00%s",
+                  f"{onto}..HEAD")
+    plan = []
+    for line in out.stdout.splitlines():
+        if "\x00" in line:
+            oid, _, subject = line.partition("\x00")
+            plan.append((oid, subject))
+    return plan

@@ -25,7 +25,7 @@ SCREENSHOT_STATES = [
     "welcome", "history", "history-search", "commit-menu", "diff",
     "settings", "open-repo", "confirm", "error", "clone", "token",
     "token-edit", "context-menu", "many-worktrees", "many-worktrees-open",
-    "palette",
+    "palette", "rebase-i",
 ]
 
 
@@ -123,6 +123,16 @@ def apply_screenshot_state(app: WhisperApp, state: str) -> None:
     elif state == "palette":
         from ..app.palette import PaletteState, build_commands
         app.palette = PaletteState(query="br", commands=build_commands(app))
+    elif state == "rebase-i" and tab is not None and tab.commits:
+        plan = tab.commits[:4][::-1]  # oldest first, todo order
+        entries = [dialogs.RebaseIEntry("pick", c.oid, c.summary)
+                   for c in plan]
+        if len(entries) > 1:
+            entries[1].action = "squash"
+        if len(entries) > 2:
+            entries[2].action = "drop"
+        app.modal = ("rebase-i", dialogs.RebaseIForm(
+            onto=plan[0].oid if plan else "HEAD~4", entries=entries))
     # "history" is the default rendered state — nothing to inject.
 
 
