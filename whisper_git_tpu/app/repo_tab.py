@@ -172,6 +172,11 @@ class RepoTab:
         self.last_push_time: float = 0.0
         self.last_ci_fetch: float = 0.0
 
+        # Pull requests (beyond-reference: Deferred in user_needs.md).
+        self.pr_by_branch: dict[str, object] = {}  # branch -> PullRequestInfo
+        self.pr_receivers: list = []
+        self.pr_error: Optional[str] = None
+
         # Safety-net stamps.
         self.last_status_query: float = 0.0
         self.last_fingerprint_check: float = 0.0

@@ -1132,16 +1132,30 @@ class WhisperApp:
             ], x=x, y=y, target=f"commit:{oid}")
 
     def _act_menu_branch(self, arg, x, y):
+        items = [
+            MenuItem("Checkout", f"checkout-branch:{arg}"),
+            MenuItem("Merge into Current…", f"open-merge-dialog:{arg}"),
+            MenuItem("Rebase Current onto…", f"open-rebase-dialog:{arg}"),
+        ]
+        # PR integration (beyond-reference: Deferred in user_needs.md).
+        tab = self.current()
+        pr = tab.pr_by_branch.get(arg) if tab else None
+        if pr is not None:
+            items.append(MenuItem(
+                f"Open Pull Request #{pr.number} ↗", f"open-url:{pr.url}",
+                separator_before=True))
+        elif tab is not None and tab.remote_urls:
+            items.append(MenuItem("Create Pull Request… ↗",
+                                  f"open-create-pr:{arg}",
+                                  separator_before=True))
+        items += [
+            MenuItem("Rename…", f"open-rename-branch:{arg}",
+                     separator_before=True),
+            MenuItem("Delete", f"confirm-delete-branch:{arg}",
+                     destructive=True),
+        ]
         self.context_menu = ContextMenuState(
-            items=[
-                MenuItem("Checkout", f"checkout-branch:{arg}"),
-                MenuItem("Merge into Current…", f"open-merge-dialog:{arg}"),
-                MenuItem("Rebase Current onto…", f"open-rebase-dialog:{arg}"),
-                MenuItem("Rename…", f"open-rename-branch:{arg}",
-                         separator_before=True),
-                MenuItem("Delete", f"confirm-delete-branch:{arg}",
-                         destructive=True),
-            ], x=x, y=y, target=f"branch:{arg}")
+            items=items, x=x, y=y, target=f"branch:{arg}")
 
     def _act_menu_remote_branch(self, arg, x, y):
         self.context_menu = ContextMenuState(
@@ -1545,6 +1559,38 @@ class WhisperApp:
             except OSError:
                 continue
         self.toast("error", "No terminal emulator found")
+
+    def _act_open_url(self, arg, x, y):
+        """Open a forge URL in the default browser (PR integration)."""
+        self.context_menu = None
+        if not (arg.startswith("https://") or arg.startswith("http://")):
+            return
+        import subprocess
+        for opener in (["xdg-open"], ["open"]):
+            try:
+                subprocess.Popen(opener + [arg],
+                                 stdout=subprocess.DEVNULL,
+                                 stderr=subprocess.DEVNULL)
+                self.toast("info", "Opened in browser")
+                return
+            except OSError:
+                continue
+        self.toast("error", "No browser opener found (xdg-open)")
+
+    def _act_open_create_pr(self, arg, x, y):
+        """Open the forge's new-PR/new-MR page for branch `arg`."""
+        self.context_menu = None
+        tab = self.current()
+        if tab is None:
+            return
+        from ..services.pr import create_pr_url
+        for url in tab.remote_urls.values():
+            target = create_pr_url(url, arg,
+                                   known_gitlab_hosts=self.config.gitlab_hosts)
+            if target:
+                self.handle_action(f"open-url:{target}")
+                return
+        self.toast("error", "No GitHub/GitLab remote found")
 
     def _act_open_rename_branch(self, arg, x, y):
         self.context_menu = None

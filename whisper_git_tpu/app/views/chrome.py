@@ -75,9 +75,11 @@ def _op_button(label: str, route: str, primary: bool = False,
 def header_bar(app, tab) -> El:
     local = next((t for t in tab.branch_tips
                   if not t.is_remote and t.is_head), None)
+    pr = tab.pr_by_branch.get(tab.current_branch or "")
     key = ("header", tab.tab_id, tab.current_branch, tab.head_oid,
            tab.repo_state,
            (local.ahead, local.behind) if local is not None else None,
+           (pr.number, pr.draft) if pr is not None else None,
            tuple((name, op.label, int(op.elapsed()))
                  for name, op in tab.busy_slots()))
     return memo_el(key, lambda: _header_bar_impl(app, tab))
@@ -93,6 +95,17 @@ def _header_bar_impl(app, tab) -> El:
              fill=T.surface_hover, radius=T.radius_pill,
              padding=(3, 10, 3, 10), key="branch-pill"),
     ]
+    pr = tab.pr_by_branch.get(tab.current_branch or "")
+    if pr is not None:
+        # Current branch's open PR, clickable → browser (beyond-reference:
+        # PR integration is Deferred in the reference's user_needs.md).
+        label = f"{'Draft ' if pr.draft else ''}PR #{pr.number} ↗"
+        cells.append(rect(text(label, font_size=11, bold=True,
+                               color=T.text_bright),
+                          fill=(T.info[0], T.info[1], T.info[2], 0.35),
+                          radius=T.radius_pill, padding=(3, 8, 3, 8),
+                          route=f"open-url:{pr.url}",
+                          hover_fill=T.surface_hover, key="pr-pill"))
     if tab.repo_state:
         # Clickable: Continue/Abort menu for the in-progress operation
         # (beyond-reference — the reference pill is inert).

@@ -24,6 +24,8 @@ def _sidebar_key(tab) -> tuple:
         "sidebar", tab.tab_id,
         tuple((t.name, t.is_remote, t.is_head, t.ahead, t.behind)
               for t in tab.branch_tips),
+        tuple(sorted((br, p.number, p.draft)
+                     for br, p in tab.pr_by_branch.items())),
         tuple((t.name, t.oid) for t in tab.tags),
         tuple((s.name, s.path, s.initialized,
                tab.submodule_dirty.get(s.path, False))
@@ -62,7 +64,7 @@ def _section_header(tab, key: str, label: str, count: int,
 
 def _item(label: str, route: str, *, selected=False, current=False,
           badge: str = "", dirty=False, route_right: str | None = None,
-          muted=False) -> El:
+          muted=False, pr=None) -> El:
     fg = (T.accent if current else T.text_muted if muted else T.text)
     cells: list[El] = []
     if current:
@@ -71,6 +73,15 @@ def _item(label: str, route: str, *, selected=False, current=False,
                       bold=current))
     if dirty:
         cells.append(rect(width=7, height=7, radius=3.5, fill=T.warning))
+    if pr is not None:
+        # Open-PR pill (beyond-reference: PR integration is Deferred in
+        # the reference's user_needs.md). Drafts render dimmed.
+        tint = T.info
+        cells.append(rect(
+            text(f"#{pr.number}", font_size=10, bold=True,
+                 color=T.text_bright),
+            fill=(tint[0], tint[1], tint[2], 0.22 if pr.draft else 0.4),
+            radius=7, padding=(0, 5, 0, 5)))
     cells.append(spacer())
     if badge:
         cells.append(text(badge, font_size=10, color=T.text_muted))
@@ -108,7 +119,8 @@ def _sidebar_impl(tab) -> El:
                 tip.name, f"checkout-branch:{tip.name}",
                 current=tip.is_head,
                 selected=tab.selected_sidebar_key == f"branch:{tip.name}",
-                badge=badge, route_right=f"menu-branch:{tip.name}"))
+                badge=badge, route_right=f"menu-branch:{tip.name}",
+                pr=tab.pr_by_branch.get(tip.name)))
 
     remotes = [t for t in tab.branch_tips if t.is_remote]
     by_remote: dict[str, list] = defaultdict(list)

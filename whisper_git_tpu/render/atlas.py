@@ -31,7 +31,7 @@ GRID_COLS = 12
 _CHARS = list(dict.fromkeys(
     [chr(c) for c in range(32, 127)]              # ASCII
     + [chr(c) for c in range(0xA1, 0x100)]        # Latin-1 supplement
-    + list("…·→✓—–•✕⚙▸▾▴◂↑↓⟳›‹▏●○■□†‡€™")         # UI symbols
+    + list("…·→✓—–•✕⚙▸▾▴◂↑↓↗⟳›‹▏●○■□†‡€™")        # UI symbols
     + list("‘’“”„−±≈≠≤≥")                          # punctuation/math
 ))
 

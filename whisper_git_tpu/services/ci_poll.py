@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import queue
 
-from . import github, gitlab, token_store
+from . import github, gitlab, pr, token_store
 
 CI_POLL_FAST_SECS = 15.0
 CI_POLL_SLOW_SECS = 300.0
@@ -44,6 +44,8 @@ def trigger_fetch(app, tab, proxy=None) -> int:
             rx = github.fetch_ci_status_async(gh[0], gh[1], token, branch,
                                               head, proxy)
             tab.ci_receivers.append(("github", rx))
+            tab.pr_receivers.append(
+                pr.fetch_prs_async("github", gh[0], gh[1], token, proxy))
             started += 1
             continue
         gl = gitlab.parse_remote_url(url, app.config.gitlab_hosts)
@@ -56,6 +58,8 @@ def trigger_fetch(app, tab, proxy=None) -> int:
             rx = gitlab.fetch_ci_status_async(host, path, token, branch,
                                               head, proxy)
             tab.ci_receivers.append(("gitlab", rx))
+            tab.pr_receivers.append(
+                pr.fetch_prs_async("gitlab", host, path, token, proxy))
             started += 1
     return started
 
@@ -86,9 +90,10 @@ def drain_receivers(tab) -> bool:
 
 def poll(app, tab, now: float) -> None:
     drain_receivers(tab)
+    pr.drain_receivers(tab)
     if not tab.remote_urls or not tab.initial_refresh_done:
         return
-    if tab.ci_receivers:
+    if tab.ci_receivers or tab.pr_receivers:
         return  # fetches in flight
     if now - tab.last_ci_fetch >= cadence_for(tab, now):
         tab.last_ci_fetch = now
