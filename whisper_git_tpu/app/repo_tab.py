@@ -177,6 +177,11 @@ class RepoTab:
         self.pr_receivers: list = []
         self.pr_error: Optional[str] = None
 
+        # AI worktree taglines (user_needs.md "LLM-Generated Descriptions").
+        self.worktree_taglines: dict[str, str] = {}   # path -> tagline
+        self.tagline_rx: list = []                    # (path, fp, rx)
+        self.tagline_stamps: dict[str, str] = {}      # path -> handled fp
+
         # Safety-net stamps.
         self.last_status_query: float = 0.0
         self.last_fingerprint_check: float = 0.0
@@ -318,12 +323,40 @@ class RepoTab:
                                    and not view.status.is_clean())
             if not dirty:
                 continue
+            # AI tagline becomes the row summary when available
+            # (user_needs.md "LLM-Generated Descriptions").
+            tag = self.worktree_taglines.get(p)
             if p == self.repo.workdir:
-                synthetics.append(CommitInfo.synthetic_for_working_dir(now))
+                synthetics.append(CommitInfo.synthetic_for_working_dir(
+                    now, summary=tag or "Uncommitted changes"))
             else:
                 name = os.path.basename(p.rstrip(os.sep))
-                synthetics.append(CommitInfo.synthetic_for_worktree(name, now))
+                synthetics.append(CommitInfo.synthetic_for_worktree(
+                    name, now, tagline=tag))
         return synthetics
+
+    def rebuild_synthetics(self) -> None:
+        """Re-derive synthetic rows (e.g. after a tagline lands)."""
+        if not self.commits:
+            return
+        base = [c for c in self.commits if not c.is_synthetic]
+        self.commits = insert_synthetics_sorted(base,
+                                                self._build_synthetics())
+        self._rebuild_layout()
+
+    def status_fingerprint(self, path: str) -> str:
+        """Stable key for one worktree's dirty file-set — taglines
+        regenerate only when this changes."""
+        view = self.worktree_views.get(path)
+        if view is None:
+            return ""
+        st = view.status
+        if st is None:
+            return f"dirty={view.dirty}"
+        return "|".join(
+            ",".join(sorted(f.path for f in bucket))
+            for bucket in (st.staged, st.unstaged, st.untracked,
+                           st.conflicted))
 
     def _rebuild_layout(self) -> None:
         self.graph_layout = GraphLayout.build(self.commits)

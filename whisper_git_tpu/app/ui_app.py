@@ -1055,6 +1055,9 @@ class WhisperApp:
     def _act_toggle_shortcut_bar(self, arg, x, y):
         self._toggle_setting("show_shortcut_bar")
 
+    def _act_toggle_ai_taglines(self, arg, x, y):
+        self._toggle_setting("ai_taglines")
+
     def _act_toggle_diff_mode(self, arg, x, y):
         self.config.diff_mode = ("split" if self.config.diff_mode == "unified"
                                  else "unified")
@@ -1626,6 +1629,7 @@ class WhisperApp:
         self._poll_watcher(tab)
         self._poll_safety_nets(tab, now)
         self._poll_ci(tab, now)
+        self._poll_taglines(tab)
 
     def _poll_op_slots(self, tab: RepoTab) -> None:
         for slot in ("fetch_op", "push_op", "pull_op", "other_op"):
@@ -1676,6 +1680,48 @@ class WhisperApp:
                 else:
                     self.toast("error",
                                payload.get("error", "AI generation failed"))
+
+    def _poll_taglines(self, tab: RepoTab) -> None:
+        """AI worktree taglines (user_needs.md 'LLM-Generated
+        Descriptions'): drain finished generations, then spawn one per
+        dirty worktree whose file-set fingerprint changed."""
+        still = []
+        landed = False
+        for path, fp, rx in tab.tagline_rx:
+            try:
+                payload = rx.get_nowait()
+            except queue.Empty:
+                still.append((path, fp, rx))
+                continue
+            if payload.get("ok"):
+                tab.worktree_taglines[path] = payload["tagline"]
+                landed = True
+            # On error the stamp stays — no retry loop for the same state.
+        tab.tagline_rx = still
+        if landed:
+            tab.rebuild_synthetics()
+        if not self.config.ai_taglines:
+            return
+        from ..services import ai
+        inflight = {p for p, _, _ in tab.tagline_rx}
+        for path, view in tab.worktree_views.items():
+            dirty = view.dirty or (view.status is not None
+                                   and not view.status.is_clean())
+            if not dirty:
+                # Clean again: drop the stale tagline (its synthetic row
+                # is gone anyway) so re-dirtying regenerates.
+                tab.worktree_taglines.pop(path, None)
+                tab.tagline_stamps.pop(path, None)
+                continue
+            if path in inflight:
+                continue
+            fp = tab.status_fingerprint(path)
+            if not fp or tab.tagline_stamps.get(path) == fp:
+                continue
+            tab.tagline_stamps[path] = fp
+            rx = ai.spawn_tagline_async(path, self.proxy)
+            if rx is not None:
+                tab.tagline_rx.append((path, fp, rx))
 
     def _poll_state_refresh(self, tab: RepoTab) -> None:
         if tab.state_refresh_rx is None:

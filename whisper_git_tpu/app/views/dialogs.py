@@ -195,6 +195,8 @@ def settings_modal(config) -> El:
                   "toggle-row-size"),
         _checkbox("Show shortcut bar", config.show_shortcut_bar,
                   "toggle-shortcut-bar"),
+        _checkbox("AI worktree taglines (claude CLI)", config.ai_taglines,
+                  "toggle-ai-taglines"),
         text("Settings are saved to ~/.config/whisper-git/settings.json",
              font_size=10, color=T.text_muted),
     ]

@@ -86,12 +86,15 @@ class CommitInfo:
         )
 
     @staticmethod
-    def synthetic_for_worktree(name: str, timestamp: int) -> "CommitInfo":
+    def synthetic_for_worktree(name: str, timestamp: int,
+                               tagline: Optional[str] = None) -> "CommitInfo":
         # Distinct sentinel per worktree: prefix + hash of the name.
         suffix = f"{abs(hash(name)) % (16 ** 8):08x}"
         oid = SYNTHETIC_WORKTREE_PREFIX + suffix + "0" * (36 - len(suffix))
+        summary = (f"{tagline} ({name})" if tagline
+                   else f"Uncommitted changes ({name})")
         return CommitInfo(
-            oid=oid, short=oid[:7], summary=f"Uncommitted changes ({name})",
+            oid=oid, short=oid[:7], summary=summary,
             author_name="", author_email="", timestamp=timestamp,
             is_synthetic=True, synthetic_worktree=name,
         )

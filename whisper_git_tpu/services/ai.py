@@ -82,6 +82,93 @@ def generate_via_claude_cli(diff: str, model: str = "haiku",
     return {"ok": True, "subject": subject, "body": body}
 
 
+# -- worktree taglines (reference: docs/user_needs.md "LLM-Generated
+# Descriptions" — specified but never implemented there: "Each working
+# tree or dirty directory can get a quick tagline explaining the
+# changes") ------------------------------------------------------------------
+
+TAGLINE_MAX_DIFF = 30_000
+
+TAGLINE_PROMPT = (
+    "Summarize what these uncommitted changes are doing in ONE short "
+    "phrase (max 8 words, no quotes, no trailing period, lowercase "
+    "start). Output ONLY the phrase.\n\nChanges:\n"
+)
+
+
+def working_tree_summary_text(workdir: str,
+                              max_bytes: int = TAGLINE_MAX_DIFF) -> str:
+    """`git diff HEAD` plus untracked names, truncated — the tagline
+    input for one working tree."""
+    from ..gitcore.cli import run_git
+    try:
+        diff = run_git(workdir, "diff", "HEAD").stdout
+        untracked = run_git(workdir, "ls-files", "--others",
+                            "--exclude-standard").stdout
+    except Exception:
+        return ""
+    parts = []
+    if untracked.strip():
+        parts.append("Untracked files:\n" + untracked.strip())
+    if diff.strip():
+        parts.append(diff)
+    return "\n\n".join(parts)[:max_bytes]
+
+
+def clamp_tagline(text: str, limit: int = 60) -> str:
+    line = text.strip().strip('"').strip("'").split("\n")[0].rstrip(".")
+    if len(line) > limit:
+        cut = line[:limit]
+        if " " in cut[30:]:
+            cut = cut[:cut.rfind(" ")]
+        line = cut.rstrip() + "…"
+    return line
+
+
+def generate_tagline_via_claude_cli(changes: str, model: str = "haiku",
+                                    timeout: float = 60.0) -> dict:
+    binary = find_claude_binary()
+    if binary is None:
+        return {"ok": False, "error": "claude CLI not found in PATH"}
+    try:
+        proc = subprocess.run(
+            [binary, "-p", TAGLINE_PROMPT + changes, "--model", model,
+             "--output-format", "json"],
+            capture_output=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "error": "tagline generation timed out"}
+    if proc.returncode != 0:
+        return {"ok": False,
+                "error": proc.stderr.decode("utf-8", "replace")[:200]
+                or "claude CLI failed"}
+    try:
+        payload = json.loads(proc.stdout.decode("utf-8", "replace"))
+        result = payload.get("result", "")
+    except json.JSONDecodeError:
+        result = proc.stdout.decode("utf-8", "replace")
+    tagline = clamp_tagline(result)
+    if not tagline:
+        return {"ok": False, "error": "AI returned an empty tagline"}
+    return {"ok": True, "tagline": tagline}
+
+
+def spawn_tagline_async(workdir: str, proxy=None
+                        ) -> Optional["queue.Queue[dict]"]:
+    """Returns None when the working tree has nothing to describe."""
+    changes = working_tree_summary_text(workdir)
+    if not changes.strip():
+        return None
+    rx: "queue.Queue[dict]" = queue.Queue(maxsize=1)
+
+    def worker():
+        rx.put(generate_tagline_via_claude_cli(changes))
+        if proxy is not None:
+            proxy.send_event()
+
+    threading.Thread(target=worker, daemon=True, name="ai-tagline").start()
+    return rx
+
+
 def spawn_generate_async(repo: GitRepo, proxy=None,
                          provider: str = "claude-cli"
                          ) -> Optional["queue.Queue[dict]"]:

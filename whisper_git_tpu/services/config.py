@@ -31,6 +31,9 @@ class Config:
     window_height: float = 800.0
     diff_mode: str = "unified"  # unified | split
     ai_provider: str = "claude-cli"
+    # Worktree changeset taglines via cheap LLM (user_needs.md
+    # "LLM-Generated Descriptions"); off by default — it shells out.
+    ai_taglines: bool = False
 
     @staticmethod
     def path() -> str:
