@@ -5,7 +5,9 @@ the real multi-chip path separately via __graft_entry__.dryrun_multichip)."""
 import os
 import subprocess
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): the session env carries JAX_PLATFORMS=axon
+# (the TPU tunnel), and subprocesses spawned by tests must inherit cpu.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

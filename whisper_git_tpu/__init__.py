@@ -24,13 +24,26 @@ def _apply_device_override() -> None:
     the import costs nothing when unset."""
     import os
 
-    want = os.environ.get("WGIT_DEVICE")
+    # JAX_PLATFORMS alone is not authoritative here: the axon TPU plugin
+    # registers itself regardless, so re-assert the env choice through
+    # jax.config (same dance as __graft_entry__.py).
+    explicit = os.environ.get("WGIT_DEVICE")
+    want = explicit or os.environ.get("JAX_PLATFORMS")
     if not want:
         return
     try:
         import jax
 
-        jax.config.update("jax_platforms", want)
+        # WGIT_DEVICE always wins; JAX_PLATFORMS env only fills in when
+        # nobody set jax.config yet (a test harness that already forced a
+        # platform through jax.config must not be fought — and updating
+        # an initialized config tears down backends and compile caches).
+        current = jax.config.jax_platforms
+        if explicit:
+            if current != want:
+                jax.config.update("jax_platforms", want)
+        elif not current:
+            jax.config.update("jax_platforms", want)
     except Exception as exc:
         import sys
 

@@ -25,7 +25,7 @@ SCREENSHOT_STATES = [
     "welcome", "history", "history-search", "commit-menu", "diff",
     "settings", "open-repo", "confirm", "error", "clone", "token",
     "token-edit", "context-menu", "many-worktrees", "many-worktrees-open",
-    "palette", "rebase-i",
+    "palette", "rebase-i", "pr",
 ]
 
 
@@ -123,6 +123,12 @@ def apply_screenshot_state(app: WhisperApp, state: str) -> None:
     elif state == "palette":
         from ..app.palette import PaletteState, build_commands
         app.palette = PaletteState(query="br", commands=build_commands(app))
+    elif state == "pr" and tab is not None:
+        from ..services.pr import PullRequestInfo
+        branch = tab.current_branch or "main"
+        tab.pr_by_branch[branch] = PullRequestInfo(
+            "github", 42, "Improve widget rendering", branch, "main",
+            "https://github.com/example/repo/pull/42")
     elif state == "rebase-i" and tab is not None and tab.commits:
         plan = tab.commits[:4][::-1]  # oldest first, todo order
         entries = [dialogs.RebaseIEntry("pick", c.oid, c.summary)

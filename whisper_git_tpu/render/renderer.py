@@ -30,7 +30,8 @@ def _apply_device_override() -> None:
     try:
         import jax
 
-        jax.config.update("jax_platforms", want)
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
         import sys
 
         print(f"wgit: using device platform {jax.devices()[0].platform} "

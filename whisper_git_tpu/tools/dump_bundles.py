@@ -149,6 +149,17 @@ def build_scenes(repo_path: str) -> dict[str, WhisperApp]:
     app.modal = ("pull", dialogs.PullForm(rebase=True))
     scenes["pull-options"] = app
 
+    # AI worktree tagline on the dirty synthetic row.
+    app = fresh()
+    tab = app.current()
+    wd = tab.repo.workdir
+    view = tab.worktree_views.get(wd)
+    if view is not None:
+        view.dirty = True
+        tab.worktree_taglines[wd] = "reworks the widget glyph batching"
+        tab.rebuild_synthetics()
+    scenes["taglines"] = app
+
     return scenes
 
 
