@@ -1,11 +1,23 @@
-"""Mesh-sharded rendering tests on the 8-virtual-device CPU mesh: the
-sharded output must be bit-identical to the single-chip rasterizer."""
+"""Mesh-sharded rendering tests on the 8-virtual-device CPU mesh.
+
+Tolerances are honest about the numerics: the per-tile command math is
+identical across paths, but the glyph/image samplers run bf16 MXU
+matmuls that XLA fuses and orders differently under shard_map than under
+plain vmap, so the single-shot sharded raster is held to ±4/255. The
+PRODUCTION steady-state paths (frame cache + compose, sharded via
+set_render_mesh) re-associate only the compose `over` boundaries and are
+held to the compose path's ≤1 u8 bound."""
 
 import numpy as np
 import pytest
 
-from whisper_git_tpu.parallel.mesh import make_mesh, render_scene_sharded
-from whisper_git_tpu.ui import column, path, rect, stack, text
+from whisper_git_tpu.parallel.mesh import (
+    make_mesh,
+    render_scene_sharded,
+    set_render_mesh,
+)
+from whisper_git_tpu.ui import column, path, rect, row, scroll, spacer, \
+    stack, text
 from whisper_git_tpu.ui.theme import DARK
 
 
@@ -54,3 +66,96 @@ def test_sharded_2d_mesh(renderer):
     sharded = render_scene_sharded(scene, renderer.font_tex, mesh)
     diff = np.abs(sharded.astype(int) - single.astype(int))
     assert diff.max() <= 4  # bf16 sampling tolerance (see above)
+
+
+# ---------------------------------------------------------------------------
+# Production steady-state paths over the mesh: the frame cache and the
+# compose pipeline — what the interactive app and the bench actually run
+# every frame — sharded via set_render_mesh through render_scene_device.
+# ---------------------------------------------------------------------------
+
+def _steady_tree(off: float):
+    """Scroll window of cache-keyed rows + volatile thumb over chrome —
+    the history view's structural shape (window + dynamic tail)."""
+    def make_row(i):
+        return rect(
+            row(text(f"row {i} subject line", color=DARK.text),
+                spacer(),
+                text("2h", color=DARK.text_muted, font_size=11),
+                gap=8, align="center", width="fill", height="fill"),
+            width="fill", height=28,
+            fill=DARK.surface if i % 2 else DARK.background,
+            cache_key=("steady-row", i, i % 2))
+
+    body = scroll(40, make_row, offset=float(off),
+                  row_heights=[28.0] * 40, key="steady-scroll",
+                  width="fill", flex=1)
+    thumb = rect(width=6, height=40, fill=DARK.accent, radius=3,
+                 volatile=True)
+    return stack(
+        column(
+            rect(text("steady state", bold=True, color=DARK.text_bright),
+                 fill=DARK.surface_raised, height=28, width="fill",
+                 padding=(4, 8, 4, 8)),
+            body, width="fill", height="fill"),
+        stack(thumb, width=6, height=40),
+        width="fill", height="fill", fill=DARK.background)
+
+
+def _steady_scene(renderer, off: float, w=384, h=256):
+    root = renderer.layout(_steady_tree(off), (w, h))
+    return renderer.compile(root, (w, h), DARK.background)
+
+
+@pytest.mark.parametrize("compose", [True, False])
+def test_production_frame_path_sharded(renderer, compose, monkeypatch):
+    """Three consecutive scroll frames (warm caches: chrome hit, slab
+    crop, volatile tail re-render) through render_scene_device with the
+    mesh installed must match single-chip within ≤1 u8."""
+    from whisper_git_tpu.render import compose as C
+    from whisper_git_tpu.render import frame as F
+    from whisper_git_tpu.render import rasterizer as R
+
+    monkeypatch.setenv("WGIT_FRAME_COMPOSE", "1" if compose else "0")
+    C.clear_caches()
+    F.clear_caches()
+    mesh = make_mesh(8, dp=2)
+    try:
+        for off in (0.0, 16.0, 32.0):
+            scene = _steady_scene(renderer, off)
+            assert scene.windows, "no scroll window recorded"
+            set_render_mesh(None)
+            ref = np.asarray(R.render_scene_device(
+                scene, renderer.font_tex_device(),
+                renderer.image_atlas_device()))
+            set_render_mesh(mesh)
+            got = np.asarray(R.render_scene_device(
+                scene, renderer.font_tex_device(),
+                renderer.image_atlas_device()))
+            diff = np.abs(ref.astype(np.int16) - got.astype(np.int16))
+            assert diff.max() <= 1, (off, diff.max())
+    finally:
+        set_render_mesh(None)
+
+
+def test_sharded_tile_axis_not_divisible(renderer):
+    """T not divisible by the device count: padded tiles must not leak
+    into the assembled frame."""
+    from whisper_git_tpu.render import rasterizer as R
+
+    # 256×192 → 2×3 = 6 tiles < 8 devices (T_pad = 8, two padded tiles).
+    mesh = make_mesh(8, dp=1)
+    try:
+        scene = _steady_scene(renderer, 16.0, w=256, h=192)
+        set_render_mesh(None)
+        ref = np.asarray(R.render_scene_device(
+            scene, renderer.font_tex_device(),
+            renderer.image_atlas_device()))
+        set_render_mesh(mesh)
+        got = np.asarray(R.render_scene_device(
+            scene, renderer.font_tex_device(),
+            renderer.image_atlas_device()))
+        assert np.abs(ref.astype(np.int16)
+                      - got.astype(np.int16)).max() <= 1
+    finally:
+        set_render_mesh(None)

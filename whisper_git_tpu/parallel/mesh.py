@@ -10,8 +10,24 @@ annotate shardings, let XLA insert collectives):
        assembled frame is the all-gather of tile outputs (XLA inserts it
        from the out_spec).
 
-The per-tile kernel is exactly the single-chip rasterizer body, so
-single-chip and multi-chip paths cannot drift apart.
+Two consumers:
+
+  * The PRODUCTION steady-state paths — the device-resident frame cache
+    (render/frame.py) and the layer compose pipeline (render/compose.py)
+    that the interactive app and bench actually run — shard through
+    `set_render_mesh`: their per-tile kernels run under shard_map with
+    the tile axis split across the mesh, and the compose blend carries a
+    row-sharding constraint. The app installs this automatically when
+    more than one chip is visible (render/meshstate.maybe_auto_mesh,
+    called from Renderer.__init__).
+  * `render_scene_sharded` / `render_batch_sharded` below shard the
+    single-shot rasterizer for one-off batches (golden-dump sweeps).
+
+The per-tile kernel is exactly the single-chip rasterizer body, so the
+paths cannot drift structurally; numerically, sharded output matches
+single-chip within ±4/255 per channel — the glyph/image samplers run
+bf16 MXU matmuls that XLA fuses and orders differently under shard_map
+than under plain vmap (tests/test_parallel.py asserts the bound).
 """
 
 from __future__ import annotations
@@ -25,6 +41,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..render import rasterizer as R
+from ..render.meshstate import (  # noqa: F401  (public re-exports)
+    get_render_mesh,
+    maybe_auto_mesh,
+    set_render_mesh,
+)
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None
@@ -71,7 +92,8 @@ def render_scene_sharded(scene, font_tex: np.ndarray, mesh: Mesh
                                     lb.n_images, tiles_y, tiles_x,
                                     R.K_IMAGES)
         # Round-trip through the single-chip path's int16 quantization so
-        # sharded output stays bit-identical to render_scene.
+        # command values match render_scene exactly (the residual ±4/255
+        # difference comes from bf16 sampler op ordering, not inputs).
         def q(name, cols, scale, arr):
             s = R._part_scale(name, cols, scale)
             return jnp.asarray(

@@ -84,18 +84,30 @@ def compose_enabled() -> bool:
 def _render_blocks_image(layers_blocks, font_tex, image_atlas, tiles_y: int,
                          tiles_x: int, height: int, width: int):
     """Render a block list over a TRANSPARENT canvas → (H, W, 4) f32
-    premultiplied layer image (pallas on TPU, XLA scan fallback on CPU)."""
+    premultiplied layer image (pallas on TPU, XLA scan fallback on CPU;
+    tile axis sharded when a render mesh is installed)."""
+    from .meshstate import get_render_mesh
+
     return _render_blocks_image_jit(
         layers_blocks, jnp.asarray(font_tex), jnp.asarray(image_atlas),
         tiles_y=tiles_y, tiles_x=tiles_x, height=height, width=width,
-        use_pallas=R._use_pallas())
+        use_pallas=R._use_pallas(), mesh=get_render_mesh())
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "height",
-                                             "width", "use_pallas"))
+                                             "width", "use_pallas", "mesh"))
 def _render_blocks_image_jit(layers_blocks, font_tex, image_atlas,
                              tiles_y: int, tiles_x: int, height: int,
-                             width: int, use_pallas: bool):
+                             width: int, use_pallas: bool, mesh=None):
+    if mesh is not None:
+        from . import pallas_raster as PR
+
+        T = tiles_y * tiles_x
+        tiles_planar = F._render_tiles_blocks_sharded(
+            layers_blocks, font_tex, image_atlas, None, tiles_y, tiles_x,
+            use_pallas, mesh)
+        return PR.assemble_f32(tiles_planar[:T], tiles_y, tiles_x,
+                               height, width)
     if use_pallas:
         from . import pallas_raster as PR
 
@@ -293,11 +305,11 @@ def _pack_frame_blob(scene, slab_starts, tiles_y: int, tiles_x: int):
 
 @functools.partial(
     jax.jit, static_argnames=("meta", "background", "height", "width",
-                              "tiles_y", "tiles_x", "use_pallas"))
+                              "tiles_y", "tiles_x", "use_pallas", "mesh"))
 def _compose_frame(blob, images, slabs, font_tex, image_atlas,
                    background: tuple, height: int, width: int,
                    tiles_y: int, tiles_x: int, meta: tuple,
-                   use_pallas: bool):
+                   use_pallas: bool, mesh=None):
     """meta = (ops, dyn_meta, n_slabs); ops entries —
     ("img", i): composite images[i];
     ("slab", j, clip): crop slabs[j] at blob start j, mask to clip;
@@ -333,12 +345,20 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
             dyn_imgs[(li, ci)] = _render_blocks_image_jit(
                 _single_class_blocks(ci, block), font_tex, image_atlas,
                 tiles_y=tiles_y, tiles_x=tiles_x, height=height,
-                width=width, use_pallas=use_pallas)
+                width=width, use_pallas=use_pallas, mesh=mesh)
 
     rows = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
     cols = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
     out_rgb = jnp.broadcast_to(
         jnp.asarray(background[:3], jnp.float32), (height, width, 3))
+    if mesh is not None:
+        # Row-shard the memory-bound blend across the mesh (GSPMD: the
+        # constraint propagates through the elementwise ops; slab crops
+        # read replicated slabs, so each device slices its own rows).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out_rgb = jax.lax.with_sharding_constraint(
+            out_rgb, NamedSharding(mesh, P(tuple(mesh.axis_names))))
     for op in ops:
         if op[0] == "img":
             img = images[op[1]]
@@ -477,11 +497,13 @@ def render_frame_composed(scene, font_tex, image_atlas):
             _BLOB_DEV_CACHE.pop(next(iter(_BLOB_DEV_CACHE)))
         _BLOB_DEV_CACHE[bkey] = blob_dev
     meta = (plan["ops"], dyn_meta, len(starts))
+    from .meshstate import get_render_mesh
+
     return _compose_frame(blob_dev, plan["img_stack"],
                           plan["slab_stack"], font_tex, image_atlas,
                           tuple(float(c) for c in scene.background[:3]),
                           height, width, tiles_y, tiles_x, meta,
-                          R._use_pallas())
+                          R._use_pallas(), mesh=get_render_mesh())
 
 
 def clear_caches() -> None:

@@ -456,10 +456,10 @@ def pack_frame(scene: Scene):
 
 @functools.partial(
     jax.jit, static_argnames=("meta", "background", "height", "width",
-                              "use_pallas"))
+                              "use_pallas", "mesh"))
 def _render_frame(frame_blob, chrome_args, win_args, font_tex, image_atlas,
                   background: tuple, height: int, width: int, meta: tuple,
-                  use_pallas: bool = False):
+                  use_pallas: bool = False, mesh=None):
     tiles_y, tiles_x, n_win, win_meta, layers_meta = meta
     T = tiles_y * tiles_x
     uni = (frame_blob[:n_win * 8].reshape(n_win, 8).astype(jnp.float32)
@@ -545,6 +545,15 @@ def _render_frame(frame_blob, chrome_args, win_args, font_tex, image_atlas,
             cls_lists.append(tuple(blocks))
         layers_blocks.append(tuple(cls_lists))
 
+    if mesh is not None:
+        from . import pallas_raster as PR
+
+        T = tiles_y * tiles_x
+        tiles_planar = _render_tiles_blocks_sharded(
+            tuple(layers_blocks), font_tex, image_atlas, background,
+            tiles_y, tiles_x, use_pallas, mesh)
+        return PR.assemble_planar(tiles_planar[:T], tiles_y, tiles_x,
+                                  height, width)
     if use_pallas:
         from . import pallas_raster as PR
 
@@ -588,9 +597,13 @@ def _dequant_parts_traced(blob_i16, caps: tuple):
 # ---------------------------------------------------------------------------
 
 def _render_tiles_blocks_xla(layers_blocks, font_tex, image_atlas,
-                             background, tiles_y: int, tiles_x: int):
-    T = tiles_y * tiles_x
-    tile_idx = jnp.arange(T)
+                             background, tiles_y: int, tiles_x: int,
+                             n_tiles: int | None = None, tile0=0):
+    """`n_tiles`/`tile0` support the shard_map path: each device renders
+    a contiguous slice of `n_tiles` tiles starting at global id `tile0`
+    (pixel origins global, bins locally indexed)."""
+    T = n_tiles if n_tiles is not None else tiles_y * tiles_x
+    tile_idx = tile0 + jnp.arange(T)
     org_x = (tile_idx % tiles_x).astype(jnp.float32) * TILE_W
     org_y = (tile_idx // tiles_x).astype(jnp.float32) * TILE_H
     yy = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
@@ -744,6 +757,81 @@ def _xla_scan_images(fb, px, py, tables, bins_row, lo, hi, image_atlas):
 
 
 # ---------------------------------------------------------------------------
+# Mesh-sharded tile rendering: the production frame paths under a device
+# mesh. The tile axis of every block's bins/bounds shards across ALL mesh
+# devices (contiguous slices); command tables and atlases replicate; each
+# device runs the same per-tile kernel (pallas on TPU, the XLA scan
+# fallback on CPU) on its local slice with global pixel origins. The
+# assembled frame is the all-gather of tile outputs, which XLA inserts
+# from the out_spec — the multi-chip analog of compositing to one
+# swapchain image.
+# ---------------------------------------------------------------------------
+
+def _pad_tile_leaf(x, t: int, t_pad: int, fill):
+    if t_pad == t:
+        return x
+    widths = [(0, t_pad - t)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def _render_tiles_blocks_sharded(layers_blocks, font_tex, image_atlas,
+                                 background, tiles_y: int, tiles_x: int,
+                                 use_pallas: bool, mesh):
+    """Blocks render over `mesh` (all axes used jointly as the spatial
+    axis). Returns planar (T_pad, 4, TH, TW) f32 tiles, sharded on the
+    tile axis; callers slice [:T] and assemble."""
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    n = int(np.prod([mesh.shape[a] for a in axes]))
+    T = tiles_y * tiles_x
+    T_pad = -(-T // n) * n
+    local_t = T_pad // n
+
+    padded, specs = [], []
+    for cls_lists in layers_blocks:
+        p_cls, s_cls = [], []
+        for blocks in cls_lists:
+            p_blocks, s_blocks = [], []
+            for tables, bins, lo, hi in blocks:
+                p_blocks.append((
+                    tables,
+                    _pad_tile_leaf(bins, T, T_pad, -1),
+                    None if lo is None else _pad_tile_leaf(lo, T, T_pad, 0),
+                    _pad_tile_leaf(hi, T, T_pad, 0)))
+                s_blocks.append((tuple(P() for _ in tables), P(axes),
+                                 None if lo is None else P(axes), P(axes)))
+            p_cls.append(tuple(p_blocks))
+            s_cls.append(tuple(s_blocks))
+        padded.append(tuple(p_cls))
+        specs.append(tuple(s_cls))
+
+    def body(lb, ftex, iatlas):
+        shard_id = jnp.int32(0)
+        for ax in axes:
+            shard_id = shard_id * mesh.shape[ax] + jax.lax.axis_index(ax)
+        tile0 = shard_id * local_t
+        if use_pallas:
+            from . import pallas_raster as PR
+
+            font_cells, font_cols = PR.cellify(ftex.astype(jnp.bfloat16))
+            image_cells, img_cols = PR.cellify(
+                iatlas.astype(jnp.bfloat16), channels=4)
+            return PR.render_tiles_blocks(
+                lb, font_cells, font_cols, image_cells, img_cols,
+                background, tiles_y, tiles_x, n_tiles=local_t, tile0=tile0)
+        tiles = _render_tiles_blocks_xla(lb, ftex, iatlas, background,
+                                         tiles_y, tiles_x, n_tiles=local_t,
+                                         tile0=tile0)
+        return tiles.transpose(0, 3, 1, 2)  # planar, like the pallas path
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(tuple(specs), P(), P()),
+                       out_specs=P(axes), check_vma=False)
+    return fn(tuple(padded), font_tex, image_atlas)
+
+
+# ---------------------------------------------------------------------------
 # Public API.
 # ---------------------------------------------------------------------------
 
@@ -755,14 +843,19 @@ def frame_cache_enabled() -> bool:
 
 
 def render_frame_device(scene: Scene, font_tex, image_atlas=None):
-    """Rasterize → device-resident (H, W, 4) uint8 frame (no readback)."""
+    """Rasterize → device-resident (H, W, 4) uint8 frame (no readback).
+    When a render mesh is installed (render/meshstate.py) the tile axis
+    shards across it."""
+    from .meshstate import get_render_mesh
+
     frame_blob, chrome_args, win_args, meta = pack_frame(scene)
     atlas = image_atlas if image_atlas is not None else scene.image_atlas
     return _render_frame(jnp.asarray(frame_blob), chrome_args, win_args,
                          jnp.asarray(font_tex), jnp.asarray(atlas),
                          tuple(float(c) for c in scene.background[:3]),
                          scene.height, scene.width, meta,
-                         use_pallas=R._use_pallas())
+                         use_pallas=R._use_pallas(),
+                         mesh=get_render_mesh())
 
 
 def clear_caches() -> None:

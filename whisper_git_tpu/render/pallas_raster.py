@@ -337,14 +337,24 @@ def render_tiles_pallas(layer_data, font_cells, font_cols: int,
 def render_tiles_blocks(layers_blocks, font_cells, font_cols: int,
                         image_cells, img_cols: int, background: tuple,
                         tiles_y: int, tiles_x: int,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        n_tiles: int | None = None, tile0=None):
     """layers_blocks: tuple per layer of 3 per-class block tuples
     (shapes, glyphs, images order); block = (tables, bins (T,k),
-    lo (T,)|None, hi (T,)). Returns planar f32 tiles (T,4,TH,TW)."""
-    T = tiles_y * tiles_x
+    lo (T,)|None, hi (T,)). Returns planar f32 tiles (T,4,TH,TW).
+
+    Under `shard_map` (render/frame.py sharded path) each device runs
+    this kernel on its local contiguous tile slice: `n_tiles` is the
+    local slice length and `tile0` a traced (1,) i32 global offset —
+    pixel origins use the global tile id, bins stay locally indexed."""
+    T = n_tiles if n_tiles is not None else tiles_y * tiles_x
     scalar_inputs, tensor_inputs, tensor_specs = [], [], []
     sc_pos: dict = {}
     tn_pos: dict = {}
+    tile0_pos = None
+    if tile0 is not None:
+        tile0_pos = len(scalar_inputs)
+        scalar_inputs.append(tile0.astype(jnp.int32).reshape(1))
 
     def add_scalar(arr):
         key = id(arr)
@@ -388,8 +398,9 @@ def render_tiles_blocks(layers_blocks, font_cells, font_cols: int,
         out_ref = refs[n_scalar + n_tensor]
         fb = refs[n_scalar + n_tensor + 1]
         t = pl.program_id(0)
-        ox = (t % tiles_x) * TILE_W
-        oy = (t // tiles_x) * TILE_H
+        gt = t if tile0_pos is None else t + sc[tile0_pos][0]
+        ox = (gt % tiles_x) * TILE_W
+        oy = (gt // tiles_x) * TILE_H
         py = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0
                                        ).astype(jnp.float32)
               + oy.astype(jnp.float32) + 0.5)

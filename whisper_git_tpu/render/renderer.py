@@ -46,6 +46,12 @@ def _apply_device_override() -> None:
 class Renderer:
     def __init__(self):
         _apply_device_override()
+        from .meshstate import maybe_auto_mesh
+
+        # Multi-chip: shard the production frame pipeline over every
+        # visible accelerator chip (no-op single-chip / on CPU; see
+        # render/meshstate.py and parallel/mesh.py).
+        maybe_auto_mesh()
         self.regular = build_atlas(bold=False)
         self.bold = build_atlas(bold=True)
         rt, bt = self.regular.texture, self.bold.texture
