@@ -17,18 +17,27 @@ from ..ui.theme import DARK
 
 def run(path: str, width: int, height: int, scale: float,
         app: WhisperApp) -> None:
-    """reference: screenshot_mode.rs:38."""
+    """reference: screenshot_mode.rs:38. `width`×`height` is the PHYSICAL
+    output size; layout runs at the logical size (width/scale) and the
+    compiled commands are scaled into physical pixels (Scene.scaled), so
+    the SDF rasterizer produces crisp glyph/shape edges at any scale —
+    true HiDPI, not an image upscale."""
+    import numpy as np
+
     renderer = get_renderer()
     app.before_build()
     viewport = (float(width) / scale, float(height) / scale)
     tree = app.build(viewport)
-    img = renderer.render(tree, (int(viewport[0]), int(viewport[1])),
-                          DARK.background)
+    root = renderer.layout(tree, viewport)
+    scene = renderer.compile(root, (int(viewport[0]), int(viewport[1])),
+                             DARK.background)
     if scale != 1.0:
-        from ..ops.image import resize_lanczos
+        scene = scene.scaled(scale, out_w=width, out_h=height)
+    from ..render.rasterizer import render_scene
 
-        img = resize_lanczos(img, height, width)
-    save_png(img, path)
+    img = render_scene(scene, renderer.font_tex_device(),
+                       renderer.image_atlas_device())
+    save_png(np.asarray(img), path)
 
 
 def render_frame(app: WhisperApp, width: int, height: int):

@@ -130,6 +130,45 @@ class Scene:
                      image_atlas=self.image_atlas, stats=self.stats,
                      windows=[])
 
+    def scaled(self, s: float, out_w: int | None = None,
+               out_h: int | None = None) -> "Scene":
+        """True-HiDPI scene: every command's GEOMETRY (positions, sizes,
+        radii, stroke widths, clips) multiplied into physical pixels while
+        atlas coordinates stay untouched — the rasterizer then samples
+        the 44 px-glyph SDF atlas and analytic shape SDFs at physical
+        resolution, so edges are crisp at any scale (reference:
+        README.md:13 "HiDPI/4K aware", src/screenshot_mode.rs:38 scale).
+        Layout and hit-testing stay in logical units, exactly like the
+        reference's winit logical-coordinate model.
+
+        Commands are affine in their geometry columns, so scaling the
+        compiled buffers is identical to compiling a scaled layout."""
+        if s == 1.0 and out_w is None and out_h is None:
+            return self
+        base = self.inline_windows()
+        layers = []
+        for lb in base.layers:
+            shapes = lb.shapes.copy()
+            shapes[:, 1:7] *= s      # rect x,y,w,h,r,bw / seg x0,y0,x1,y1,hw
+            glyphs = lb.glyphs.copy()
+            glyphs[:, 0:4] *= s      # x,y,w,h (u,v,uw,uh are atlas px)
+            images = lb.images.copy()
+            images[:, 0:4] *= s
+            layers.append(LayerBuffers(
+                shapes, lb.shape_clips * s, lb.n_shapes,
+                glyphs, lb.glyph_colors, lb.glyph_clips * s, lb.n_glyphs,
+                images, lb.image_clips * s, lb.n_images,
+                n_dyn_shapes=lb.n_dyn_shapes, n_dyn_glyphs=lb.n_dyn_glyphs,
+                n_dyn_images=lb.n_dyn_images))
+        return Scene(layers=layers,
+                     width=out_w if out_w is not None
+                     else int(round(base.width * s)),
+                     height=out_h if out_h is not None
+                     else int(round(base.height * s)),
+                     background=base.background,
+                     image_atlas=base.image_atlas, stats=base.stats,
+                     windows=[])
+
 
 class _LayerAccum:
     """Ordered command accumulator. Everything is chunk streams so cached
