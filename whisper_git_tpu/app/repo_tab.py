@@ -109,6 +109,10 @@ class RepoTab:
         self.graph_layout: GraphLayout = GraphLayout()
         self.graph_segments: list[RowSegment] = []
         self.last_fingerprint: str = ""
+        # Row Size setting (reference README.md:117 "Row Size: Normal or
+        # Large (1.5×)"): scales history/sidebar/staging row pitch. The
+        # app syncs this from Config and rebuilds the layout on toggle.
+        self.row_scale: float = 1.0
 
         # Per-worktree views; the main workdir always has one.
         self.worktree_views: dict[str, WorktreeView] = {}
@@ -359,7 +363,10 @@ class RepoTab:
                            st.conflicted))
 
     def _rebuild_layout(self) -> None:
-        self.graph_layout = GraphLayout.build(self.commits)
+        from ..ops.lanes import ROW_HEIGHT
+
+        self.graph_layout = GraphLayout.build(
+            self.commits, base=ROW_HEIGHT * self.row_scale)
         self.graph_segments = decompose_edges(self.graph_layout)
         # Monotonic version for row cache keys (id() could be recycled).
         self.layout_version = getattr(self, "layout_version", 0) + 1

@@ -215,6 +215,7 @@ class WhisperApp:
 
     def build(self, viewport: tuple[float, float]) -> El:
         self._last_viewport = viewport
+        self._sync_row_scale()
         layers: list[El] = [self._main_layer()]
         if self.worktree_picker_open and self.current() is not None:
             layers.append(rect(
@@ -1043,6 +1044,18 @@ class WhisperApp:
         setattr(self.config, attr, not getattr(self.config, attr))
         self.config.save()
 
+    def _sync_row_scale(self) -> None:
+        """Propagate the Row Size setting (reference README.md:117) into
+        every tab — including drilled-in submodule levels — rebuilding
+        graph geometry when it changes. Lazy (checked each build) so
+        clones/drill-downs opened after a toggle pick it up too."""
+        want = 1.5 if self.config.row_size_large else 1.0
+        for tab in self.tabs:
+            for level in [tab, *getattr(tab, "nav_stack", ())]:
+                if level.row_scale != want:
+                    level.row_scale = want
+                    level._rebuild_layout()
+
     def _act_toggle_avatars(self, arg, x, y):
         self._toggle_setting("show_avatars")
 
@@ -1104,9 +1117,9 @@ class WhisperApp:
                 tab.history_scroll + dy * total / track,
                 max(0.0, total - 200.0)))
         elif which == "sidebar":
-            from .views.sidebar import ITEM_H
+            from .views.sidebar import item_h
             max_scroll = max(0.0, (len(self._sidebar_keys(tab)) + 7)
-                             * ITEM_H - 200.0)
+                             * item_h(tab) - 200.0)
             tab.sidebar_scroll = max(0.0, min(
                 tab.sidebar_scroll + dy * 3.0, max_scroll))
 
@@ -2218,22 +2231,23 @@ class WhisperApp:
     def _sidebar_autoscroll(self, tab: RepoTab, keys: list[str]) -> None:
         """Keep the keyboard selection visible (reference README: sidebar
         "auto-scroll on keyboard navigation"). Row pitch is uniform
-        (sidebar.ITEM_H); section headers above the selection are
-        approximated by the selection's section ordinal."""
-        from .views.sidebar import ITEM_H
+        (sidebar.item_h, honoring Row Size); section headers above the
+        selection are approximated by the selection's section ordinal."""
+        from .views.sidebar import item_h
 
+        ih = item_h(tab)
         if tab.selected_sidebar_key not in keys:
             return
         idx = keys.index(tab.selected_sidebar_key)
         section_ord = {"branch": 1, "remote": 2, "tag": 3, "worktree": 5,
                        "stash": 6}.get(
             tab.selected_sidebar_key.partition(":")[0], 1)
-        top = (idx + section_ord) * ITEM_H
-        view_h = max(self._last_viewport[1] - 140, ITEM_H * 4)
-        if top < tab.sidebar_scroll + ITEM_H:
-            tab.sidebar_scroll = max(0.0, top - ITEM_H)
-        elif top + ITEM_H > tab.sidebar_scroll + view_h:
-            tab.sidebar_scroll = top + ITEM_H - view_h
+        top = (idx + section_ord) * ih
+        view_h = max(self._last_viewport[1] - 140, ih * 4)
+        if top < tab.sidebar_scroll + ih:
+            tab.sidebar_scroll = max(0.0, top - ih)
+        elif top + ih > tab.sidebar_scroll + view_h:
+            tab.sidebar_scroll = top + ih - view_h
 
     def _sidebar_keys(self, tab: RepoTab) -> list[str]:
         keys = [f"branch:{t.name}" for t in tab.branch_tips
@@ -2268,9 +2282,9 @@ class WhisperApp:
         right_w = self.config.right_panel_width
         vw = self._last_viewport[0]
         if x < sidebar_w:
-            from .views.sidebar import ITEM_H
+            from .views.sidebar import item_h
             max_scroll = max(0.0, (len(self._sidebar_keys(tab)) + 7)
-                             * ITEM_H - 200.0)
+                             * item_h(tab) - 200.0)
             tab.sidebar_scroll = max(0.0, min(
                 tab.sidebar_scroll + dy * speed, max_scroll))
         elif x > vw - right_w and self.diff_open:

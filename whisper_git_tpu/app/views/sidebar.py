@@ -18,6 +18,13 @@ SECTIONS = ["local", "remote", "tags", "submodules", "worktrees", "stashes"]
 ITEM_H = 26.0  # uniform row pitch (24 px row + 2 px gap)
 
 
+def item_h(tab) -> float:
+    """Row pitch honoring the Row Size setting (reference README.md:117:
+    "Row Size: Normal or Large (1.5×)"); keyboard auto-scroll in ui_app
+    uses the same pitch so hit targets and scroll math stay aligned."""
+    return ITEM_H * getattr(tab, "row_scale", 1.0)
+
+
 def _sidebar_key(tab) -> tuple:
     """Every pixel-affecting input of the sidebar panel."""
     return (
@@ -37,13 +44,14 @@ def _sidebar_key(tab) -> tuple:
         tuple((s.ref_name, s.summary) for s in tab.stashes),
         tuple(sorted(tab.sidebar_collapsed.items())),
         tab.selected_sidebar_key, tab.active_worktree,
-        round(tab.sidebar_scroll, 1),
+        round(tab.sidebar_scroll, 1), getattr(tab, "row_scale", 1.0),
     )
 
 
 def _section_header(tab, key: str, label: str, count: int,
                     create_route: str | None = None) -> El:
     collapsed = tab.sidebar_collapsed.get(key, False)
+    row_h = 24.0 * getattr(tab, "row_scale", 1.0)
     arrow = "▸" if collapsed else "▾"
     items = [
         text(f"{arrow} {label}", font_size=11, bold=True, color=T.text_muted),
@@ -57,14 +65,14 @@ def _section_header(tab, key: str, label: str, count: int,
                           padding=(0, 4, 0, 4),
                           hover_fill=T.surface_hover))
     return rect(row(*items, gap=6, align="center", width="fill"),
-                fill=T.surface_raised, radius=4, width="fill", height=24,
+                fill=T.surface_raised, radius=4, width="fill", height=row_h,
                 padding=(2, 6, 2, 6), route=f"sidebar-toggle:{key}",
                 key=f"sidebar-section:{key}")
 
 
-def _item(label: str, route: str, *, selected=False, current=False,
-          badge: str = "", dirty=False, route_right: str | None = None,
-          muted=False, pr=None) -> El:
+def _item_row(label: str, route: str, *, selected=False, current=False,
+              badge: str = "", dirty=False, route_right: str | None = None,
+              muted=False, pr=None, row_h: float = 24.0) -> El:
     fg = (T.accent if current else T.text_muted if muted else T.text)
     cells: list[El] = []
     if current:
@@ -87,7 +95,7 @@ def _item(label: str, route: str, *, selected=False, current=False,
         cells.append(text(badge, font_size=10, color=T.text_muted))
     return rect(row(*cells, gap=6, align="center", width="fill",
                     height="fill"),
-                width="fill", height=24, radius=4,
+                width="fill", height=row_h, radius=4,
                 fill=T.surface_hover if selected else None,
                 hover_fill=T.surface_hover,
                 padding=(2, 6, 2, 8), route=route, route_right=route_right,
@@ -100,7 +108,11 @@ def sidebar(tab) -> El:
 
 
 def _sidebar_impl(tab) -> El:
+    import functools
+
     rows: list[El] = []
+    _item = functools.partial(_item_row,
+                              row_h=24.0 * getattr(tab, "row_scale", 1.0))
 
     local = [t for t in tab.branch_tips if not t.is_remote]
     rows.append(_section_header(tab, "local", "LOCAL", len(local),
@@ -182,10 +194,11 @@ def _sidebar_impl(tab) -> El:
     # Virtualized + scrollable with a proportional thumb (reference README:
     # "Scrollbar with proportional thumb and auto-scroll on keyboard
     # navigation"); tall repos (many branches/tags) stay reachable.
-    total_h = len(rows) * ITEM_H
+    ih = item_h(tab)
+    total_h = len(rows) * ih
     body = scroll(len(rows), lambda i: rows[i],
                   offset=tab.sidebar_scroll,
-                  row_heights=[ITEM_H] * len(rows),
+                  row_heights=[ih] * len(rows),
                   width="fill", height="fill", key="sidebar-scroll")
     content: El = body
     track_h = 560.0

@@ -111,13 +111,14 @@ def _input(value: str, placeholder: str, key: str, focused: bool,
                 route=f"focus-input:{key}", key=f"input:{key}", clip=True)
 
 
-def _file_row(entry: StatusEntry, bucket: str, selected: bool) -> El:
+def _file_row(entry: StatusEntry, bucket: str, selected: bool,
+              row_h: float = 22.0) -> El:
     dot = _STATUS_DOTS.get(entry.status, T.text_muted)
     return rect(
         row(rect(width=7, height=7, radius=3.5, fill=dot),
             text(entry.path[-44:], font_size=T.font_size_small, color=T.text),
             spacer(), gap=6, align="center", width="fill", height="fill"),
-        width="fill", height=22, radius=3, padding=(1, 6, 1, 6),
+        width="fill", height=row_h, radius=3, padding=(1, 6, 1, 6),
         fill=T.surface_hover if selected else None,
         hover_fill=T.surface_hover,
         route=f"view-file:{bucket}:{entry.path}",
@@ -128,7 +129,7 @@ def _file_row(entry: StatusEntry, bucket: str, selected: bool) -> El:
 
 def _file_section(title: str, entries: list, bucket: str,
                   selected_file, action_label: str, action_route: str,
-                  focused: bool = False) -> list[El]:
+                  focused: bool = False, row_scale: float = 1.0) -> list[El]:
     if not entries:
         return []
     header = rect(
@@ -144,7 +145,8 @@ def _file_section(title: str, entries: list, bucket: str,
         width="fill", height=20, padding=(1, 4, 1, 4))
     rows = [header]
     for e in entries[:200]:
-        rows.append(_file_row(e, bucket, selected_file == (bucket, e.path)))
+        rows.append(_file_row(e, bucket, selected_file == (bucket, e.path),
+                              row_h=22.0 * row_scale))
     return rows
 
 
@@ -179,7 +181,7 @@ def _staging_key(tab, focused_input: str, ai_busy: bool,
                bool(tab.worktree_views.get(w.path)
                     and tab.worktree_views[w.path].dirty))
               for w in tab.worktrees),
-        tab.active_worktree,
+        tab.active_worktree, getattr(tab, "row_scale", 1.0),
     )
 
 
@@ -236,18 +238,23 @@ def _staging_impl(tab, focused_input: str = "", ai_busy: bool = False,
     selected = ((("staged" if view.selected_staged else "unstaged"),
                  view.selected_file) if view and view.selected_file else None)
     if status is not None:
+        rs = getattr(tab, "row_scale", 1.0)
         file_rows: list[El] = []
         file_rows += _file_section("STAGED", status.staged, "staged",
                                    selected, "Unstage all", "unstage-all",
-                                   focused=focused_input == "staged-list")
+                                   focused=focused_input == "staged-list",
+                                   row_scale=rs)
         file_rows += _file_section("CONFLICTS", status.conflicted,
-                                   "conflicted", selected, "", "noop")
+                                   "conflicted", selected, "", "noop",
+                                   row_scale=rs)
         file_rows += _file_section("UNSTAGED", status.unstaged, "unstaged",
                                    selected, "Stage all", "stage-all",
-                                   focused=focused_input == "unstaged-list")
+                                   focused=focused_input == "unstaged-list",
+                                   row_scale=rs)
         file_rows += _file_section("UNTRACKED", status.untracked, "untracked",
                                    selected, "Stage all", "stage-all",
-                                   focused=focused_input == "unstaged-list")
+                                   focused=focused_input == "unstaged-list",
+                                   row_scale=rs)
         if not file_rows:
             file_rows = [rect(
                 row(text("✓", color=T.success, font_size=14),

@@ -70,7 +70,8 @@ class GraphLayout:
         return (self.row_tops[-1] + self.row_heights[-1]) if self.row_tops else 0.0
 
     @staticmethod
-    def build(commits: list[CommitInfo]) -> "GraphLayout":
+    def build(commits: list[CommitInfo], base: float = ROW_HEIGHT
+              ) -> "GraphLayout":
         layout = GraphLayout()
         n = len(commits)
         if n == 0:
@@ -118,7 +119,8 @@ class GraphLayout:
                     waiters[s] = [(row, lane)]
 
         layout.edges.sort(key=lambda e: (e.child_row, e.parent_row))
-        layout.row_heights = compute_row_heights([c.timestamp for c in commits])
+        layout.row_heights = compute_row_heights(
+            [c.timestamp for c in commits], base=base)
         y = 0.0
         for h in layout.row_heights:
             layout.row_tops.append(y)
@@ -139,12 +141,16 @@ class GraphLayout:
 def compute_row_heights(timestamps: list[int], base: float = ROW_HEIGHT) -> list[float]:
     """Time-spaced row heights (reference: commit_graph.rs:486): the gap
     above each row grows with the log of the time delta to the previous
-    (newer) commit — 2 h base, 30-day saturation, +ROW_HEIGHT max — and is
-    integer-rounded so vector assets tile without seams (the MSDF-tiling
-    constraint the reference's vector_smoke test guards)."""
+    (newer) commit — 2 h base, 30-day saturation, at most one extra row
+    height — and is integer-rounded so vector assets tile without seams
+    (the MSDF-tiling constraint the reference's vector_smoke test guards).
+    `base` carries the Row Size setting (Normal 28 px / Large 42 px,
+    reference README.md:117); the extra-gap cap scales with it so large
+    rows keep the same visual rhythm."""
     if not timestamps:
         return []
     heights = [float(base)]
+    extra_max = TIME_GAP_MAX_EXTRA * (base / ROW_HEIGHT)
     span = np.log(TIME_GAP_SATURATION_SECS) - np.log(TIME_GAP_BASE_SECS)
     for i in range(1, len(timestamps)):
         delta = max(0, timestamps[i - 1] - timestamps[i])
@@ -153,7 +159,7 @@ def compute_row_heights(timestamps: list[int], base: float = ROW_HEIGHT) -> list
         else:
             frac = (np.log(min(delta, TIME_GAP_SATURATION_SECS))
                     - np.log(TIME_GAP_BASE_SECS)) / span
-            extra = float(frac) * TIME_GAP_MAX_EXTRA
+            extra = float(frac) * extra_max
         heights.append(float(round(base + extra)))
     return heights
 

@@ -160,6 +160,12 @@ def build_scenes(repo_path: str) -> dict[str, WhisperApp]:
         tab.rebuild_synthetics()
     scenes["taglines"] = app
 
+    # Row Size: Large (1.5×) — history/sidebar/staging pitch scales
+    # (reference README.md:117).
+    app = fresh()
+    app.config.row_size_large = True
+    scenes["large-rows"] = app
+
     return scenes
 
 
