@@ -218,3 +218,56 @@ def test_hover_paints_through_app_build(temp_repo):
         assert cleared.fill == target.el.fill
     for tb in app.tabs:
         tb.stop_workers()
+
+
+def test_next_wake_blink_deadline(temp_repo):
+    """Animation-aware wakes (reference README.md:14 'Continuous redraw
+    for smooth cursor blink'): a focused text input pulls the idle wake
+    from the 1 s safety net down to the 0.25 s blink quarter-phase."""
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+    from whisper_git_tpu.host.loop import next_wake_timeout
+
+    tab = RepoTab.open(temp_repo)
+    app = WhisperApp.with_tabs([tab])
+    assert next_wake_timeout(app, 0.0) == 1.0
+    app.focused_input = "subject"
+    assert next_wake_timeout(app, 0.0) == 0.25
+    app.focused_input = ""
+    app.toasts.append(type("T", (), {"text": "hi", "kind": "info"})())
+    assert next_wake_timeout(app, 0.0) == 0.25
+    tab.stop_workers()
+
+
+def test_idle_focused_input_blinks_in_loop(temp_repo, monkeypatch):
+    """Loop-driven: with a focused input and NO input events, consecutive
+    frames must observe both caret phases within ~1.5 s — the wake timer
+    alone (no doorbell) has to drive the blink."""
+    import time as _time
+
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+    from whisper_git_tpu.app.views.widgets import cursor_visible
+    from whisper_git_tpu.host.loop import run_loop
+
+    monkeypatch.setenv("WGIT_NO_INPUT", "1")
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync(include_orphans=False)
+    app = WhisperApp.with_tabs([tab])
+    app.focused_input = "subject"
+    app.focus = "staging"
+
+    phases = []
+    orig_build = app.build
+
+    def spy_build(viewport):
+        phases.append(cursor_visible())
+        return orig_build(viewport)
+
+    app.build = spy_build
+    t0 = _time.monotonic()
+    run_loop(app, max_frames=7)
+    elapsed = _time.monotonic() - t0
+    assert len(set(phases)) == 2, (phases, elapsed)
+    # 6 waited frames at the 0.25 s blink cadence ≈ 1.5 s, not 6 s.
+    assert elapsed < 3.5, elapsed

@@ -23,16 +23,24 @@ from ..app.ui_app import WhisperApp
 from ..engine import EventLoopProxy
 
 FRAME_TIMEOUT = 1.0  # safety-net cadence needs periodic wakeups
+BLINK_TIMEOUT = 0.25  # caret flips every 0.5 s; wake at quarter phase so
+                      # an idle focused input still blinks (reference
+                      # README.md:14 does continuous redraw for this)
 
 
 def next_wake_timeout(app: WhisperApp, now: float) -> float:
-    """Earliest timer deadline (reference: HostApp::next_wake)."""
+    """Earliest timer deadline (reference: HostApp::next_wake).
+    Animation deadlines: busy-op spinners, toast lifetime/fade, and the
+    caret blink while any text input is focused all pull the wake down
+    to 0.25 s; a fully idle frame sleeps the 1 s safety-net cadence."""
     timeout = FRAME_TIMEOUT
     for tab in app.tabs:
         if tab.busy_slots():
-            timeout = min(timeout, 0.25)  # live spinner elapsed display
+            timeout = min(timeout, BLINK_TIMEOUT)  # live spinner elapsed
     if app.toasts:
-        timeout = min(timeout, 0.25)
+        timeout = min(timeout, BLINK_TIMEOUT)  # lifetime expiry + fade
+    if app.focused_input:
+        timeout = min(timeout, BLINK_TIMEOUT)  # caret blink phase
     return timeout
 
 
