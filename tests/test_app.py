@@ -365,11 +365,14 @@ def test_dump_bundles(tmp_path):
         assert f"{scene}.svg" in names
         assert f"{scene}.tree.txt" in names
         assert f"{scene}.lint.txt" in names
-    # The reference's gate: zero MissingSurfaceFill findings across scenes.
+    # The reference's gate (docs/aetna-port.md:258-279): zero findings of
+    # ANY lint rule — MissingSurfaceFill, FocusRingObscured,
+    # ScrollbarObscuresFocusable, TextOverflow, ZeroSizeInteractive —
+    # across every scene.
     bad = []
     for lint_file in out.glob("*.lint.txt"):
         content = lint_file.read_text()
-        if "MissingSurfaceFill" in content:
+        if content.strip():
             bad.append((lint_file.name, content))
     assert not bad, bad
 

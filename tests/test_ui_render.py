@@ -139,6 +139,67 @@ def test_lint_zero_size_interactive():
     assert any(f.rule == "ZeroSizeInteractive" for f in findings)
 
 
+def test_lint_text_overflow_8px_slack():
+    # 300 px of text clipped to 100 px: a real truncation bug.
+    bad = rect(rect(text("x" * 60), width=300, height=20),
+               fill=DARK.surface, width=100, height=20, clip=True)
+    findings = run_lints(layout_tree(bad, (100, 20)))
+    assert any(f.rule == "TextOverflow" for f in findings)
+    # Sub-8px spill (measurement jitter) must not flag.
+    ok = rect(rect(text("fits here"), width=100, height=20),
+              fill=DARK.surface, width=100, height=20, clip=True)
+    assert not any(f.rule == "TextOverflow"
+                   for f in run_lints(layout_tree(ok, (100, 20))))
+
+
+def test_lint_focus_ring_obscured():
+    # An opaque element painted AFTER the focused field, in the same
+    # root layer, covers its ring → flagged.
+    bad_same_layer = stack(
+        stack(
+            rect(width=80, height=24, border=DARK.accent, border_width=1,
+                 fill=DARK.surface),
+            rect(width=80, height=24, fill=DARK.surface_raised),
+            width=100, height=40),
+        fill=DARK.background, width=100, height=40)
+    findings = run_lints(layout_tree(bad_same_layer, (100, 40)))
+    assert any(f.rule == "FocusRingObscured" for f in findings)
+    # A modal overlay (separate root layer) over a focused field is
+    # intentional occlusion — not a finding.
+    ok_modal = stack(
+        rect(width=80, height=24, border=DARK.accent, border_width=1,
+             fill=DARK.surface),
+        rect(width=80, height=24, fill=DARK.surface_raised),  # own layer
+        fill=DARK.background, width=100, height=40)
+    assert not any(f.rule == "FocusRingObscured"
+                   for f in run_lints(layout_tree(ok_modal, (100, 40))))
+
+
+def test_lint_scrollbar_obscures_focusable():
+    # Thumb painted over a button's center steals its clicks.
+    bad = stack(
+        stack(
+            rect(width=100, height=24, route="click-me", fill=DARK.surface),
+            rect(width=100, height=24, fill=(1, 1, 1, 0.14),
+                 key="history-scrollbar"),
+            width=120, height=40),
+        fill=DARK.background, width=120, height=40)
+    findings = run_lints(layout_tree(bad, (120, 40)))
+    assert any(f.rule == "ScrollbarObscuresFocusable" for f in findings)
+    # A thumb grazing the right edge (not the center) is fine.
+    ok = stack(
+        stack(
+            rect(width=100, height=24, route="click-me", fill=DARK.surface),
+            row(spacer(),
+                rect(width=6, height=24, fill=(1, 1, 1, 0.14),
+                     key="history-scrollbar"),
+                width=100, height=24),
+            width=120, height=40),
+        fill=DARK.background, width=120, height=40)
+    assert not any(f.rule == "ScrollbarObscuresFocusable"
+                   for f in run_lints(layout_tree(ok, (120, 40))))
+
+
 # -- dumps --------------------------------------------------------------------
 
 def test_svg_and_tree_dump():
