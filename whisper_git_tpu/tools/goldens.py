@@ -1,0 +1,217 @@
+"""Pixel-golden regression scenes.
+
+Six small, fully deterministic scenes (no git, no wall clock, no network)
+rendered through the real pipeline (layout → scene compile → rasterizer)
+on the CPU backend, checked into `tests/goldens/*.png`. A shader-math
+regression that keeps layout intact — SDF coverage, compositing order,
+atlas sampling, quantization — fails the comparison even though every
+tree/lint dump would still pass. (The reference has no pixel gate; this
+beats its §4 test strategy.)
+
+Regenerate after an INTENTIONAL visual change:
+    python -m whisper_git_tpu.tools.goldens tests/goldens
+and eyeball the diff images before committing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..ui import column, path, rect, row, scroll, spacer, stack, text
+from ..ui.theme import DARK as T
+
+SIZE = (360, 240)
+TOLERANCE = 2  # u8 steps per channel: covers bf16 matmul re-fusion drift
+               # across XLA releases while catching any real shader change
+
+
+def _identicon(seed: int) -> np.ndarray:
+    """Deterministic identicon-like RGBA tile (no hashlib/time)."""
+    rng = np.random.RandomState(seed)
+    half = rng.randint(0, 2, (5, 3), dtype=np.int64)
+    grid = np.concatenate([half, half[:, ::-1][:, 1:]], axis=1)
+    color = np.array([60 + 40 * (seed % 5), 120, 200 - 30 * (seed % 4)],
+                     np.uint8)
+    tile = np.zeros((40, 40, 4), np.uint8)
+    tile[..., 3] = 255
+    tile[..., :3] = 34
+    for r in range(5):
+        for c in range(5):
+            if grid[r, c]:
+                tile[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8, :3] = color
+    return tile
+
+
+def _scene_chrome():
+    rows = []
+    for i in range(6):
+        rows.append(rect(
+            row(rect(text("main", font_size=10, bold=True,
+                          color=(1, 1, 1, 0.95)),
+                     fill=T.pill_head, radius=9, padding=(1, 6, 1, 6)),
+                text(f"commit subject {i}: tidy the pills", color=T.text),
+                spacer(),
+                text("2h ago", color=T.text_muted, font_size=11),
+                gap=8, align="center", width="fill", height="fill"),
+            width="fill", height=28,
+            fill=T.surface if i % 2 else T.background))
+    return stack(
+        column(
+            rect(text("whisper-git chrome", bold=True, font_size=14,
+                      color=T.text_bright),
+                 fill=T.surface_raised, height=32, width="fill",
+                 padding=(6, 10, 6, 10)),
+            *rows, width="fill", height="fill"),
+        width="fill", height="fill", fill=T.background)
+
+
+def _scene_graph():
+    prims = []
+    lanes = [(0.357, 0.608, 0.835, 1.0), (0.455, 0.781, 0.502, 1.0),
+             (0.918, 0.620, 0.302, 1.0), (0.678, 0.498, 0.839, 1.0)]
+    for li, color in enumerate(lanes):
+        x = 20 + li * 24
+        prims.append(("vline", x, 10.0, 220.0, 2.0, color))
+        prims.append(("circle", x, 40.0 + li * 40, 4.5, color))
+    prims.append(("cubic", (20, 80), (20, 120), (68, 100), (68, 140),
+                  2.0, lanes[2]))
+    prims.append(("cubic", (92, 60), (92, 100), (44, 80), (44, 120),
+                  2.0, lanes[1]))
+    return stack(path(prims, width=360, height=240),
+                 width="fill", height="fill", fill=T.background)
+
+
+def _scene_modal():
+    panel = rect(
+        column(
+            text("Reset (hard) to 3f2a91c?", bold=True, font_size=13,
+                 color=T.text_bright),
+            text("DESTROYS all uncommitted changes.", font_size=11,
+                 color=T.text_muted),
+            row(spacer(),
+                rect(text("Cancel", color=T.text), fill=T.surface_hover,
+                     radius=5, padding=(4, 10, 4, 10)),
+                rect(text("Reset hard", bold=True, color=(1, 1, 1, 1)),
+                     fill=T.danger, radius=5, padding=(4, 10, 4, 10)),
+                gap=8, width="fill"),
+            gap=10, width=280, padding=(12, 14, 12, 14)),
+        fill=T.surface_raised, border=T.border_light, border_width=1,
+        radius=10, shadow=True)
+    return stack(
+        rect(width="fill", height="fill", fill=T.background),
+        stack(panel, width="fill", height="fill", align="center"),
+        width="fill", height="fill")
+
+
+def _scene_diffish():
+    rows = []
+    samples = [
+        ("-", "    old_line = compute(x)", (0.55, 0.20, 0.23, 0.45)),
+        ("+", "    new_line = compute(x, y)", (0.18, 0.43, 0.25, 0.45)),
+        (" ", "    return new_line", None),
+        ("-", "def resize(img):", (0.55, 0.20, 0.23, 0.45)),
+        ("+", "def resize(img, scale):", (0.18, 0.43, 0.25, 0.45)),
+    ]
+    for i, (sign, code, wash) in enumerate(samples):
+        cells = [rect(text(str(i + 10), font_size=10, color=T.text_muted),
+                      width=28, height="fill", padding=(2, 4, 2, 4)),
+                 text(sign + " " + code, font_size=11, color=T.text)]
+        rows.append(rect(row(*cells, width="fill", height="fill"),
+                         width="fill", height=18, fill=wash))
+    # word-level highlight overlays
+    overlay = stack(
+        rect(width=60, height=14, fill=(0.9, 0.35, 0.35, 0.30), radius=2),
+        width="fill", height="fill", padding=(19, 0, 0, 120))
+    return stack(
+        column(*rows, width="fill", height="fill", padding=(8, 8, 8, 8)),
+        overlay, width="fill", height="fill", fill=T.background)
+
+
+def _scene_images():
+    from ..ui import image
+
+    tiles = [image(_identicon(s), width=40, height=40) for s in range(6)]
+    big = image(_identicon(7), width=96, height=96)  # upsampled quad
+    return stack(
+        column(row(*tiles, gap=10), big, gap=14, padding=(16, 16, 16, 16)),
+        width="fill", height="fill", fill=T.background)
+
+
+def _scene_window():
+    def make_row(i):
+        return rect(
+            row(text(f"row {i} steady content", color=T.text),
+                spacer(), text("v1", font_size=10, color=T.text_muted),
+                gap=6, align="center", width="fill", height="fill"),
+            width="fill", height=24,
+            fill=T.surface if i % 2 else T.background,
+            cache_key=("golden-row", i, i % 2))
+
+    body = scroll(30, make_row, offset=37.0, row_heights=[24.0] * 30,
+                  key="golden-scroll", width="fill", flex=1)
+    thumb = rect(width=6, height=36, fill=T.accent, radius=3,
+                 volatile=True)
+    return stack(
+        column(body, width="fill", height="fill"),
+        stack(thumb, width=6, height=36),
+        width="fill", height="fill", fill=T.background)
+
+
+SCENES = {
+    "chrome": _scene_chrome,
+    "graph": _scene_graph,
+    "modal": _scene_modal,
+    "diffish": _scene_diffish,
+    "images": _scene_images,
+    "window": _scene_window,
+}
+
+
+def force_cpu_backend() -> None:
+    """Goldens are CPU-backend artifacts by definition (deterministic,
+    CI-rendered). The axon TPU plugin registers itself even when
+    JAX_PLATFORMS=cpu is exported, so assert the choice through
+    jax.config (authoritative) before the first dispatch."""
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # already dispatched on cpu (tests) — fine
+
+
+def render_scene_image(name: str) -> np.ndarray:
+    from ..render.rasterizer import render_scene
+    from ..render.renderer import get_renderer
+
+    r = get_renderer()
+    tree = SCENES[name]()
+    root = r.layout(tree, (float(SIZE[0]), float(SIZE[1])))
+    scene = r.compile(root, SIZE, T.background)
+    return np.asarray(render_scene(scene, r.font_tex_device(),
+                                   r.image_atlas_device()))
+
+
+def golden_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "tests", "goldens")
+
+
+def generate(out_dir: str | None = None) -> int:
+    from ..render.renderer import save_png
+
+    force_cpu_backend()
+    out = out_dir or golden_dir()
+    os.makedirs(out, exist_ok=True)
+    for name in SCENES:
+        save_png(render_scene_image(name), os.path.join(out, f"{name}.png"))
+        print(f"wrote {out}/{name}.png")
+    return len(SCENES)
+
+
+if __name__ == "__main__":
+    import sys
+
+    generate(sys.argv[1] if len(sys.argv) > 1 else None)
