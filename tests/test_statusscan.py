@@ -585,3 +585,175 @@ def test_quick_dirty_is_fast(temp_repo, git):
     per_call = (time.perf_counter() - t0) / 20 * 1000
     assert bits == 0
     assert per_call < 25.0  # generous bound for loaded CI machines
+
+
+# ---------------------------------------------------------------------------
+# Randomized differential fuzzing: random TREES × random INDEX states
+# (VERDICT r1 #10). The flat-file walk above covers op sequencing; this
+# covers structure — nested dirs, unicode/space names, renames, ignores,
+# symlinks, directory deletion — against `git status --porcelain` truth.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [7, 99, 1234, 424242])
+def test_fuzz_random_trees_and_index_states(tmp_path, git, seed):
+    import random
+    import shutil
+
+    rng = random.Random(seed)
+    repo_dir = str(tmp_path / "fuzz")
+    os.makedirs(repo_dir)
+    git(repo_dir, "init", "-b", "main")
+    git(repo_dir, "config", "user.email", "f@z.z")
+    git(repo_dir, "config", "user.name", "Fuzz")
+
+    dirs = ["", "src", "src/deep", "assets img", "üñïçø∂é"]
+    names = ["a.txt", "b c.txt", "Δelta.py", ".hidden", "z"]
+
+    def rand_path():
+        return os.path.join(rng.choice(dirs), rng.choice(names)).lstrip("/")
+
+    tracked_any = False
+    for step in range(50):
+        rel = rand_path()
+        p = os.path.join(repo_dir, rel)
+        roll = rng.random()
+        try:
+            if roll < 0.28:
+                os.makedirs(os.path.dirname(p) or repo_dir, exist_ok=True)
+                with open(p, "w") as f:
+                    f.write(f"step {step} {rng.random()}\n" * rng.randrange(1, 4))
+            elif roll < 0.42:
+                git(repo_dir, "add", "-A")
+                tracked_any = True
+            elif roll < 0.52 and os.path.isfile(p):
+                os.unlink(p)
+            elif roll < 0.60 and tracked_any:
+                subprocess.run(["git", "-C", repo_dir, "commit", "-q", "-m",
+                                f"s{step}"], capture_output=True)
+            elif roll < 0.68:
+                d = os.path.join(repo_dir, rng.choice(dirs[1:]))
+                shutil.rmtree(d, ignore_errors=True)
+            elif roll < 0.76:
+                ign = os.path.join(repo_dir, rng.choice(dirs),
+                                   ".gitignore")
+                os.makedirs(os.path.dirname(ign), exist_ok=True)
+                with open(ign, "w") as f:
+                    f.write(rng.choice(["*.txt\n", "z\n", "deep/\n",
+                                        "!b*.txt\n*.txt\n", "**/Δ*\n"]))
+            elif roll < 0.84 and os.path.isfile(p):
+                os.unlink(p)
+                os.symlink(rng.choice(["a.txt", "/nonexistent", "src"]), p)
+            elif roll < 0.92:
+                subprocess.run(["git", "-C", repo_dir, "reset", "-q"],
+                               capture_output=True)
+            else:
+                src = rand_path()
+                subprocess.run(["git", "-C", repo_dir, "mv", "-f", src,
+                                rel], capture_output=True)
+        except OSError:
+            pass  # impossible op for current tree shape — fine, roll on
+        got, want = scan(repo_dir)
+        assert got is not None, f"declined certifiable state at step {step}"
+        assert got == want, \
+            f"seed {seed} step {step}: native {got:04b} != git {want:04b}"
+        assert_full_agrees(repo_dir)
+
+
+def test_fallback_rate_on_realistic_corpus(tmp_path, git):
+    """The certainty contract punts on exotic repos; this measures how
+    often a REALISTIC corpus actually hits the slow path. Every repo here
+    is the kind a developer has (benign attributes, packed refs, linked
+    worktrees, unicode, symlinks, filemode off, autocrlf=false) — the
+    measured fallback rate must stay under 5% so the '0.06 ms typical'
+    claim is bounded by data (VERDICT r1 #10)."""
+    corpus = []
+
+    def mk(name, setup):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        git(d, "init", "-b", "main")
+        git(d, "config", "user.email", "c@c.c")
+        git(d, "config", "user.name", "C")
+        with open(os.path.join(d, "README.md"), "w") as f:
+            f.write("hello\n")
+        git(d, "add", ".")
+        git(d, "commit", "-m", "init")
+        setup(d)
+        corpus.append(d)
+
+    mk("plain", lambda d: None)
+    mk("autocrlf-false", lambda d: git(d, "config", "core.autocrlf", "false"))
+    mk("filemode-off", lambda d: git(d, "config", "core.filemode", "false"))
+
+    def benign_attrs(d):
+        with open(os.path.join(d, ".gitattributes"), "w") as f:
+            f.write("*.py diff=python\n*.md linguist-documentation\n")
+
+    mk("benign-attrs", benign_attrs)
+
+    def packed(d):
+        git(d, "pack-refs", "--all")
+        git(d, "gc", "-q")
+
+    mk("packed", packed)
+
+    def unicode_tree(d):
+        os.makedirs(os.path.join(d, "süb dir"))
+        with open(os.path.join(d, "süb dir", "ƒile.txt"), "w") as f:
+            f.write("x\n")
+        git(d, "add", ".")
+
+    mk("unicode", unicode_tree)
+
+    def links(d):
+        os.symlink("README.md", os.path.join(d, "link"))
+        git(d, "add", ".")
+        git(d, "commit", "-m", "link")
+
+    mk("symlinks", links)
+
+    def worktree(d):
+        git(d, "worktree", "add", d + "-wt", "-b", "side")
+
+    mk("wt", worktree)
+
+    def dirty(d):
+        with open(os.path.join(d, "README.md"), "a") as f:
+            f.write("more\n")
+        with open(os.path.join(d, "new.txt"), "w") as f:
+            f.write("n\n")
+
+    mk("dirty", dirty)
+
+    def detached(d):
+        head = subprocess.run(["git", "-C", d, "rev-parse", "HEAD"],
+                              capture_output=True, text=True).stdout.strip()
+        git(d, "checkout", "-q", head)
+
+    mk("detached", detached)
+
+    native.reset_scan_stats()
+    for d in corpus:
+        repo = GitRepo.open(d)
+        gstatus.status(repo, exclude_submodules=True)  # full-status verdict
+        native.quick_dirty(repo.workdir, repo.git_dir, repo.common_dir)
+    stats = native.scan_stats()
+    total = (stats["status_certain"] + stats["status_fallback"]
+             + stats["quick_certain"] + stats["quick_fallback"])
+    assert total >= 2 * len(corpus)
+    rate = (stats["status_fallback"] + stats["quick_fallback"]) / total
+    assert rate < 0.05, f"fallback rate {rate:.1%} on realistic corpus: {stats}"
+
+
+def test_scan_stats_count_fallbacks(temp_repo, git):
+    """The WGIT_FRAME_DIAG telemetry counters must tick on both verdicts."""
+    native.reset_scan_stats()
+    repo = GitRepo.open(temp_repo)
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) is not None
+    git(temp_repo, "config", "core.autocrlf", "true")
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) is None
+    s = native.scan_stats()
+    assert s["quick_certain"] == 1 and s["quick_fallback"] == 1
+    assert s["quick_fallback_rate"] == 0.5

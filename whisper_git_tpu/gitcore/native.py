@@ -73,6 +73,43 @@ DIRTY_UNSTAGED = 2
 DIRTY_UNTRACKED = 4
 DIRTY_CONFLICTED = 8
 
+# Certain-vs-fallback telemetry: the scanner's honesty contract says it
+# refuses whenever a repo feature could make it disagree with `git
+# status` — these counters measure how often that actually happens, so
+# the "0.06 ms typical" claim is bounded by data, not hope. Printed to
+# stderr under WGIT_FRAME_DIAG=1 (every 50 verdicts per kind).
+SCAN_STATS = {"quick_certain": 0, "quick_fallback": 0,
+              "status_certain": 0, "status_fallback": 0}
+
+
+def scan_stats() -> dict:
+    """Snapshot of the certain-vs-fallback counters (+ derived rates)."""
+    s = dict(SCAN_STATS)
+    for kind in ("quick", "status"):
+        total = s[f"{kind}_certain"] + s[f"{kind}_fallback"]
+        s[f"{kind}_fallback_rate"] = (
+            s[f"{kind}_fallback"] / total if total else 0.0)
+    return s
+
+
+def reset_scan_stats() -> None:
+    for k in SCAN_STATS:
+        SCAN_STATS[k] = 0
+
+
+def _count_verdict(kind: str, certain: bool) -> None:
+    key = f"{kind}_{'certain' if certain else 'fallback'}"
+    SCAN_STATS[key] += 1
+    if os.environ.get("WGIT_FRAME_DIAG"):
+        total = (SCAN_STATS[f"{kind}_certain"]
+                 + SCAN_STATS[f"{kind}_fallback"])
+        if total % 50 == 0 or not certain:
+            import sys
+
+            fb = SCAN_STATS[f"{kind}_fallback"]
+            print(f"statusscan[{kind}]: {fb}/{total} fallbacks "
+                  f"({100.0 * fb / total:.1f}%)", file=sys.stderr)
+
 
 def quick_dirty(workdir: str, git_dir: str,
                 common_dir: str) -> Optional[int]:
@@ -87,6 +124,7 @@ def quick_dirty(workdir: str, git_dir: str,
         return None
     rc = lib.wgit_quick_dirty(
         workdir.encode(), git_dir.encode(), common_dir.encode())
+    _count_verdict("quick", rc >= 0)
     if rc < 0:
         return None
     return rc
@@ -107,6 +145,7 @@ def status_scan(workdir: str, git_dir: str,
     ptr = lib.wgit_status_scan(
         workdir.encode(), git_dir.encode(), common_dir.encode(),
         ctypes.byref(ln))
+    _count_verdict("status", bool(ptr) and ln.value >= 0)
     if not ptr or ln.value < 0:
         return None
     data = ctypes.string_at(ptr, ln.value)
