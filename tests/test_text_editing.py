@@ -194,3 +194,136 @@ def test_paste_event_dispatch(temp_repo):
     app.handle_action("focus-input:subject")
     dispatch(app, PasteEvent("pasted subject"))
     assert app.current().active_view().draft_subject == "pasted subject"
+
+
+# -- selection (shift-arrows), clipboard, IME composition --------------------
+
+def test_shift_arrow_selection_and_replace(temp_repo):
+    app = make_app(temp_repo)
+    app.handle_action("focus-input:subject")
+    type_text(app, "hello")
+    app.on_key("Left", shift=True)
+    app.on_key("Left", shift=True)
+    view = app.current().active_view()
+    assert app._selection_span(view.draft_subject) == (3, 5)
+    # Typing replaces the selection.
+    type_text(app, "p!")
+    assert view.draft_subject == "help!"
+    assert app.input_anchor is None
+    # Plain arrow clears any selection.
+    app.on_key("Left", shift=True)
+    app.on_key("Left")
+    assert app._selection_span(view.draft_subject) is None
+
+
+def test_selection_backspace_delete(temp_repo):
+    app = make_app(temp_repo)
+    app.handle_action("focus-input:subject")
+    type_text(app, "abcdef")
+    app.on_key("Home")
+    app.on_key("Right", shift=True)
+    app.on_key("Right", shift=True)
+    view = app.current().active_view()
+    assert app._selection_span(view.draft_subject) == (0, 2)
+    app.on_key("Backspace")
+    assert view.draft_subject == "cdef"
+    app.on_key("End")
+    app.on_key("Left", shift=True)
+    app.on_key("Delete")
+    assert view.draft_subject == "cde"
+
+
+def test_select_all_and_copy(temp_repo, monkeypatch):
+    import subprocess as sp
+
+    app = make_app(temp_repo)  # needs real git; patch sp.run only after
+
+    def no_tools(*a, **k):
+        raise OSError("no clipboard tool")
+
+    monkeypatch.setattr(sp, "run", no_tools)
+    app.handle_action("focus-input:subject")
+    type_text(app, "copy me")
+    app.on_key("a", ctrl=True)
+    view = app.current().active_view()
+    assert app._selection_span(view.draft_subject) == (0, 7)
+    app.on_key("c", ctrl=True)
+    assert app.selection_text == "copy me"
+    assert app.primary_selection == "copy me"  # PRIMARY mirror
+    app.on_key("Backspace")
+    assert view.draft_subject == ""
+
+
+def test_combining_character_composes(temp_repo):
+    """Terminal IME / dead-key input: a combining acute after 'e' must
+    compose to a single 'é' (NFC), not insert a floating mark."""
+    app = make_app(temp_repo)
+    app.handle_action("focus-input:subject")
+    type_text(app, "caf")
+    app.on_text("e")
+    app.on_text("́")  # COMBINING ACUTE ACCENT
+    view = app.current().active_view()
+    assert view.draft_subject == "café"
+    app.on_text("!")
+    assert view.draft_subject == "café!"
+
+
+def test_middle_click_paste_primary(temp_repo, monkeypatch):
+    import subprocess as sp
+
+    app = make_app(temp_repo)  # needs real git; patch sp.run only after
+
+    def no_tools(*a, **k):
+        raise OSError("no clipboard tool")
+
+    monkeypatch.setattr(sp, "run", no_tools)
+    app.primary_selection = "3f2a91c"
+    app.handle_action("focus-input:subject")
+    app.paste_primary()
+    view = app.current().active_view()
+    assert view.draft_subject == "3f2a91c"
+
+
+def test_copy_sha_sets_primary(temp_repo, monkeypatch):
+    import subprocess as sp
+
+    app = make_app(temp_repo)  # needs real git; patch sp.run only after
+
+    def no_tools(*a, **k):
+        raise OSError("no clipboard tool")
+
+    monkeypatch.setattr(sp, "run", no_tools)
+    app._act_copy_sha("deadbeef", 0, 0)
+    assert app.primary_selection == "deadbeef"
+
+
+def test_terminal_shift_arrow_sequence():
+    import os as _os
+
+    from whisper_git_tpu.host.term_input import TerminalInput
+
+    r, w = _os.pipe()
+    try:
+        _os.write(w, b"\x1b[1;2D\x1b[1;2C\x1b[1;6H")
+        term = TerminalInput(fd=r)
+        ev = term.poll(timeout=0.2)
+        assert ev.key == "Left" and ev.shift and not ev.ctrl
+        ev = term.poll(timeout=0.2)
+        assert ev.key == "Right" and ev.shift
+        ev = term.poll(timeout=0.2)
+        assert ev.key == "Home" and ev.shift and ev.ctrl
+    finally:
+        _os.close(r)
+        _os.close(w)
+
+
+def test_selection_renders_highlight(temp_repo):
+    """The subject input paints the selected span on an accent wash."""
+    from whisper_git_tpu.app.views.widgets import input_text_el
+    from whisper_git_tpu.ui.theme import DARK
+
+    el = input_text_el("hello", 3, 5, True, DARK.text, 13.0)
+    # row(text("hel"+caret…), rect(text("lo"), fill=accent-wash))
+    assert el.kind == "row"
+    fills = [c.fill for c in el.children if c.fill is not None]
+    assert fills and abs(fills[0][3] - 0.35) < 1e-6

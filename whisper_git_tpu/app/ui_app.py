@@ -108,6 +108,8 @@ class WhisperApp:
             enabled=self.config.show_avatars
             and not os.environ.get("WGIT_SKIP_AVATARS"))
         self.selection_text = ""        # clipboard fallback
+        self.primary_selection = ""     # PRIMARY store (middle-click paste)
+        self.input_anchor: Optional[int] = None  # selection anchor (None = no selection)
         self.quit_requested = False
         self._last_viewport = (1280.0, 800.0)
 
@@ -121,6 +123,7 @@ class WhisperApp:
     def focused_input(self, value: str) -> None:
         if value != getattr(self, "_focused_input", None):
             self.input_cursor = None
+            self.input_anchor = None
         self._focused_input = value
 
     # The host assigns the proxy after construction (the reference wires it
@@ -264,7 +267,8 @@ class WhisperApp:
         else:
             right = staging_well(tab, focused_input=self.focused_input,
                                  ai_busy=tab.ai_op is not None,
-                                 cursor=self.input_cursor)
+                                 cursor=self.input_cursor,
+                                 anchor=self.input_anchor)
 
         def divider(pane: str) -> El:
             # Drag-resizable pane divider (reference README: "drag-
@@ -281,7 +285,8 @@ class WhisperApp:
             rect(history_view(tab, show_avatars=self.config.show_avatars,
                               avatar_cache=self.avatar_cache,
                               search_focused=self.focused_input == "search",
-                              search_cursor=self.input_cursor),
+                              search_cursor=self.input_cursor,
+                              search_anchor=self.input_anchor),
                  flex=1, height="fill",
                  border=T.accent if self.focus == "graph" else None,
                  border_width=2 if self.focus == "graph" else 0),
@@ -513,19 +518,50 @@ class WhisperApp:
         except Exception as exc:
             self.toast("error", f"Diff failed: {exc}")
 
-    def _act_copy_sha(self, arg, x, y):
-        self.selection_text = arg
-        try:
-            import subprocess
-            for cmd in (["wl-copy"], ["xclip", "-selection", "clipboard"]):
+    def _set_clipboard(self, text_val: str, primary: bool = False) -> None:
+        """Write the system clipboard — and, like the reference's Linux
+        host (src/host.rs:874-897), the PRIMARY selection too, so
+        middle-click pastes the copied text elsewhere."""
+        self.selection_text = text_val
+        if primary:
+            self.primary_selection = text_val
+        import subprocess
+        targets = [(["wl-copy"], ["xclip", "-selection", "clipboard"])]
+        if primary:
+            targets.append((["wl-copy", "--primary"],
+                            ["xclip", "-selection", "primary"]))
+        for cmds in targets:
+            for cmd in cmds:
                 try:
-                    subprocess.run(cmd, input=arg.encode(), timeout=2,
+                    subprocess.run(cmd, input=text_val.encode(), timeout=2,
                                    capture_output=True)
                     break
                 except (OSError, subprocess.TimeoutExpired):
                     continue
-        except Exception:
-            pass
+
+    def _get_primary(self) -> str:
+        """Read the PRIMARY selection (middle-click paste source); falls
+        back to the in-process store when no selection tool exists."""
+        import subprocess
+        for cmd in (["wl-paste", "--primary", "--no-newline"],
+                    ["xclip", "-o", "-selection", "primary"]):
+            try:
+                out = subprocess.run(cmd, timeout=2, capture_output=True)
+                if out.returncode == 0 and out.stdout:
+                    return out.stdout.decode("utf-8", "replace")
+            except (OSError, subprocess.TimeoutExpired):
+                continue
+        return self.primary_selection
+
+    def paste_primary(self) -> None:
+        """Middle-click paste: insert the PRIMARY selection into the
+        focused input (reference: src/host.rs:874-897)."""
+        text_val = self._get_primary()
+        if text_val and self.focused_input:
+            self.on_paste(text_val)
+
+    def _act_copy_sha(self, arg, x, y):
+        self._set_clipboard(arg, primary=True)
         self.toast("success", f"Copied {arg[:12]}")
 
     # -- sidebar -------------------------------------------------------------
@@ -1950,17 +1986,55 @@ class WhisperApp:
         return (len(value) if self.input_cursor is None
                 else max(0, min(self.input_cursor, len(value))))
 
+    def _selection_span(self, value: str):
+        """(lo, hi) of the active selection in the focused input, or None.
+        The selection spans anchor↔caret (reference text inputs:
+        shift-arrow selection, src/host.rs keyboard handling)."""
+        if self.input_anchor is None:
+            return None
+        a = max(0, min(self.input_anchor, len(value)))
+        c = self._caret(value)
+        if a == c:
+            return None
+        return (min(a, c), max(a, c))
+
+    def _delete_selection(self, value: str):
+        """Remove the selected span; returns the new value (caller writes)
+        or None when no selection was active."""
+        span = self._selection_span(value)
+        if span is None:
+            return None
+        lo, hi = span
+        self.input_anchor = None
+        self.input_cursor = lo if lo < len(value) - (hi - lo) else None
+        return value[:lo] + value[hi:]
+
     def on_text(self, s: str) -> None:
-        """Printable text inserts at the caret in the focused input."""
+        """Printable text inserts at the caret in the focused input;
+        typing over a selection replaces it. A combining mark (terminal
+        IME / dead-key input) composes with the character before the
+        caret (NFC), so multi-byte and combining input edit correctly."""
         if not self.focused_input:
             return
         value = self._input_read()
         if value is None:
             return
+        replaced = self._delete_selection(value)
+        if replaced is not None:
+            value = replaced
         c = self._caret(value)
-        self._input_write(value[:c] + s + value[c:])
+        import unicodedata
+
+        if s and c > 0 and unicodedata.combining(s[0]):
+            composed = unicodedata.normalize("NFC", value[c - 1] + s)
+            new = value[:c - 1] + composed + value[c:]
+            new_caret = c - 1 + len(composed)
+        else:
+            new = value[:c] + s + value[c:]
+            new_caret = c + len(s)
+        self._input_write(new)
         if self.input_cursor is not None:
-            self.input_cursor = c + len(s)
+            self.input_cursor = new_caret
 
     def on_paste(self, s: str) -> None:
         """Bracketed paste into the focused input. Single-line inputs
@@ -1981,6 +2055,10 @@ class WhisperApp:
         value = self._input_read()
         if value is None:
             return
+        replaced = self._delete_selection(value)
+        if replaced is not None:
+            self._input_write(replaced)
+            return
         c = self._caret(value)
         if c == 0:
             return
@@ -1988,13 +2066,19 @@ class WhisperApp:
         if self.input_cursor is not None:
             self.input_cursor = c - 1
 
-    def _input_edit_key(self, key: str) -> bool:
+    def _input_edit_key(self, key: str, shift: bool = False) -> bool:
         """Caret movement / deletion inside the focused input (reference
-        text inputs support full cursor editing). Returns True when the
-        key was consumed."""
+        text inputs support full cursor editing; shift extends the
+        selection). Returns True when the key was consumed."""
         value = self._input_read()
         if value is None:
             return False
+        if key in ("Left", "Right", "Home", "End"):
+            if shift:
+                if self.input_anchor is None:
+                    self.input_anchor = self._caret(value)
+            else:
+                self.input_anchor = None
         if key == "Left":
             self.input_cursor = max(0, self._caret(value) - 1)
             return True
@@ -2010,6 +2094,10 @@ class WhisperApp:
             self.input_cursor = None
             return True
         if key == "Delete":
+            replaced = self._delete_selection(value)
+            if replaced is not None:
+                self._input_write(replaced)
+                return True
             c = self._caret(value)
             if c < len(value):
                 self._input_write(value[:c] + value[c + 1:])
@@ -2139,7 +2227,19 @@ class WhisperApp:
             return
         if self._typing():
             if key in ("Left", "Right", "Home", "End", "Delete") \
-                    and self._input_edit_key(key):
+                    and self._input_edit_key(key, shift):
+                return
+            if ctrl and key.lower() == "a":
+                # Select all (anchor at 0, caret at end).
+                self.input_anchor = 0
+                self.input_cursor = None
+                return
+            if ctrl and key.lower() == "c":
+                value = self._input_read() or ""
+                span = self._selection_span(value)
+                if span is not None:
+                    self._set_clipboard(value[span[0]:span[1]],
+                                        primary=True)
                 return
             if len(key) == 1 and not ctrl:
                 self.on_text(key)

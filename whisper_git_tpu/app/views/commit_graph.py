@@ -236,7 +236,8 @@ def build_row(tab, index: int, segments_by_row: dict,
 def history_view(tab, show_avatars: bool = True,
                  now: Optional[int] = None, avatar_cache=None,
                  search_focused: bool = False,
-                 search_cursor: Optional[int] = None) -> El:
+                 search_cursor: Optional[int] = None,
+                 search_anchor: Optional[int] = None) -> El:
     """The virtualized history list (reference: commit_graph.rs:1308)."""
     if not tab.commits:
         label = ("Loading…" if not tab.initial_refresh_done
@@ -295,14 +296,23 @@ def history_view(tab, show_avatars: bool = True,
         q = tab.search_query
         # Blinking caret at the edit position (reference README:
         # "Blinking cursor in search input").
-        if search_focused and cursor_visible():
+        if search_focused and q and search_anchor is not None:
+            from .widgets import input_text_el
+
+            shown = None
+            search_el = input_text_el(q, search_cursor, search_anchor,
+                                      cursor_visible(), T.text, 12)
+        elif search_focused and cursor_visible():
             shown = insert_caret(q, search_cursor) if q \
                 else "▏type to filter…"
         else:
             shown = q or "type to filter…"
+        if shown is None:
+            inner = search_el  # selection-highlighted run (see above)
+        else:
+            inner = text(shown, color=T.text if q else T.text_muted)
         parts.append(rect(
-            row(text("/", color=T.accent, bold=True),
-                text(shown, color=T.text if q else T.text_muted),
+            row(text("/", color=T.accent, bold=True), inner,
                 gap=6, align="center"),
             fill=T.surface_raised, border=T.accent, border_width=1,
             radius=4, padding=(4, 8, 4, 8), width="fill", height=28,

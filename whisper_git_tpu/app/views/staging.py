@@ -92,18 +92,21 @@ def _cursor_visible() -> bool:
 
 def _input(value: str, placeholder: str, key: str, focused: bool,
            multiline: bool = False, over_limit: bool = False,
-           cursor=None) -> El:
+           cursor=None, anchor=None) -> El:
     caret_on = focused and _cursor_visible()
-    if value:
-        shown = insert_caret(value, cursor) if caret_on else value
-        color = T.text
+    color = T.danger if over_limit else (T.text if value else T.text_muted)
+    if value and not multiline:
+        from .widgets import input_text_el
+
+        content = input_text_el(value, cursor, anchor if focused else None,
+                                caret_on, color, T.font_size)
     else:
-        shown = placeholder + ("▏" if caret_on else "")
-        color = T.text_muted
-    if over_limit:
-        color = T.danger
-    content = text(shown, color=color,
-                   font_size=T.font_size, wrap=multiline)
+        if value:
+            shown = insert_caret(value, cursor) if caret_on else value
+        else:
+            shown = placeholder + ("▏" if caret_on else "")
+        content = text(shown, color=color,
+                       font_size=T.font_size, wrap=multiline)
     return rect(content, fill=T.background,
                 border=T.accent if focused else T.border, border_width=1,
                 radius=4, padding=(5, 8, 5, 8), width="fill",
@@ -151,7 +154,7 @@ def _file_section(title: str, entries: list, bucket: str,
 
 
 def _staging_key(tab, focused_input: str, ai_busy: bool,
-                 cursor=None) -> tuple:
+                 cursor=None, anchor=None) -> tuple:
     """Every pixel-affecting input of the staging panel. The cursor-blink
     phase enters only while an editor is focused, so steady-state frames
     alternate between two cached variants (~1 Hz)."""
@@ -169,8 +172,8 @@ def _staging_key(tab, focused_input: str, ai_busy: bool,
         focused_input if focused_input in ("subject", "body",
                                            "staged-list",
                                            "unstaged-list") else "",
-        (_cursor_visible(), cursor)
-        if focused_input in ("subject", "body") else (True, None),
+        (_cursor_visible(), cursor, anchor)
+        if focused_input in ("subject", "body") else (True, None, None),
         ai_busy,
         (bucket(status.staged), bucket(status.unstaged),
          bucket(status.untracked), bucket(status.conflicted))
@@ -186,14 +189,15 @@ def _staging_key(tab, focused_input: str, ai_busy: bool,
 
 
 def staging_well(tab, focused_input: str = "", ai_busy: bool = False,
-                 cursor=None) -> El:
+                 cursor=None, anchor=None) -> El:
     """reference: staging.rs — the full staging pane. Memoized (ui.memo)."""
-    return memo_el(_staging_key(tab, focused_input, ai_busy, cursor),
-                   lambda: _staging_impl(tab, focused_input, ai_busy, cursor))
+    return memo_el(_staging_key(tab, focused_input, ai_busy, cursor, anchor),
+                   lambda: _staging_impl(tab, focused_input, ai_busy, cursor,
+                                         anchor))
 
 
 def _staging_impl(tab, focused_input: str = "", ai_busy: bool = False,
-                  cursor=None) -> El:
+                  cursor=None, anchor=None) -> El:
     view = tab.active_view()
     parts: list[El] = []
 
@@ -217,7 +221,7 @@ def _staging_impl(tab, focused_input: str = "", ai_busy: bool = False,
     parts.append(_input(subject, "Commit subject", "subject",
                         focused_input == "subject",
                         over_limit=len(subject) > SUBJECT_LIMIT,
-                        cursor=cursor))
+                        cursor=cursor, anchor=anchor))
     if len(subject) > SUBJECT_LIMIT:
         parts.append(text(f"{len(subject)}/{SUBJECT_LIMIT}", font_size=9,
                           color=T.danger))

@@ -164,3 +164,35 @@ def cursor_visible() -> bool:
     """~1 Hz caret blink shared by every text input (reference README:
     "Cursor blinking in text inputs at approximately 1Hz")."""
     return int(time.time() * 2) % 2 == 0
+
+
+def input_text_el(value: str, cursor, anchor, caret_on: bool,
+                  color, font_size: float) -> El:
+    """Single-line input content with selection highlight: the
+    anchor↔caret span renders on an accent wash (reference text inputs
+    paint selections; src/host.rs keyboard selection). Falls back to the
+    plain caret rendering when no selection is active."""
+    from ...ui import insert_caret
+
+    n = len(value)
+    a = None if anchor is None else max(0, min(anchor, n))
+    c = n if cursor is None else max(0, min(cursor, n))
+    if a is None or a == c:
+        shown = insert_caret(value, cursor) if caret_on else value
+        return text(shown, color=color, font_size=font_size)
+    lo, hi = min(a, c), max(a, c)
+    pre, sel, post = value[:lo], value[lo:hi], value[hi:]
+    if caret_on:
+        if c <= lo:
+            pre = insert_caret(pre, c)
+        else:
+            post = insert_caret(post, c - hi)
+    parts: list[El] = []
+    if pre:
+        parts.append(text(pre, color=color, font_size=font_size))
+    parts.append(rect(text(sel, color=color, font_size=font_size),
+                      fill=(T.accent[0], T.accent[1], T.accent[2], 0.35),
+                      radius=2))
+    if post:
+        parts.append(text(post, color=color, font_size=font_size))
+    return row(*parts, align="center")

@@ -50,6 +50,10 @@ def _route_mouse(app, runner, display, ev) -> bool:
     x, y = display.cell_to_px(ev.col, ev.row)
     if ev.kind == "down":
         runner.pointer_down(x, y, button=ev.button)
+        if ev.button == "middle":
+            # Middle-click pastes the PRIMARY selection into the input
+            # the click just focused (reference: src/host.rs:874-897).
+            app.paste_primary()
         return True
     if ev.kind == "wheel":
         step = 84.0  # one wheel click ≈ three rows; on_scroll applies the
@@ -135,7 +139,12 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                 break
             timeout = next_wake_timeout(app, time.monotonic())
             if term is not None:
-                from .term_input import KeyEvent, PasteEvent, dispatch
+                from .term_input import (
+                    KeyEvent,
+                    ModeReport,
+                    PasteEvent,
+                    dispatch,
+                )
 
                 # Drain input while waiting out the frame budget; any event
                 # or doorbell ends the wait and re-renders.
@@ -145,6 +154,10 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                     ev = term.poll(timeout=min(
                         0.05, max(0.0, deadline - time.monotonic())))
                     if ev is not None:
+                        if isinstance(ev, ModeReport):
+                            if ev.mode == 1016 and display is not None:
+                                display.set_pixel_mouse(ev.value in (1, 3))
+                            continue
                         if isinstance(ev, (KeyEvent, PasteEvent)):
                             dispatch(app, ev)
                             need_frame = True

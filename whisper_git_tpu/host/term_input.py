@@ -36,6 +36,15 @@ class PasteEvent:
 
 
 @dataclass(frozen=True)
+class ModeReport:
+    """DECRQM response (`ESC [ ? mode ; value $ y`) — used to confirm
+    SGR-Pixels (1016) support so the display flips to pixel mapping."""
+
+    mode: int
+    value: int  # 1/3 = set, 0/2/4 = unsupported or reset
+
+
+@dataclass(frozen=True)
 class MouseEvent:
     """One SGR-encoded (DECSET 1006) terminal mouse event. col/row are
     1-based terminal cells; the host maps them to app pixels."""
@@ -119,7 +128,7 @@ class TerminalInput:
         c = b[0]
         if c == 0x1B:  # ESC: sequence or bare Escape
             seq = b""
-            while len(seq) < 8:
+            while len(seq) < 14:
                 nxt = self._read_byte(0.01)
                 if nxt is None:
                     break
@@ -162,6 +171,23 @@ class TerminalInput:
                 return KeyEvent("Tab", shift=True)
             if name is not None:
                 return KeyEvent(name)
+            # Modified CSI: ESC [ 1 ; m X — m encodes modifiers
+            # (2 Shift, 5 Ctrl, 6 Shift+Ctrl), X the key. Shift+arrows
+            # drive in-input selection (reference text inputs).
+            txt = seq.decode("latin1")
+            if (len(txt) == 5 and txt.startswith("[1;")
+                    and txt[3] in "2345678"
+                    and "[" + txt[4] in _ESC_MAP):
+                mod = int(txt[3]) - 1
+                return KeyEvent(_ESC_MAP["[" + txt[4]],
+                                shift=bool(mod & 1), ctrl=bool(mod & 4))
+            # DECRQM report: ESC [ ? <mode> ; <value> $ y
+            if txt.startswith("[?") and txt.endswith("$y"):
+                try:
+                    mode_s, val_s = txt[2:-2].split(";")
+                    return ModeReport(int(mode_s), int(val_s))
+                except ValueError:
+                    return None
             # Unknown sequence (F1-F4 SS3, Alt+key, unmapped CSI): swallow
             # it rather than synthesizing Escape — a stray Escape would
             # close the user's modal/search state (reference Escape ladder).
