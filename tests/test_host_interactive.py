@@ -271,3 +271,42 @@ def test_idle_focused_input_blinks_in_loop(temp_repo, monkeypatch):
     assert len(set(phases)) == 2, (phases, elapsed)
     # 6 waited frames at the 0.25 s blink cadence ≈ 1.5 s, not 6 s.
     assert elapsed < 3.5, elapsed
+
+
+def test_decrqm_mode_report_and_pixel_mouse():
+    """SGR-Pixels (1016): the DECRQM report parses, and a confirmed
+    pixel-mouse display maps sub-cell coordinates exactly (closing the
+    one-cell pointer quantization for drags)."""
+    import os as _os
+
+    from whisper_git_tpu.host.term_input import ModeReport, TerminalInput
+
+    r, w = _os.pipe()
+    try:
+        _os.write(w, b"\x1b[?1016;1$y")
+        term = TerminalInput(fd=r)
+        ev = term.poll(timeout=0.2)
+        assert isinstance(ev, ModeReport)
+        assert ev.mode == 1016 and ev.value == 1
+    finally:
+        _os.close(r)
+        _os.close(w)
+
+    disp = TermDisplay.__new__(TermDisplay)
+    disp.viewport = (1280, 800)
+    disp.cols, disp.rows = 120, 40
+    disp.pixel_mouse = True
+    disp._px_size = (1200, 820)  # 41 lines × 20 px
+    import shutil as _shutil
+    import unittest.mock as mock
+
+    with mock.patch.object(_shutil, "get_terminal_size",
+                           return_value=_os.terminal_size((120, 41))):
+        x1, _ = disp.cell_to_px(101, 10)
+        x2, _ = disp.cell_to_px(104, 10)
+    # 3 terminal px apart → ~3.2 app px, far finer than a 10.7 px cell.
+    assert 2.0 < (x2 - x1) < 4.5
+    disp.pixel_mouse = False
+    xc1, _ = disp.cell_to_px(10, 10)
+    xc2, _ = disp.cell_to_px(11, 10)
+    assert abs((xc2 - xc1) - 1280 / 120) < 1e-6

@@ -27,8 +27,13 @@ _ENTER = ("\x1b[?1049h"   # alt screen
           "\x1b[?1002h"   # button-event mouse tracking (incl. drag)
           "\x1b[?1003h"   # any-motion tracking (hover)
           "\x1b[?1006h"   # SGR extended coordinates
-          "\x1b[?2004h")  # bracketed paste
-_EXIT = ("\x1b[?2004l\x1b[?1006l\x1b[?1003l\x1b[?1002l"
+          "\x1b[?1016h"   # SGR-Pixels: report PIXEL coordinates where
+                           # supported (sub-cell precision for drags);
+                           # unsupported terminals ignore it and keep 1006
+          "\x1b[?2004h"   # bracketed paste
+          "\x1b[?1016$p")  # DECRQM: ask whether 1016 actually took —
+                            # the ?1016;1$y report flips pixel mapping on
+_EXIT = ("\x1b[?2004l\x1b[?1016l\x1b[?1006l\x1b[?1003l\x1b[?1002l"
          "\x1b[?25h\x1b[?1049l")
 
 
@@ -55,6 +60,8 @@ class TermDisplay:
         self.cols = max(20, size.columns)
         self.rows = max(10, size.lines - 1)  # keep one line for the prompt
         self._prev: np.ndarray | None = None
+        self.pixel_mouse = False          # SGR-Pixels (1016) confirmed
+        self._px_size: tuple[int, int] | None = None
 
     def __enter__(self):
         self.out.write(_ENTER)
@@ -67,9 +74,42 @@ class TermDisplay:
 
     # -- coordinates -----------------------------------------------------
 
+    def set_pixel_mouse(self, enabled: bool) -> None:
+        """Flip SGR-Pixels (DECSET 1016) coordinate mapping, confirmed by
+        the terminal's DECRQM report. Needs the kernel's pixel winsize
+        (TIOCGWINSZ xpixel/ypixel) to translate terminal pixels → app
+        pixels; terminals that report 0 stay on cell mapping."""
+        self.pixel_mouse = False
+        if not enabled:
+            return
+        try:
+            import fcntl
+            import struct
+            import termios
+
+            buf = fcntl.ioctl(self.out.fileno(), termios.TIOCGWINSZ,
+                              b"\0" * 8)
+            _r, _c, xp, yp = struct.unpack("HHHH", buf)
+        except (OSError, ValueError, ImportError):
+            return
+        if xp > 0 and yp > 0:
+            self._px_size = (xp, yp)
+            self.pixel_mouse = True
+
     def cell_to_px(self, col: int, row: int) -> tuple[float, float]:
-        """1-based terminal cell → app pixel (cell center)."""
+        """1-based terminal coordinate → app pixel. Cell mode maps the
+        cell center; pixel mode (SGR-Pixels 1016) maps sub-cell exactly,
+        closing the ~8×16 px pointer quantization for divider drags and
+        hunk buttons."""
         w, h = self.viewport
+        if self.pixel_mouse and self._px_size is not None:
+            size = shutil.get_terminal_size((120, 40))
+            xp, yp = self._px_size
+            # The frame occupies self.rows of size.lines terminal rows;
+            # terminal pixels span ALL rows.
+            frame_h_px = yp * self.rows / max(size.lines, self.rows + 1)
+            return ((col - 0.5) * w / max(xp, 1),
+                    (row - 0.5) * h / max(frame_h_px, 1.0))
         return ((col - 0.5) * w / self.cols,
                 (row - 0.5) * h / self.rows)
 
