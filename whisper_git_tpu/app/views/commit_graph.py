@@ -184,7 +184,17 @@ def build_row(tab, index: int, segments_by_row: dict,
     bg = (T.surface_hover if selected else
           (0.92, 0.75, 0.25, 0.10) if commit.is_synthetic else zebra)
 
-    cells: list[El] = [path(prims, width=graph_w + 8, height=rh)]
+    # Graph column shadow: a 3-step alpha falloff on the right edge of
+    # the lane area (reference README: "Graph column shadow on right edge
+    # of lane area") — separates the lanes from the subject column.
+    shadow = row(
+        spacer(),
+        rect(width=3, height="fill", fill=(0, 0, 0, 0.04)),
+        rect(width=2, height="fill", fill=(0, 0, 0, 0.08)),
+        rect(width=1, height="fill", fill=(0, 0, 0, 0.12)),
+        width="fill", height="fill")
+    cells: list[El] = [stack(path(prims, width=graph_w + 8, height=rh),
+                             shadow, width=graph_w + 8, height=rh)]
     pills = _pills_for(tab, commit)
     mid: list[El] = []
     if pills:
