@@ -269,8 +269,9 @@ def test_idle_focused_input_blinks_in_loop(temp_repo, monkeypatch):
     run_loop(app, max_frames=7)
     elapsed = _time.monotonic() - t0
     assert len(set(phases)) == 2, (phases, elapsed)
-    # 6 waited frames at the 0.25 s blink cadence ≈ 1.5 s, not 6 s.
-    assert elapsed < 3.5, elapsed
+    # 6 waited frames at the 0.25 s blink cadence ≈ 1.5 s, not the 6 s a
+    # 1 s idle wake would take (slack for loaded CI machines).
+    assert elapsed < 5.0, elapsed
 
 
 def test_decrqm_mode_report_and_pixel_mouse():

@@ -180,9 +180,8 @@ def decompose_edges(layout: GraphLayout) -> list[RowSegment]:
     commit_graph.rs:525): vertical runs down the travel lane, plus one
     S-curve in the child row when the edge forks out of the child's lane
     and/or one in the parent row when it merges into a different lane.
-    All curves are produced in one batched ops.bezier call."""
-    import jax.numpy as jnp
-
+    All curves are produced in one batched ops.bezier call (host numpy —
+    control-plane math stays off the device tunnel)."""
     from . import bezier
 
     segments: list[RowSegment] = []
@@ -227,11 +226,13 @@ def decompose_edges(layout: GraphLayout) -> list[RowSegment]:
                 row += 1
 
     if curve_req:
-        x0 = jnp.array([c[2] for c in curve_req], jnp.float32)
-        y0 = jnp.array([c[3] for c in curve_req], jnp.float32)
-        x1 = jnp.array([c[4] for c in curve_req], jnp.float32)
-        y1 = jnp.array([c[5] for c in curve_req], jnp.float32)
-        cubics = np.asarray(bezier.s_curve(x0, y0, x1, y1))
+        # Host numpy: control-plane math (a few hundred curves) must not
+        # ride the device tunnel — see ops/bezier.py namespace rule.
+        x0 = np.array([c[2] for c in curve_req], np.float32)
+        y0 = np.array([c[3] for c in curve_req], np.float32)
+        x1 = np.array([c[4] for c in curve_req], np.float32)
+        y1 = np.array([c[5] for c in curve_req], np.float32)
+        cubics = bezier.s_curve(x0, y0, x1, y1)
         for i, (row, lane, *_rest) in enumerate(curve_req):
             segments.append(RowSegment("cubic", row, lane,
                                        tuple(map(tuple, cubics[i]))))
