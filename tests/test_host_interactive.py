@@ -311,3 +311,51 @@ def test_decrqm_mode_report_and_pixel_mouse():
     xc1, _ = disp.cell_to_px(10, 10)
     xc2, _ = disp.cell_to_px(11, 10)
     assert abs((xc2 - xc1) - 1280 / 120) < 1e-6
+
+
+def test_async_present_latest_wins():
+    """The present thread drains a single latest-wins slot: a burst of
+    frames while presentation stalls drops intermediates, and the loop
+    never blocks the caller (mailbox-swapchain semantics)."""
+    import threading
+    import time as _time
+
+    import jax.numpy as jnp
+
+    out = io.StringIO()
+    presented = []
+    gate = threading.Event()
+
+    d = TermDisplay((64, 64), out=out)
+    d.cols, d.rows = 8, 4
+
+    orig_present = d._present
+
+    def slow_present(grid_dev):
+        gate.wait(timeout=2.0)
+        presented.append(np.asarray(grid_dev)[0, 0, 0])
+        orig_present(grid_dev)
+
+    d._present = slow_present
+    d._thread = threading.Thread(target=d._present_loop, daemon=True)
+    d._thread.start()
+    try:
+        d.show(jnp.full((64, 64, 4), 5, jnp.uint8))  # warm the jit once
+        for shade in (10, 20, 30, 40):
+            frame = jnp.full((64, 64, 4), shade, jnp.uint8)
+            t0 = _time.monotonic()
+            d.show(frame)
+            assert _time.monotonic() - t0 < 0.2  # never blocks the caller
+        gate.set()
+        deadline = _time.monotonic() + 3.0
+        while _time.monotonic() < deadline and (
+                not presented or presented[-1] != 40):
+            _time.sleep(0.02)
+        # The LAST frame always lands; intermediates may drop.
+        assert presented and presented[-1] == 40
+        assert len(presented) <= 4
+    finally:
+        with d._cv:
+            d._closing = True
+            d._cv.notify()
+        d._thread.join(timeout=2.0)

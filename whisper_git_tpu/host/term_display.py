@@ -62,13 +62,35 @@ class TermDisplay:
         self._prev: np.ndarray | None = None
         self.pixel_mouse = False          # SGR-Pixels (1016) confirmed
         self._px_size: tuple[int, int] | None = None
+        # Async present: `show` hands the device frame to a single-slot
+        # worker (latest wins) so the frame loop NEVER blocks on the
+        # device readback or terminal writes — present-side stalls (a
+        # congested device link, a slow terminal) drop frames instead of
+        # freezing input, exactly like a mailbox-mode swapchain.
+        import threading
+
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._pending = None
+        self._closing = False
+        self._thread: threading.Thread | None = None
 
     def __enter__(self):
         self.out.write(_ENTER)
         self.out.flush()
+        import threading
+
+        self._thread = threading.Thread(target=self._present_loop,
+                                        daemon=True, name="wgit-present")
+        self._thread.start()
         return self
 
     def __exit__(self, *exc):
+        with self._cv:
+            self._closing = True
+            self._cv.notify()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
         self.out.write(_EXIT)
         self.out.flush()
 
@@ -123,16 +145,47 @@ class TermDisplay:
         cols = max(20, size.columns)
         rows = max(10, size.lines - 1)
         if cols != self.cols or rows != self.rows:
-            self.cols, self.rows = cols, rows
-            self._prev = None
-            self.out.write("\x1b[2J")  # clear: old cells may lie outside
+            with self._cv:
+                self.cols, self.rows = cols, rows
+                self._prev = None
+                self._pending = None   # stale-size frame: drop it
+                self._need_clear = True  # old cells may lie outside
 
     def show(self, frame_device) -> None:
+        """Queue one device frame for presentation (non-blocking, latest
+        wins). The downsample dispatch happens here (async on device);
+        the blocking readback + terminal emit run on the present
+        thread. Without the thread (tests), presents synchronously."""
         self._refresh_size()
-        grid = np.asarray(_downsample(frame_device, self.rows * 2,
-                                      self.cols))
+        grid_dev = _downsample(frame_device, self.rows * 2, self.cols)
+        if self._thread is None:
+            self._present(grid_dev)
+            return
+        with self._cv:
+            self._pending = grid_dev
+            self._cv.notify()
+
+    def _present_loop(self) -> None:
+        while True:
+            with self._cv:
+                while self._pending is None and not self._closing:
+                    self._cv.wait(timeout=0.5)
+                if self._closing and self._pending is None:
+                    return
+                grid_dev, self._pending = self._pending, None
+            try:
+                self._present(grid_dev)
+            except Exception:
+                return  # terminal gone — the loop is shutting down
+
+    def _present(self, grid_dev) -> None:
+        grid = np.asarray(grid_dev)  # device readback (blocks HERE only)
         top, bot = grid[0::2], grid[1::2]
-        self.out.write(self._diff_emit(top, bot))
+        prefix = ""
+        if getattr(self, "_need_clear", False):
+            self._need_clear = False
+            prefix = "\x1b[2J"
+        self.out.write(prefix + self._diff_emit(top, bot))
         self.out.flush()
 
     def _diff_emit(self, top: np.ndarray, bot: np.ndarray) -> str:
