@@ -68,28 +68,14 @@ def build_history_repo(base: str, n_commits: int = 240) -> str:
     return path
 
 
-def _enable_persistent_compile_cache() -> None:
-    """JAX persistent compilation cache: repeat bench runs (and app
-    launches) skip recompiling the frame kernels — setup drops from ~6 s
-    to the repo-build cost once the cache is warm."""
-    import jax
-
-    cache_dir = os.path.join(
-        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-        "whisper-git-tpu", "jax-cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass  # older jax: flag names differ; run uncached
-
-
 def main() -> int:
     import jax
 
-    _enable_persistent_compile_cache()
+    from whisper_git_tpu.render.renderer import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     t_setup = time.time()
     tmp = tempfile.mkdtemp(prefix="wgit-bench-")
     repo_path = build_history_repo(tmp)

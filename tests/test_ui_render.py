@@ -305,3 +305,18 @@ def test_render_image_quad(renderer):
     img = renderer.render(ui, (64, 64))
     assert img[16, 16][1] > 200
     assert img[16, 48][1] < 30
+
+
+def test_atlas_covers_greek_cyrillic_latin_ext():
+    """Commit messages in Greek/Cyrillic/Latin-Extended render real
+    glyphs, not the '?' fallback (DejaVu covers them; the atlas bakes
+    them; the i16 wire format carries atlas v coords beyond 4096 px via
+    per-column quantization scales)."""
+    from whisper_git_tpu.render.renderer import get_renderer
+
+    r = get_renderer()
+    for ch in "ПривётγειάσουŁódźĆčĐž":
+        assert ch in r.regular.glyphs, f"{ch!r} missing from atlas"
+    # The '?' fallback still applies to genuinely uncovered scripts.
+    cps = r.regular.codepoints("汉字")
+    assert all(cp == ord("?") for cp in cps)

@@ -31,6 +31,11 @@ GRID_COLS = 12
 _CHARS = list(dict.fromkeys(
     [chr(c) for c in range(32, 127)]              # ASCII
     + [chr(c) for c in range(0xA1, 0x100)]        # Latin-1 supplement
+    + [chr(c) for c in range(0x100, 0x180)]       # Latin Extended-A
+    # Greek + Cyrillic: DejaVu covers them and commit messages use them;
+    # the VMEM budget allows it (font cells ≈ 7 MB bf16 of ~16 MB/core).
+    + [chr(c) for c in range(0x386, 0x3CF) if chr(c).isprintable()]
+    + [chr(c) for c in range(0x400, 0x460)]
     + list("…·→✓—–•✕⚙▸▾▴◂↑↓↗⟳›‹▏●○■□†‡€™")        # UI symbols
     + list("‘’“”„−±≈≠≤≥")                          # punctuation/math
 ))

@@ -332,10 +332,18 @@ _PART_SPECS = (("shapes", 16, None), ("shape_clips", 4, 4.0),
 _SHAPE_COL_SCALE = np.array(
     [8.0] * 7 + [8192.0] * 4 + [8192.0] * 4 + [8.0], np.float32)
 
+# Glyph/image quads mix SCREEN coords (x,y,w,h — 1/8 px, range ±4095 px)
+# with ATLAS coords (u,v,uw,uh — exact integers by construction, so scale
+# 1 gives range ±32767 atlas px; the extended font atlas is >4096 px
+# tall, which the uniform 1/8-px scale silently clamped).
+_QUAD_COL_SCALE = np.array([8.0] * 4 + [1.0] * 4, np.float32)
+
 
 def _part_scale(name: str, cols: int, scale) -> np.ndarray:
     if name == "shapes":
         return _SHAPE_COL_SCALE
+    if name in ("glyphs", "images"):
+        return _QUAD_COL_SCALE
     return np.full((cols,), scale, np.float32)
 
 
