@@ -29,6 +29,12 @@ def enable_persistent_compile_cache() -> None:
         return
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU compiles are cheap, and reloading CPU AOT executables is
+        # machine-feature-sensitive (XLA warns of possible SIGILL when
+        # the compile and execution hosts differ). The cache exists to
+        # amortize accelerator-tunnel compiles only.
+        return
     cache_dir = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
         "whisper-git-tpu", "jax-cache")
