@@ -166,6 +166,19 @@ def build_scenes(repo_path: str) -> dict[str, WhisperApp]:
     app.config.row_size_large = True
     scenes["large-rows"] = app
 
+    # Unicode draft + shift-arrow selection in the subject input
+    # (Greek/Cyrillic glyph coverage; selection accent wash).
+    app = fresh()
+    tab = app.current()
+    view = tab.active_view()
+    if view is not None:
+        view.draft_subject = "Исправить рендер — γρήγορα"
+    app.focus = "staging"
+    app.focused_input = "subject"
+    app.input_cursor = 9
+    app.input_anchor = 0
+    scenes["unicode-selection"] = app
+
     return scenes
 
 
