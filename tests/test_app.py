@@ -474,3 +474,27 @@ def test_staging_tab_cycle_reaches_file_lists(temp_repo):
     app.on_key(" ")
     assert sorted(e.path for e in gstatus.status(tab.repo).staged) == [
         "a.txt", "b.txt"]
+
+
+def test_help_modal(temp_repo):
+    """Header Help button (reference ux-design header-bar row) opens the
+    keyboard-map modal; Escape closes it; the scene lints clean."""
+    app = make_app(temp_repo)
+    app.handle_action("open-help")
+    assert app.modal == ("help", None)
+    tree = app.build((1280.0, 800.0))
+    root = layout_tree(tree, (1280, 800))
+    assert root.find_route_at(640, 400) is not None  # modal occupies center
+    texts = [n.el.text for n in root.walk() if n.el.kind == "text"]
+    assert any("Keyboard Shortcuts" in t for t in texts)
+    assert any("Ctrl+Enter" in t for t in texts)
+    assert run_lints(root) == []
+    app.on_key("Escape")
+    assert app.modal is None
+    # Header exposes the button.
+    app.modal = None
+    root = layout_tree(app.build((1280.0, 800.0)), (1280, 800))
+    routes = {n.el.route for n in root.walk()}
+    assert "open-help" in routes
+    for tb in app.tabs:
+        tb.stop_workers()

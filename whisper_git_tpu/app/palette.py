@@ -142,6 +142,7 @@ def build_commands(app) -> List[PaletteCommand]:
         PaletteCommand("Open Repository…", "open-repo-dialog", "Ctrl+O"),
         PaletteCommand("Clone Repository…", "open-clone-dialog"),
         PaletteCommand("Settings…", "open-settings"),
+        PaletteCommand("Keyboard Shortcuts…", "open-help"),
         PaletteCommand("Add CI Token…", "open-token-dialog"),
         PaletteCommand("Toggle Shortcut Bar", "toggle-shortcut-bar"),
         PaletteCommand("Toggle Split Diff", "toggle-diff-mode"),

@@ -310,6 +310,7 @@ class WhisperApp:
         cur = self.input_cursor
         builders = {
             "settings": lambda: dialogs.settings_modal(self.config),
+            "help": lambda: dialogs.help_modal(),
             "open-repo": lambda: dialogs.open_repo_modal(form, cursor=cur),
             "confirm": lambda: dialogs.confirm_modal(form),
             "error": lambda: dialogs.error_modal(form),
@@ -959,6 +960,9 @@ class WhisperApp:
                                "Popping stash", "Stash")
 
     # -- dialogs: open -------------------------------------------------------
+
+    def _act_open_help(self, arg, x, y):
+        self.modal = ("help", None)
 
     def _act_open_settings(self, arg, x, y):
         self.modal = ("settings", None)

@@ -132,6 +132,7 @@ def _header_bar_impl(app, tab) -> El:
     cells.append(_op_button(push_label, "push",
                             busy=tab.push_op is not None))
     cells.append(_op_button("Commit", "focus-staging-commit", primary=True))
+    cells.append(_op_button("?", "open-help"))
     cells.append(_op_button("⚙", "open-settings"))
     header = rect(row(*cells, gap=8, align="center", width="fill",
                       height="fill", padding=(0, 10, 0, 10)),

@@ -451,3 +451,57 @@ def rebase_interactive_modal(form: RebaseIForm) -> El:
     rows.append(_buttons("Start rebase", "do-rebase-i", enabled=valid))
     return _modal_frame("Interactive Rebase", rows, width=560,
                         key="modal-rebase-i")
+
+
+# Keyboard map shown by the Help modal (reference header bar includes a
+# Help button — docs/ux-design-2026-02.md header-bar row; content mirrors
+# README "Keyboard Shortcuts").
+_HELP_SECTIONS = (
+    ("GLOBAL", (
+        ("Ctrl+O / Ctrl+W", "Open / close repository tab"),
+        ("Ctrl+Tab / Ctrl+Shift+Tab", "Next / previous tab"),
+        ("Tab", "Cycle focus: graph → staging → sidebar"),
+        ("Ctrl+P / Ctrl+K", "Command palette"),
+        ("Ctrl+S / Ctrl+Shift+S", "Stash push / pop"),
+        ("Escape", "Close topmost surface, then exit"),
+    )),
+    ("COMMIT GRAPH", (
+        ("j / k, PageUp / PageDown", "Navigate commits"),
+        ("Enter", "Select commit (details + diff)"),
+        ("/ or Ctrl+F", "Search (dims non-matches)"),
+        ("Right-click", "Commit context menu"),
+    )),
+    ("SIDEBAR", (
+        ("j / k, Enter", "Navigate + checkout / apply"),
+        ("d", "Delete selected branch"),
+        ("Right-click", "Context menu per item type"),
+    )),
+    ("STAGING", (
+        ("Tab", "Cycle subject → body → lists"),
+        ("Ctrl+Enter", "Commit"),
+        ("Ctrl+Shift+A", "Toggle amend"),
+        ("Double-click file", "Stage / unstage"),
+        ("Shift+arrows, Ctrl+A/C", "Select / copy in inputs"),
+    )),
+    ("DIFF", (
+        ("Left / Right, Shift+wheel", "Horizontal scroll"),
+        ("Hunk buttons", "Stage / Unstage / Discard"),
+    )),
+)
+
+
+def help_modal() -> El:
+    """Keyboard-map overlay (reference: header Help button)."""
+    body: list[El] = []
+    for title, rows_ in _HELP_SECTIONS:
+        body.append(text(title, font_size=10, bold=True,
+                         color=T.text_muted))
+        for keys, desc in rows_:
+            body.append(row(
+                rect(text(keys, font_size=10, color=T.text_bright),
+                     fill=(1, 1, 1, 0.08), radius=4,
+                     padding=(1, 6, 1, 6)),
+                text(desc, font_size=11, color=T.text),
+                gap=8, align="center", width="fill"))
+    return _modal_frame("Keyboard Shortcuts", body, width=460,
+                        key="modal-help")

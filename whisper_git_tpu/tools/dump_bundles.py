@@ -166,6 +166,10 @@ def build_scenes(repo_path: str) -> dict[str, WhisperApp]:
     app.config.row_size_large = True
     scenes["large-rows"] = app
 
+    app = fresh()
+    app.modal = ("help", None)
+    scenes["help"] = app
+
     # Unicode draft + shift-arrow selection in the subject input
     # (Greek/Cyrillic glyph coverage; selection accent wash).
     app = fresh()
