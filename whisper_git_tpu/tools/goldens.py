@@ -159,6 +159,22 @@ def _scene_window():
         width="fill", height="fill", fill=T.background)
 
 
+def _scene_unicode():
+    lines = [
+        ("Привет, мир — коммит исправлен", T.text),
+        ("γειά σου κόσμε — ταχύτερο", T.text_bright),
+        ("Łódź Ćirić Đorđe Žižek", T.text_muted),
+        ("naïve façade – résumé", T.text),
+    ]
+    rows = [rect(text(s, font_size=13, color=c, bold=(i == 1)),
+                 width="fill", height=26, padding=(4, 8, 4, 8),
+                 fill=T.surface if i % 2 else T.background)
+            for i, (s, c) in enumerate(lines)]
+    return stack(column(*rows, width="fill", height="fill",
+                        padding=(10, 10, 10, 10)),
+                 width="fill", height="fill", fill=T.background)
+
+
 SCENES = {
     "chrome": _scene_chrome,
     "graph": _scene_graph,
@@ -166,6 +182,7 @@ SCENES = {
     "diffish": _scene_diffish,
     "images": _scene_images,
     "window": _scene_window,
+    "unicode": _scene_unicode,
 }
 
 
