@@ -139,3 +139,48 @@ def test_blocks_kernel_interpret_matches_xla(app_fixture):
     # differs from the XLA path by ±a few u8 units on glyph AA pixels.
     assert diff.max() <= 8
     assert (diff > 2).mean() < 0.01
+
+
+def test_wire_format_ranges_cover_real_coordinates():
+    """Regression for the atlas-v clamp bug: every quantization scale in
+    the i16 wire format must cover the coordinate ranges the app actually
+    produces — atlas v up to the full (extended) font texture height,
+    screen coords up to a 4K physical framebuffer, clip rects likewise.
+    A scale whose representable range is exceeded clamps SILENTLY, so
+    this asserts headroom explicitly."""
+    from whisper_git_tpu.render.renderer import get_renderer
+
+    r = get_renderer()
+    tex_h = r.font_tex.shape[0]
+    I16 = 32767.0
+
+    def max_range(scale):
+        return I16 / scale
+
+    for name, cols, scale in R._PART_SPECS:
+        s = R._part_scale(name, cols, scale)
+        if name in ("glyphs", "images"):
+            # cols 0-3 screen px, cols 4-7 atlas px
+            assert max_range(s[0]) >= 3840, (name, "screen x range")
+            assert max_range(s[5]) >= tex_h, (name, "atlas v range")
+        elif name.endswith("clips"):
+            assert max_range(s[0]) >= 3840, (name, "clip range")
+    # shapes: geometry columns cover 4K, colors cover premultiplied 0..1
+    ss = R._part_scale("shapes", 16, None)
+    assert max_range(ss[1]) >= 3840
+    assert max_range(ss[7]) >= 1.0
+
+
+def test_quantization_roundtrip_preserves_high_atlas_v(app_fixture):
+    """A glyph sampling the last atlas cell (v > 4096 with the extended
+    charset) must survive the i16 round-trip exactly."""
+    r = get_renderer()
+    tex_h = r.font_tex.shape[0]
+    assert tex_h > 4096, "test premise: extended atlas is tall"
+    v = float(tex_h - 64)
+    arr = np.zeros((1, 8), np.float32)
+    arr[0] = [10.0, 20.0, 8.0, 12.0, 64.0, v, 64.0, 64.0]
+    s = R._part_scale("glyphs", 8, 8.0)
+    q = np.clip(np.rint(arr * s), -32767.0, 32767.0).astype(np.int16)
+    back = q.astype(np.float32) / s
+    assert back[0, 5] == v, (back[0, 5], v)
