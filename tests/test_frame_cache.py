@@ -171,6 +171,36 @@ def test_wire_format_ranges_cover_real_coordinates():
     assert max_range(ss[7]) >= 1.0
 
 
+def test_oversized_scene_routes_around_i16_clamp():
+    """A scene wider than the i16 wire range (±4095.875 px at 1/8 px)
+    must render content at its far edge instead of silently collapsing
+    everything beyond x≈4096 onto one column (5K/8K screenshots). The
+    oversized path skips quantization entirely."""
+    from whisper_git_tpu.render.renderer import get_renderer
+    from whisper_git_tpu.ui import rect, row, spacer, stack, text
+
+    W, H = 4480, 64  # > MAX_PACKED_PX wide, small area to keep it cheap
+    r = get_renderer()
+    tree = stack(
+        row(spacer(),
+            rect(text("edge", color=(1, 1, 1, 1)),
+                 fill=(0.9, 0.2, 0.2, 1.0), width=128, height=32),
+            width="fill", height="fill"),
+        width="fill", height="fill", fill=(0.0, 0.0, 0.0, 1.0))
+    root = r.layout(tree, (W, H))
+    scene = r.compile(root, (W, H), (0.0, 0.0, 0.0, 1.0))
+    assert W > R.MAX_PACKED_PX
+    img = np.asarray(R.render_scene_device(
+        scene, r.font_tex_device(), r.image_atlas_device()))
+    assert img.shape == (H, W, 4)
+    # The red rect occupies the last 128 px — far beyond the i16 range.
+    strip = img[:32, W - 120:W - 8]
+    assert strip[..., 0].mean() > 150, "far-edge rect missing (clamped?)"
+    # And nothing smeared onto the would-be clamp column at x≈4095.
+    col = img[40:, 4090:4100]
+    assert col.max() == 0 or col[..., 0].mean() < 10
+
+
 def test_quantization_roundtrip_preserves_high_atlas_v(app_fixture):
     """A glyph sampling the last atlas cell (v > 4096 with the extended
     charset) must survive the i16 round-trip exactly."""

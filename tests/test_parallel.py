@@ -74,37 +74,13 @@ def test_sharded_2d_mesh(renderer):
 # every frame — sharded via set_render_mesh through render_scene_device.
 # ---------------------------------------------------------------------------
 
-def _steady_tree(off: float):
-    """Scroll window of cache-keyed rows + volatile thumb over chrome —
-    the history view's structural shape (window + dynamic tail)."""
-    def make_row(i):
-        return rect(
-            row(text(f"row {i} subject line", color=DARK.text),
-                spacer(),
-                text("2h", color=DARK.text_muted, font_size=11),
-                gap=8, align="center", width="fill", height="fill"),
-            width="fill", height=28,
-            fill=DARK.surface if i % 2 else DARK.background,
-            cache_key=("steady-row", i, i % 2))
-
-    body = scroll(40, make_row, offset=float(off),
-                  row_heights=[28.0] * 40, key="steady-scroll",
-                  width="fill", flex=1)
-    thumb = rect(width=6, height=40, fill=DARK.accent, radius=3,
-                 volatile=True)
-    return stack(
-        column(
-            rect(text("steady state", bold=True, color=DARK.text_bright),
-                 fill=DARK.surface_raised, height=28, width="fill",
-                 padding=(4, 8, 4, 8)),
-            body, width="fill", height="fill"),
-        stack(thumb, width=6, height=40),
-        width="fill", height="fill", fill=DARK.background)
-
-
 def _steady_scene(renderer, off: float, w=384, h=256):
-    root = renderer.layout(_steady_tree(off), (w, h))
-    return renderer.compile(root, (w, h), DARK.background)
+    """The canonical steady-state frame shape — the SAME builder the
+    driver's multichip dryrun uses (whisper_git_tpu.tools.fixtures), so
+    these tests pin exactly what the dryrun certifies."""
+    from whisper_git_tpu.tools.fixtures import steady_window_scene
+
+    return steady_window_scene(renderer, off, (w, h))
 
 
 @pytest.mark.parametrize("compose", [True, False])

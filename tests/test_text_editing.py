@@ -284,6 +284,34 @@ def test_middle_click_paste_primary(temp_repo, monkeypatch):
     assert view.draft_subject == "3f2a91c"
 
 
+def test_middle_click_paste_targets_click_not_stale_focus(temp_repo,
+                                                          monkeypatch):
+    """A middle-click that does NOT land on a text input must not inject
+    PRIMARY text into a previously-focused field (reference pastes into
+    the clicked input, src/host.rs:874-897)."""
+    import subprocess as sp
+
+    app = make_app(temp_repo)
+
+    def no_tools(*a, **k):
+        raise OSError("no clipboard tool")
+
+    monkeypatch.setattr(sp, "run", no_tools)
+    app.primary_selection = "SPURIOUS"
+    app.handle_action("focus-input:subject")
+
+    # Click elsewhere (graph chrome): no focus-input route fires.
+    app._focus_route_hit = False
+    app.paste_primary(at_click=True)
+    view = app.current().active_view()
+    assert view.draft_subject == ""
+
+    # Click ON the input: the focus-input route fires, paste lands.
+    app.handle_action("focus-input:subject")  # sets _focus_route_hit
+    app.paste_primary(at_click=True)
+    assert view.draft_subject == "SPURIOUS"
+
+
 def test_copy_sha_sets_primary(temp_repo, monkeypatch):
     import subprocess as sp
 

@@ -109,6 +109,7 @@ class WhisperApp:
             and not os.environ.get("WGIT_SKIP_AVATARS"))
         self.selection_text = ""        # clipboard fallback
         self.primary_selection = ""     # PRIMARY store (middle-click paste)
+        self._focus_route_hit = False   # set when a click lands on an input
         self.input_anchor: Optional[int] = None  # selection anchor (None = no selection)
         self.quit_requested = False
         self._last_viewport = (1280.0, 800.0)
@@ -373,6 +374,10 @@ class WhisperApp:
 
     def _act_focus_input(self, arg, x, y):
         self.focused_input = arg
+        # Mark that this dispatch landed on a text input, so middle-click
+        # paste targets the input UNDER the click (reference
+        # src/host.rs:874-897), not whatever was focused before.
+        self._focus_route_hit = True
         if arg in ("subject", "body"):
             self.focus = "staging"
         # Keep the modal form's own focus marker in sync so the caret
@@ -554,9 +559,15 @@ class WhisperApp:
                 continue
         return self.primary_selection
 
-    def paste_primary(self) -> None:
+    def paste_primary(self, at_click: bool = False) -> None:
         """Middle-click paste: insert the PRIMARY selection into the
-        focused input (reference: src/host.rs:874-897)."""
+        focused input (reference: src/host.rs:874-897). With
+        `at_click=True` the paste only fires when the click itself landed
+        on a text input (the `_focus_route_hit` marker set by
+        `_act_focus_input`) — a middle-click on the graph or chrome must
+        not inject text into a previously-focused field."""
+        if at_click and not self._focus_route_hit:
+            return
         text_val = self._get_primary()
         if text_val and self.focused_input:
             self.on_paste(text_val)

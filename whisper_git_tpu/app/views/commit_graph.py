@@ -326,7 +326,7 @@ def history_view(tab, show_avatars: bool = True,
                 gap=6, align="center"),
             fill=T.surface_raised, border=T.accent, border_width=1,
             radius=4, padding=(4, 8, 4, 8), width="fill", height=28,
-            key="search-bar"))
+            key="search-bar", route="focus-input:search"))
     parts.append(body)
     return rect(column(*parts, width="fill", height="fill"),
                 fill=T.background, width="fill", height="fill",

@@ -49,11 +49,15 @@ def _route_mouse(app, runner, display, ev) -> bool:
     the frame should re-render."""
     x, y = display.cell_to_px(ev.col, ev.row)
     if ev.kind == "down":
+        if ev.button == "middle":
+            app._focus_route_hit = False
         runner.pointer_down(x, y, button=ev.button)
         if ev.button == "middle":
             # Middle-click pastes the PRIMARY selection into the input
-            # the click just focused (reference: src/host.rs:874-897).
-            app.paste_primary()
+            # under the click — and only there (reference:
+            # src/host.rs:874-897); pointer_down just routed the
+            # focus-input action if the click landed on one.
+            app.paste_primary(at_click=True)
         return True
     if ev.kind == "wheel":
         step = 84.0  # one wheel click ≈ three rows; on_scroll applies the

@@ -74,6 +74,13 @@ class TermDisplay:
         self._pending = None
         self._closing = False
         self._thread: threading.Thread | None = None
+        # Terminal writes are serialized through _write_lock and gated by
+        # _writes_stopped so __exit__ can restore the terminal even while
+        # the present worker is stuck in a multi-second device readback:
+        # once the flag is set, the worker's late write is skipped instead
+        # of spraying escape sequences into the restored shell.
+        self._write_lock = threading.Lock()
+        self._writes_stopped = False
 
     def __enter__(self):
         self.out.write(_ENTER)
@@ -91,8 +98,16 @@ class TermDisplay:
             self._cv.notify()
         if self._thread is not None:
             self._thread.join(timeout=2.0)
-        self.out.write(_EXIT)
-        self.out.flush()
+        # Even if the worker outlived the join timeout (stuck in a device
+        # readback), stop its future writes BEFORE restoring the screen.
+        got = self._write_lock.acquire(timeout=1.0)
+        self._writes_stopped = True
+        try:
+            self.out.write(_EXIT)
+            self.out.flush()
+        finally:
+            if got:
+                self._write_lock.release()
 
     # -- coordinates -----------------------------------------------------
 
@@ -104,6 +119,14 @@ class TermDisplay:
         self.pixel_mouse = False
         if not enabled:
             return
+        px = self._query_px_size()
+        if px is not None:
+            self._px_size = px
+            self.pixel_mouse = True
+
+    def _query_px_size(self) -> tuple[int, int] | None:
+        """Kernel pixel winsize (TIOCGWINSZ xpixel/ypixel), or None when
+        the terminal doesn't report one."""
         try:
             import fcntl
             import struct
@@ -113,10 +136,8 @@ class TermDisplay:
                               b"\0" * 8)
             _r, _c, xp, yp = struct.unpack("HHHH", buf)
         except (OSError, ValueError, ImportError):
-            return
-        if xp > 0 and yp > 0:
-            self._px_size = (xp, yp)
-            self.pixel_mouse = True
+            return None
+        return (xp, yp) if xp > 0 and yp > 0 else None
 
     def cell_to_px(self, col: int, row: int) -> tuple[float, float]:
         """1-based terminal coordinate → app pixel. Cell mode maps the
@@ -150,6 +171,12 @@ class TermDisplay:
                 self._prev = None
                 self._pending = None   # stale-size frame: drop it
                 self._need_clear = True  # old cells may lie outside
+            if self.pixel_mouse:
+                # The pixel winsize changed with the window: re-query so
+                # SGR-Pixels mouse coordinates keep mapping correctly.
+                px = self._query_px_size()
+                if px is not None:
+                    self._px_size = px
 
     def show(self, frame_device) -> None:
         """Queue one device frame for presentation (non-blocking, latest
@@ -176,7 +203,14 @@ class TermDisplay:
             try:
                 self._present(grid_dev)
             except Exception:
-                return  # terminal gone — the loop is shutting down
+                # A transient failure (device-readback RPC hiccup during a
+                # congestion window, EAGAIN on the tty) must not kill the
+                # presenter for the rest of the session — drop this frame,
+                # force a full repaint on the next one (a partial write may
+                # have landed), and keep serving. The loop parks in wait()
+                # between frames, so persistent failure cannot busy-spin.
+                self._prev = None
+                self._need_clear = True
 
     def _present(self, grid_dev) -> None:
         grid = np.asarray(grid_dev)  # device readback (blocks HERE only)
@@ -185,8 +219,12 @@ class TermDisplay:
         if getattr(self, "_need_clear", False):
             self._need_clear = False
             prefix = "\x1b[2J"
-        self.out.write(prefix + self._diff_emit(top, bot))
-        self.out.flush()
+        payload = prefix + self._diff_emit(top, bot)
+        with self._write_lock:
+            if self._writes_stopped:
+                return
+            self.out.write(payload)
+            self.out.flush()
 
     def _diff_emit(self, top: np.ndarray, bot: np.ndarray) -> str:
         """Emit only cells whose colors changed since the previous frame."""

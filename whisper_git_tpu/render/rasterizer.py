@@ -858,6 +858,16 @@ def _render_packed(fused, win_blobs, font_tex, image_atlas,
     like the reference's swapchain image; readback is screenshot-only)."""
     layer_data, layer_sig = unpack_layers(fused, win_blobs, meta,
                                           tiles_y * tiles_x)
+    return _finish_tiles(layer_data, layer_sig, font_tex, image_atlas,
+                         background, tiles_y, tiles_x, height, width,
+                         use_pallas)
+
+
+def _finish_tiles(layer_data, layer_sig, font_tex, image_atlas,
+                  background: tuple, tiles_y: int, tiles_x: int,
+                  height: int, width: int, use_pallas: bool):
+    """Rasterize tiles → assembled device u8 frame (traced helper shared
+    by the packed and unquantized paths)."""
     if use_pallas:
         from . import pallas_raster as PR
 
@@ -878,6 +888,58 @@ def _render_packed(fused, win_blobs, font_tex, image_atlas,
     return jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
 
+# i16 wire-format ceiling: screen geometry quantizes at 1/8 px into int16,
+# so any coordinate beyond ±4095.875 px would silently clamp — the same
+# silent-corruption class as the atlas-v overflow fixed by
+# _QUAD_COL_SCALE. Scenes larger than this (5K/8K screenshots) render
+# through the unquantized f32 path below; it skips the frame caches
+# (irrelevant for one-shot captures) but uses the same rasterizer.
+MAX_PACKED_PX = 4095
+
+
+@functools.partial(
+    jax.jit, static_argnames=("background", "tiles_y", "tiles_x",
+                              "layer_sig", "height", "width", "use_pallas"))
+def _render_unpacked(layer_data, font_tex, image_atlas, background: tuple,
+                     tiles_y: int, tiles_x: int, layer_sig: tuple,
+                     height: int, width: int, use_pallas: bool = False):
+    return _finish_tiles(layer_data, layer_sig, font_tex, image_atlas,
+                         background, tiles_y, tiles_x, height, width,
+                         use_pallas)
+
+
+def _render_scene_f32_device(scene: Scene, font_tex, image_atlas):
+    """Oversized-scene path: commands cross the link as plain f32 (no i16
+    quantization), with scroll windows spliced inline on host at their
+    exact z-positions (Scene.inline_windows)."""
+    flat = scene.inline_windows()
+    tiles_x = -(-flat.width // TILE_W)
+    tiles_y = -(-flat.height // TILE_H)
+    layer_data = []
+    layer_sig = []
+    for lb in flat.layers:
+        s_bins, _ = _bin_commands(_shape_boxes(lb.shapes, lb.n_shapes),
+                                  lb.n_shapes, tiles_y, tiles_x, K_SHAPES)
+        g_bins, _ = _bin_commands(_quad_boxes(lb.glyphs, lb.n_glyphs),
+                                  lb.n_glyphs, tiles_y, tiles_x, K_GLYPHS)
+        i_bins, _ = _bin_commands(_quad_boxes(lb.images, lb.n_images),
+                                  lb.n_images, tiles_y, tiles_x, K_IMAGES)
+        layer_data.append((
+            jnp.asarray(lb.shapes), jnp.asarray(lb.shape_clips),
+            jnp.asarray(lb.glyphs), jnp.asarray(lb.glyph_colors),
+            jnp.asarray(lb.glyph_clips),
+            jnp.asarray(lb.images), jnp.asarray(lb.image_clips),
+            jnp.asarray(s_bins), jnp.asarray(g_bins), jnp.asarray(i_bins)))
+        layer_sig.append((lb.n_shapes > 0, lb.n_glyphs > 0,
+                          lb.n_images > 0))
+    return _render_unpacked(tuple(layer_data), jnp.asarray(font_tex),
+                            jnp.asarray(image_atlas),
+                            tuple(float(c) for c in flat.background[:3]),
+                            tiles_y, tiles_x, tuple(layer_sig),
+                            flat.height, flat.width,
+                            use_pallas=_use_pallas())
+
+
 def render_scene_device(scene: Scene, font_tex, image_atlas=None):
     """Rasterize → device-resident (H, W, 4) uint8 frame (no readback).
 
@@ -891,6 +953,9 @@ def render_scene_device(scene: Scene, font_tex, image_atlas=None):
     from . import compose as C
     from . import frame as F
 
+    if max(scene.width, scene.height) > MAX_PACKED_PX:
+        atlas = image_atlas if image_atlas is not None else scene.image_atlas
+        return _render_scene_f32_device(scene, font_tex, atlas)
     if F.frame_cache_enabled():
         atlas = image_atlas if image_atlas is not None else scene.image_atlas
         if C.compose_enabled():
