@@ -1,0 +1,149 @@
+"""Full-process end-to-end smoke: the REAL CLI on a REAL pty.
+
+Everything else in the suite drives components in-process; this tier
+spawns `python -m whisper_git_tpu <repo>` with its stdin/stdout on a
+pseudo-terminal and speaks the actual wire protocol — alt-screen entry,
+SGR mouse bytes, keystrokes, the Escape quit ladder — asserting the
+process paints half-block frames, reacts to input, restores the terminal,
+and exits cleanly. Catches the class of bug unit tests can't: broken
+terminal setup/teardown ordering, input-parser/loop integration, crashes
+on the app's own startup path. (The reference's closest tier is manual
+windowed use; this is automated.)
+"""
+
+from __future__ import annotations
+
+import fcntl
+import os
+import select
+import struct
+import subprocess
+import sys
+import termios
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ALT_ENTER = b"\x1b[?1049h"
+ALT_EXIT = b"\x1b[?1049l"
+HALF_BLOCK = "▀".encode()
+
+
+def _mk_repo(tmp_path) -> str:
+    repo = str(tmp_path / "ptyrepo")
+    os.makedirs(repo)
+
+    def g(*args):
+        subprocess.run(["git", "-C", repo, *args], check=True,
+                       capture_output=True)
+
+    g("init", "-q")
+    g("config", "user.email", "t@t.t")
+    g("config", "user.name", "T")
+    for i in range(3):
+        with open(os.path.join(repo, f"f{i}.txt"), "w") as f:
+            f.write(f"line {i}\n")
+        g("add", "-A")
+        g("commit", "-qm", f"commit number {i}")
+    with open(os.path.join(repo, "f0.txt"), "a") as f:
+        f.write("dirty\n")
+    return repo
+
+
+def _drain(master: int, buf: bytearray, seconds: float) -> None:
+    end = time.monotonic() + seconds
+    while time.monotonic() < end:
+        r, _, _ = select.select([master], [], [],
+                                max(0.0, end - time.monotonic()))
+        if not r:
+            continue
+        try:
+            chunk = os.read(master, 65536)
+        except OSError:  # EIO: child side closed
+            return
+        if not chunk:
+            return
+        buf += chunk
+
+
+def _wait_for(master: int, buf: bytearray, needle: bytes,
+              timeout: float) -> bool:
+    end = time.monotonic() + timeout
+    while time.monotonic() < end:
+        if needle in buf:
+            return True
+        _drain(master, buf, 0.25)
+    return needle in buf
+
+
+def test_pty_session_end_to_end(tmp_path):
+    repo = _mk_repo(tmp_path)
+    import pty
+
+    master, slave = pty.openpty()
+    # A real terminal geometry (rows, cols, xpixel, ypixel) — the app
+    # derives its half-block grid and SGR-Pixels mapping from this.
+    fcntl.ioctl(slave, termios.TIOCSWINSZ,
+                struct.pack("HHHH", 30, 100, 800, 480))
+
+    env = dict(os.environ)
+    env.update({
+        "WGIT_DEVICE": "cpu",          # no tunnel in a smoke test
+        "WGIT_SKIP_AVATARS": "1",
+        "XDG_CONFIG_HOME": str(tmp_path / "cfg"),   # hermetic settings
+        "XDG_CACHE_HOME": str(tmp_path / "cache"),
+    })
+    env.pop("XLA_FLAGS", None)          # child needs no virtual devices
+    env.pop("JAX_PLATFORMS", None)
+    # Small window = fewer tiles = fast CPU compile for the smoke.
+    cfg_dir = tmp_path / "cfg" / "whisper-git"
+    cfg_dir.mkdir(parents=True)
+    (cfg_dir / "settings.json").write_text(
+        '{"window_width": 480.0, "window_height": 320.0}')
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "whisper_git_tpu", repo],
+        stdin=slave, stdout=slave, stderr=subprocess.PIPE,
+        env=env, cwd=REPO_ROOT, close_fds=True)
+    os.close(slave)
+    buf = bytearray()
+    try:
+        # 1) The host enters the alt screen and paints half-block frames.
+        assert _wait_for(master, buf, ALT_ENTER, 60), \
+            f"no alt-screen entry; stderr: {proc.stderr.peek()[:2000]}"
+        assert _wait_for(master, buf, HALF_BLOCK, 300), \
+            "no frame cells painted (compile stall or render crash)"
+
+        # 2) Interact: click a history row, open search, type a query.
+        os.write(master, b"\x1b[<0;40;6M\x1b[<0;40;6m")   # click+release
+        os.write(master, b"/")
+        time.sleep(0.2)
+        os.write(master, b"commit")
+        painted = len(buf)
+        _drain(master, buf, 3.0)
+        assert len(buf) > painted, "no repaint after input events"
+
+        # 3) Quit via the Escape ladder (search → selection → quit).
+        # Keep DRAINING the pty while quitting: if the master buffer
+        # fills, the child blocks writing its exit sequence.
+        for _ in range(8):
+            os.write(master, b"\x1b")
+            _drain(master, buf, 0.35)
+            if proc.poll() is not None:
+                break
+        end = time.monotonic() + 30
+        while proc.poll() is None and time.monotonic() < end:
+            _drain(master, buf, 0.25)
+        assert proc.poll() is not None, "child did not exit after ladder"
+
+        # 4) Terminal restored, clean exit.
+        _drain(master, buf, 1.0)
+        assert ALT_EXIT in buf, "terminal not restored on exit"
+        assert buf.rindex(ALT_EXIT) > buf.index(ALT_ENTER)
+        assert proc.returncode == 0, proc.stderr.read()[:2000].decode(
+            "utf-8", "replace")
+    finally:
+        if proc.poll() is None:
+            proc.kill()   # exact PID we spawned
+            proc.wait(timeout=10)
+        os.close(master)
