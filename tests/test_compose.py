@@ -102,6 +102,29 @@ def test_pure_scroll_hits_caches(app_fixture):
         "slab re-rendered inside its overscan window"
 
 
+def test_plan_rebuild_reuses_memoized_stacks(app_fixture):
+    """A scroll-bucket plan rebuild (window uid moved with the 128 px
+    layout materialization bucket) re-renders slabs but must REUSE the
+    previously stacked chrome group images (same device array object),
+    not re-copy full-frame f32 images through HBM."""
+    app, tab, r = app_fixture
+    C.clear_caches()
+    scene = _scene(app, tab, r, 17.0)
+    assert _render_composed(scene, r) is not None
+    plans_before = dict(C._PLAN_CACHE)
+    img_ids = {id(v["img_stack"]) for v in plans_before.values()}
+    # One materialization bucket later: new window uid → new plan key;
+    # chrome groups unchanged.
+    scene = _scene(app, tab, r, 17.0 + 128.0)
+    assert _render_composed(scene, r) is not None
+    new_plans = [v for k, v in C._PLAN_CACHE.items()
+                 if k not in plans_before]
+    if not new_plans:
+        pytest.skip("scroll did not produce a new plan key")
+    for v in new_plans:
+        assert id(v["img_stack"]) in img_ids, "chrome img stack re-built"
+
+
 def test_slab_rebuild_outside_overscan(app_fixture):
     app, tab, r = app_fixture
     C.clear_caches()

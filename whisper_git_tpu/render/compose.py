@@ -181,10 +181,14 @@ def _group_chrome(runs):
 # Layer image construction.
 # ---------------------------------------------------------------------------
 
+def _group_key(members, chrome_entries, height, width):
+    return (tuple((chrome_entries[li]["key"], ci, si)
+                  for _, li, ci, si in members), height, width)
+
+
 def _chrome_group_image(members, chrome_entries, font_tex, image_atlas,
                         tiles_y, tiles_x, height, width):
-    key = (tuple((chrome_entries[li]["key"], ci, si)
-                 for _, li, ci, si in members), height, width)
+    key = _group_key(members, chrome_entries, height, width)
     hit = _lru_get(_GROUP_CACHE, key)
     if hit is not None:
         return hit
@@ -229,7 +233,7 @@ def _window_slab(w, gi, ci, art, caps, font_tex, image_atlas, tiles_x,
     if hit is not None:
         start = -dy - hit["y0s"]
         if 0.0 <= start <= slab_h - height:
-            return hit["img"], hit["y0s"]
+            return hit["img"], hit["y0s"], key
     y0s = -dy - OVERSCAN
     c0, c1, c2, c3 = (float(c) for c in w.clip)
     # Device: dequantized window parts shifted (dx, -y0s); x clip baked,
@@ -254,7 +258,7 @@ def _window_slab(w, gi, ci, art, caps, font_tex, image_atlas, tiles_x,
     while len(_SLAB_CACHE) > 24:
         _SLAB_CACHE.pop(next(iter(_SLAB_CACHE)))
     _SLAB_CACHE[key] = {"img": img, "y0s": y0s}
-    return img, y0s
+    return img, y0s, key
 
 
 # ---------------------------------------------------------------------------
@@ -389,6 +393,27 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
 # dispatch overhead.
 _PLAN_CACHE: dict = {}
 _BLOB_DEV_CACHE: dict = {}
+_STACK_CACHE: dict = {}   # (kind, member keys, dims) -> stacked device array
+
+
+def _memo_stack(kind: str, keys: tuple, arrays, empty_shape):
+    """jnp.stack memoized by the members' content keys. A plan rebuild
+    happens every ~128 px of scroll (window uid moves with the layout
+    materialization bucket) and on any chrome change; whichever side
+    (chrome group images / slabs) is still a cache hit now reuses its
+    previous stacked array instead of re-copying full-frame f32 images
+    through HBM — e.g. a scroll-bucket rebuild reuses the chrome img
+    stack, a selection change reuses the slab stack."""
+    key = (kind, keys, empty_shape)
+    hit = _lru_get(_STACK_CACHE, key)
+    if hit is not None:
+        return hit
+    out = (jnp.stack(arrays) if arrays
+           else jnp.zeros(empty_shape, jnp.float32))
+    while len(_STACK_CACHE) > 6:
+        _STACK_CACHE.pop(next(iter(_STACK_CACHE)))
+    _STACK_CACHE[key] = out
+    return out
 
 
 def _build_plan(scene, windows, chrome_entries, win_art, win_caps,
@@ -397,6 +422,7 @@ def _build_plan(scene, windows, chrome_entries, win_art, win_caps,
     runs = _flatten_runs(scene, chrome_entries, windows, lws_by_layer)
     ops = _group_chrome(runs)
     images, slabs, op_meta = [], [], []
+    img_keys, slab_keys = [], []
     slab_src = []  # (gi, y0s) per slab, for per-frame start computation
     for op in ops:
         if op[0] == "group":
@@ -405,15 +431,19 @@ def _build_plan(scene, windows, chrome_entries, win_art, win_caps,
                                       height, width)
             op_meta.append(("img", len(images)))
             images.append(img)
+            img_keys.append(_group_key(op[1], chrome_entries, height,
+                                       width))
         elif op[0] == "win":
             _, gi, ci = op
             w = windows[gi]
-            slab, y0s = _window_slab(w, gi, ci, win_art[gi], win_caps[gi],
-                                     font_tex, image_atlas, tiles_x,
-                                     height, width)
+            slab, y0s, skey = _window_slab(w, gi, ci, win_art[gi],
+                                           win_caps[gi], font_tex,
+                                           image_atlas, tiles_x,
+                                           height, width)
             clip = tuple(round(float(c) * 4.0) / 4.0 for c in w.clip)
             op_meta.append(("slab", len(slabs), clip))
             slabs.append(slab)
+            slab_keys.append((skey, y0s))
             slab_src.append((gi, y0s))
         else:
             op_meta.append(op)  # ("dyn", li, ci) — rendered inside the jit
@@ -421,10 +451,10 @@ def _build_plan(scene, windows, chrome_entries, win_art, win_caps,
     return {
         "ops": tuple(op_meta),
         # one stacked device array per kind → constant dispatch arg count
-        "img_stack": (jnp.stack(images) if images
-                      else jnp.zeros((0, height, width, 4), jnp.float32)),
-        "slab_stack": (jnp.stack(slabs) if slabs
-                       else jnp.zeros((0, slab_h, width, 4), jnp.float32)),
+        "img_stack": _memo_stack("img", tuple(img_keys), images,
+                                 (0, height, width, 4)),
+        "slab_stack": _memo_stack("slab", tuple(slab_keys), slabs,
+                                  (0, slab_h, width, 4)),
         "slab_src": tuple(slab_src),
         "slab_h": slab_h,
     }
@@ -478,7 +508,10 @@ def render_frame_composed(scene, font_tex, image_atlas):
         plan = _build_plan(scene, windows, chrome_entries, win_art,
                            win_caps, lws_by_layer, font_tex, image_atlas,
                            tiles_y, tiles_x, height, width)
-        while len(_PLAN_CACHE) > 4:
+        # Plans are small (the heavy arrays live in the memoized stack /
+        # group / slab caches), so keep enough for a scroll-and-back
+        # pattern across several materialization buckets.
+        while len(_PLAN_CACHE) > 8:
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[plan_key] = plan
 
@@ -512,3 +545,4 @@ def clear_caches() -> None:
     _DYN_PACK_CACHE.clear()
     _PLAN_CACHE.clear()
     _BLOB_DEV_CACHE.clear()
+    _STACK_CACHE.clear()
