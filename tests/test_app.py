@@ -498,3 +498,63 @@ def test_help_modal(temp_repo):
     assert "open-help" in routes
     for tb in app.tabs:
         tb.stop_workers()
+
+
+def test_header_workdir_summary_and_fetch_age(temp_repo, git):
+    """Header carries a working-directory summary chip and a last-fetch
+    age label (the reference's design review: the header 'should show
+    tracking status, last fetch time, working directory summary',
+    design_feedback_feb2026.md:67). Clean tree + no fetch → neither
+    appears."""
+    import time as _time
+
+    app = make_app(temp_repo)
+    root = layout_tree(app.build((1280.0, 800.0)), (1280, 800))
+    texts = [n.el.text for n in root.walk() if n.el.kind == "text"]
+    assert not any("modified" in t or "fetched" in t for t in texts)
+
+    # Dirty the tree: one modified, one untracked, one staged.
+    import os
+    wd = app.current().repo.workdir
+    with open(os.path.join(wd, "README.md"), "a") as f:
+        f.write("more\n")
+    with open(os.path.join(wd, "new.txt"), "w") as f:
+        f.write("x\n")
+    with open(os.path.join(wd, "staged.txt"), "w") as f:
+        f.write("y\n")
+    git(wd, "add", "staged.txt")
+    app.current().refresh_sync()
+    app.current().last_fetch_time = _time.monotonic() - 120.0
+
+    root = layout_tree(app.build((1280.0, 800.0)), (1280, 800))
+    texts = [n.el.text for n in root.walk() if n.el.kind == "text"]
+    assert any("1 staged" in t and "1 modified" in t
+               and "1 untracked" in t for t in texts)
+    assert any(t == "fetched 2m ago" for t in texts)
+    # The summary chip routes to the staging panel.
+    routes = {n.el.route for n in root.walk()}
+    assert "focus-staging" in routes
+    assert run_lints(root) == []
+    for tb in app.tabs:
+        tb.stop_workers()
+
+
+def test_header_conflict_chip(temp_repo, git, tmp_path):
+    """Conflicted files surface as a danger chip in the header."""
+    wd = temp_repo
+    git(wd, "checkout", "-b", "side")
+    with open(os.path.join(wd, "README.md"), "w") as f:
+        f.write("side version\n")
+    git(wd, "commit", "-am", "side change")
+    git(wd, "checkout", "main")
+    with open(os.path.join(wd, "README.md"), "w") as f:
+        f.write("main version\n")
+    git(wd, "commit", "-am", "main change")
+    import subprocess as sp
+    sp.run(["git", "-C", wd, "merge", "side"], capture_output=True)
+    app = make_app(wd)
+    root = layout_tree(app.build((1280.0, 800.0)), (1280, 800))
+    texts = [n.el.text for n in root.walk() if n.el.kind == "text"]
+    assert any("1 conflict" in t for t in texts)
+    for tb in app.tabs:
+        tb.stop_workers()

@@ -175,6 +175,9 @@ class RepoTab:
         self.ci_receivers: list = []
         self.last_push_time: float = 0.0
         self.last_ci_fetch: float = 0.0
+        # Header "fetched Nm ago" chip (design_feedback_feb2026.md:67 —
+        # the header should carry last-fetch/tracking/workdir info).
+        self.last_fetch_time: float = 0.0
 
         # Pull requests (beyond-reference: Deferred in user_needs.md).
         self.pr_by_branch: dict[str, object] = {}  # branch -> PullRequestInfo

@@ -1718,6 +1718,8 @@ class WhisperApp:
                 if slot == "push_op":
                     tab.last_push_time = time.monotonic()
                     tab.last_ci_fetch = 0.0  # immediate CI fetch
+                if slot in ("fetch_op", "pull_op"):
+                    tab.last_fetch_time = time.monotonic()
             else:
                 err = classify_git_error(result.stderr)
                 if err.retryable and slot == "push_op":

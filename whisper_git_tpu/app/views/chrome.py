@@ -72,6 +72,30 @@ def _op_button(label: str, route: str, primary: bool = False,
                 route=None if busy else route, key=f"btn:{route}")
 
 
+def _workdir_counts(tab) -> tuple[int, int, int, int]:
+    """(staged, unstaged, untracked, conflicted) of the focused worktree."""
+    view = tab.active_view()
+    st = view.status if view is not None else None
+    if st is None:
+        return (0, 0, 0, 0)
+    return (len(st.staged), len(st.unstaged), len(st.untracked),
+            len(st.conflicted))
+
+
+def _fetch_age_label(tab) -> str | None:
+    """'fetched Nm ago' at minute granularity (None before any fetch)."""
+    import time as _time
+
+    if not tab.last_fetch_time:
+        return None
+    secs = _time.monotonic() - tab.last_fetch_time
+    if secs < 60:
+        return "fetched just now"
+    if secs < 3600:
+        return f"fetched {int(secs // 60)}m ago"
+    return f"fetched {int(secs // 3600)}h ago"
+
+
 def header_bar(app, tab) -> El:
     local = next((t for t in tab.branch_tips
                   if not t.is_remote and t.is_head), None)
@@ -80,6 +104,7 @@ def header_bar(app, tab) -> El:
            tab.repo_state,
            (local.ahead, local.behind) if local is not None else None,
            (pr.number, pr.draft) if pr is not None else None,
+           _workdir_counts(tab), _fetch_age_label(tab),
            tuple((name, op.label, int(op.elapsed()))
                  for name, op in tab.busy_slots()))
     return memo_el(key, lambda: _header_bar_impl(app, tab))
@@ -115,6 +140,37 @@ def _header_bar_impl(app, tab) -> El:
                           padding=(3, 8, 3, 8), route="menu-repo-state",
                           hover_fill=T.surface_hover,
                           key="repo-state-pill"))
+    # Working-directory summary + last-fetch age: the reference's design
+    # review calls the header "80% empty gray space — should show tracking
+    # status, last fetch time, working directory summary"
+    # (design_feedback_feb2026.md:67). Tracking status already rides the
+    # Pull (−N) / Push (+N) buttons; these chips add the other two.
+    staged, unstaged, untracked, conflicted = _workdir_counts(tab)
+    if conflicted:
+        cells.append(rect(
+            text(f"⚠ {conflicted} conflict{'s' if conflicted > 1 else ''}",
+                 font_size=11, bold=True, color=T.text_bright),
+            fill=(T.danger[0], T.danger[1], T.danger[2], 0.45),
+            radius=T.radius_pill, padding=(3, 8, 3, 8),
+            route="focus-staging", hover_fill=T.surface_hover,
+            key="conflict-chip"))
+    if staged or unstaged or untracked:
+        parts = []
+        if staged:
+            parts.append(f"{staged} staged")
+        if unstaged:
+            parts.append(f"{unstaged} modified")
+        if untracked:
+            parts.append(f"{untracked} untracked")
+        cells.append(rect(text(" · ".join(parts), font_size=11,
+                               color=T.text_muted),
+                          radius=T.radius_pill, padding=(3, 8, 3, 8),
+                          route="focus-staging",
+                          hover_fill=T.surface_hover, key="workdir-chip"))
+    age = _fetch_age_label(tab)
+    if age is not None:
+        cells.append(text(age, font_size=11, color=T.text_muted,
+                          key="fetch-age"))
     cells.append(spacer())
 
     local = next((t for t in tab.branch_tips
