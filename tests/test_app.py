@@ -558,3 +558,45 @@ def test_header_conflict_chip(temp_repo, git, tmp_path):
     assert any("1 conflict" in t for t in texts)
     for tb in app.tabs:
         tb.stop_workers()
+
+
+def test_commit_node_size_and_dual_tone(temp_repo):
+    """Node radius scales with lines changed and carries a +/- tone ring
+    (design_feedback_feb2026.md:142-155); author strip rides the row's
+    left edge (:169)."""
+    from whisper_git_tpu.app.views.commit_graph import (
+        _delta_tone, _node_radius, build_row)
+    from whisper_git_tpu.ops.lanes import RowSegment
+
+    tab = make_tab(temp_repo)
+    c = tab.commits[0]
+    assert c.additions is not None
+
+    class FakeCommit:
+        additions, deletions = 3, 2
+        is_synthetic = is_orphan = False
+    assert _node_radius(FakeCommit) == 4.0
+    FakeCommit.additions = 600
+    assert _node_radius(FakeCommit) == 8.5
+    # pure addition → green; pure deletion → red
+    FakeCommit.additions, FakeCommit.deletions = 10, 0
+    g = _delta_tone(FakeCommit)
+    FakeCommit.additions, FakeCommit.deletions = 0, 10
+    r = _delta_tone(FakeCommit)
+    assert g[1] > r[1] and r[0] > g[0]
+
+    seg = RowSegment(kind="node", row=0, lane=0, data=(12.0, 14.0))
+    el = build_row(tab, 0, {0: [seg]}, show_avatars=False)
+    paths = [n for n in _walk_el(el) if n.kind == "path"]
+    circles = [p for p in paths[0].prims if p[0] == "circle"]
+    assert len(circles) == 2, "dual-tone node = ring + core"
+    assert circles[0][3] > circles[1][3]  # outer ring is larger
+    # Author strip: first child is a 3 px rect.
+    strip = el.children[0].children[0]
+    assert strip.kind == "rect" and strip.width == 3
+
+
+def _walk_el(el):
+    yield el
+    for ch in getattr(el, "children", ()) or ():
+        yield from _walk_el(ch)

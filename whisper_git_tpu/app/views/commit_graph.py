@@ -25,6 +25,37 @@ IDENTICON_COLORS = [
 ]
 
 
+def _node_radius(commit: CommitInfo) -> float:
+    """Node visual weight scales with lines changed (the reference's
+    design review specs 4 size buckets, design_feedback_feb2026.md:142;
+    radii adapted to the 28 px row pitch)."""
+    if commit.additions is None:
+        return NODE_RADIUS
+    total = (commit.additions or 0) + (commit.deletions or 0)
+    if total <= 10:
+        return 4.0
+    if total <= 100:
+        return 5.5
+    if total <= 500:
+        return 7.0
+    return 8.5
+
+
+def _delta_tone(commit: CommitInfo):
+    """Green↔red ring tint from the +/- ratio (all green = pure addition,
+    all red = pure deletion, mixed = refactoring;
+    design_feedback_feb2026.md:151-155). None without diff stats."""
+    if commit.additions is None:
+        return None
+    total = (commit.additions or 0) + (commit.deletions or 0)
+    if total == 0:
+        return None
+    f = (commit.additions or 0) / total
+    g, r = T.success, T.danger
+    return (r[0] + (g[0] - r[0]) * f, r[1] + (g[1] - r[1]) * f,
+            r[2] + (g[2] - r[2]) * f, 0.95)
+
+
 def commit_matches_query(commit: CommitInfo, query: str) -> bool:
     """Match subject, author name, and SHA (reference: commit_graph.rs:1509)."""
     q = query.lower().strip()
@@ -174,9 +205,17 @@ def build_row(tab, index: int, segments_by_row: dict,
             cx, cy = seg.data
             node_color = (T.pill_orphan if commit.is_orphan else
                           T.pill_worktree if commit.is_synthetic else color)
-            prims.append(("circle", cx, cy - row_top,
-                          NODE_RADIUS + (1.0 if commit.oid == tab.selected_oid
-                                         else 0.0), node_color))
+            r = _node_radius(commit) + (1.0 if commit.oid == tab.selected_oid
+                                        else 0.0)
+            tone = (None if commit.is_synthetic or commit.is_orphan
+                    else _delta_tone(commit))
+            if tone is not None:
+                # Dual-tone: +/- ratio ring around the lane-colored core.
+                prims.append(("circle", cx, cy - row_top, r, tone))
+                prims.append(("circle", cx, cy - row_top, max(r - 2.0, 2.0),
+                              node_color))
+            else:
+                prims.append(("circle", cx, cy - row_top, r, node_color))
 
     opacity = 0.3 if dimmed else 1.0
 
@@ -193,8 +232,19 @@ def build_row(tab, index: int, segments_by_row: dict,
         rect(width=2, height="fill", fill=(0, 0, 0, 0.08)),
         rect(width=1, height="fill", fill=(0, 0, 0, 0.12)),
         width="fill", height="fill")
-    cells: list[El] = [stack(path(prims, width=graph_w + 8, height=rh),
-                             shadow, width=graph_w + 8, height=rh)]
+    cells: list[El] = []
+    if not commit.is_synthetic:
+        # Author strip: 3 px color strip keyed by author hash — ownership
+        # patterns and handoffs at a glance (design_feedback_feb2026.md:169;
+        # same 8-color hash as the identicon fallback).
+        akey = commit.author_email or commit.author_name or "?"
+        ac = IDENTICON_COLORS[sum(akey.encode()) % len(IDENTICON_COLORS)]
+        cells.append(rect(width=3, height="fill",
+                          fill=(ac[0], ac[1], ac[2], 0.55)))
+    else:
+        cells.append(rect(width=3, height="fill"))
+    cells.append(stack(path(prims, width=graph_w + 8, height=rh),
+                       shadow, width=graph_w + 8, height=rh))
     pills = _pills_for(tab, commit)
     mid: list[El] = []
     if pills:
@@ -232,7 +282,8 @@ def build_row(tab, index: int, segments_by_row: dict,
 
     el = rect(
         row(*cells, gap=8, align="center", width="fill", height="fill",
-            padding=(0, 10, 0, 6)),
+            padding=(0, 10, 0, 0)),  # flush left: the author strip sits
+                                     # on the row edge
         width="fill", height=rh, fill=bg,
         route=None if commit.is_synthetic else f"select-commit:{commit.oid}",
         route_right=None if commit.is_synthetic else f"menu-commit:{commit.oid}",
