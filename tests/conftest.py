@@ -19,6 +19,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import tempfile  # noqa: E402
+
+# Hermetic state dir: Project Rewind snapshots (services/rewind.py) must
+# never land in the developer's real ~/.local/state during tests.
+os.environ["XDG_STATE_HOME"] = tempfile.mkdtemp(prefix="wgit-test-state-")
+
 import pytest  # noqa: E402
 
 

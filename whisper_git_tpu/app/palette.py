@@ -120,6 +120,7 @@ def build_commands(app) -> List[PaletteCommand]:
             PaletteCommand("Search History", "search-history",
                            "/ or Ctrl+F"),
             PaletteCommand("Generate Commit Message (AI)", "ai-generate"),
+            PaletteCommand("Project Rewind…", "open-rewind"),
         ]
         for b in tab.branch_tips:
             if b.is_remote or b.is_head:

@@ -178,6 +178,11 @@ class RepoTab:
         # Header "fetched Nm ago" chip (design_feedback_feb2026.md:67 —
         # the header should carry last-fetch/tracking/workdir info).
         self.last_fetch_time: float = 0.0
+        # Project Rewind (services/rewind.py): lazy per-repo log, last
+        # cadence stamp, and a pending label from a just-completed op.
+        self.rewind_log = None
+        self.last_rewind: float = 0.0
+        self.pending_rewind_label: str = ""
 
         # Pull requests (beyond-reference: Deferred in user_needs.md).
         self.pr_by_branch: dict[str, object] = {}  # branch -> PullRequestInfo

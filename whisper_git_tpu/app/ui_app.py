@@ -328,6 +328,7 @@ class WhisperApp:
             "worktree": lambda: dialogs.worktree_modal(form, cursor=cur),
             "rebase-i": lambda: dialogs.rebase_interactive_modal(form),
             "worktrees-manage": lambda: dialogs.worktrees_manage_modal(tab),
+            "rewind": lambda: dialogs.rewind_modal(form),
         }
         builder = builders.get(kind)
         return builder() if builder else rect(width=0, height=0)
@@ -1122,6 +1123,65 @@ class WhisperApp:
     def _act_toggle_ai_taglines(self, arg, x, y):
         self._toggle_setting("ai_taglines")
 
+    def _act_toggle_rewind(self, arg, x, y):
+        self._toggle_setting("rewind_enabled")
+
+    # -- Project Rewind (services/rewind.py) ---------------------------------
+
+    def _rewind_log(self, tab):
+        if tab.rewind_log is None:
+            from ..services.rewind import RewindLog
+            tab.rewind_log = RewindLog(tab.repo.common_dir
+                                       or tab.repo.workdir or tab.title)
+        return tab.rewind_log
+
+    def _record_rewind(self, tab, label: str = "") -> None:
+        try:
+            from ..services.rewind import snapshot_of_tab
+            snap = snapshot_of_tab(tab, label=label)
+            if snap is not None:
+                self._rewind_log(tab).record(snap)
+        except Exception:
+            pass  # snapshotting must never break the frame loop
+
+    def _act_open_rewind(self, arg, x, y):
+        tab = self.current()
+        if tab is None:
+            return
+        from ..services.rewind import RewindState
+        self._record_rewind(tab)  # the timeline always ends at NOW
+        snaps = list(self._rewind_log(tab).snapshots)
+        self.modal = ("rewind", RewindState(
+            snapshots=snaps, index=max(0, len(snaps) - 1)))
+
+    def _act_rewind_scrub(self, arg, x, y):
+        if self.modal is not None and self.modal[0] == "rewind":
+            st = self.modal[1]
+            st.index = max(0, min(int(arg), len(st.snapshots) - 1))
+            st.show_commands = False
+
+    def _act_rewind_step(self, arg, x, y):
+        if self.modal is not None and self.modal[0] == "rewind":
+            st = self.modal[1]
+            st.index = max(0, min(st.index + int(arg),
+                                  len(st.snapshots) - 1))
+            st.show_commands = False
+
+    def _act_rewind_commands(self, arg, x, y):
+        if self.modal is not None and self.modal[0] == "rewind":
+            self.modal[1].show_commands = not self.modal[1].show_commands
+
+    def _act_rewind_copy(self, arg, x, y):
+        if self.modal is None or self.modal[0] != "rewind":
+            return
+        from ..services.rewind import restore_commands
+        st = self.modal[1]
+        if not st.snapshots:
+            return
+        cmds = restore_commands(st.snapshots[st.index], st.snapshots[-1])
+        self._set_clipboard("\n".join(cmds))
+        self.toast("success", "Restore commands copied")
+
     def _act_toggle_diff_mode(self, arg, x, y):
         self.config.diff_mode = ("split" if self.config.diff_mode == "unified"
                                  else "unified")
@@ -1720,6 +1780,8 @@ class WhisperApp:
                     tab.last_ci_fetch = 0.0  # immediate CI fetch
                 if slot in ("fetch_op", "pull_op"):
                     tab.last_fetch_time = time.monotonic()
+                # Label the next Rewind snapshot with the completed op.
+                tab.pending_rewind_label = f"after {msg.lower()}"
             else:
                 err = classify_git_error(result.stderr)
                 if err.retryable and slot == "push_op":
@@ -1886,6 +1948,21 @@ class WhisperApp:
                 tab.reopen_repo_handles()
                 tab.trigger_state_refresh(self.proxy)
             tab.last_fingerprint = fp
+        # Project Rewind cadence: snapshot the already-refreshed in-memory
+        # state (zero extra git work). A pending op label records as soon
+        # as the post-op refreshes have settled, so "after pull" captures
+        # the settled state, not the mid-refresh one.
+        if self.config.rewind_enabled and tab.initial_refresh_done:
+            settled = (tab.state_refresh_rx is None
+                       and tab.status_rx is None)
+            from ..services.rewind import CADENCE_SECS
+            if tab.pending_rewind_label and settled:
+                self._record_rewind(tab, label=tab.pending_rewind_label)
+                tab.pending_rewind_label = ""
+                tab.last_rewind = now
+            elif now - tab.last_rewind > CADENCE_SECS:
+                tab.last_rewind = now
+                self._record_rewind(tab)
         # Diff-stats drain.
         if tab.diff_stats_rx is not None:
             try:
@@ -2167,6 +2244,13 @@ class WhisperApp:
                       "push": "do-push-options"}
             if kind in submit:
                 self.handle_action(submit[kind])
+            return
+        # Rewind timeline scrubbing (←/→ while the modal is open).
+        if self.modal is not None and self.modal[0] == "rewind":
+            if key == "Left":
+                self._act_rewind_step("-1", 0, 0)
+            elif key == "Right":
+                self._act_rewind_step("1", 0, 0)
             return
         # Context-menu keyboard nav.
         if self.context_menu is not None:

@@ -197,6 +197,8 @@ def settings_modal(config) -> El:
                   "toggle-shortcut-bar"),
         _checkbox("AI worktree taglines (claude CLI)", config.ai_taglines,
                   "toggle-ai-taglines"),
+        _checkbox("Project Rewind snapshots", config.rewind_enabled,
+                  "toggle-rewind"),
         text("Settings are saved to ~/.config/whisper-git/settings.json",
              font_size=10, color=T.text_muted),
     ]
@@ -505,3 +507,113 @@ def help_modal() -> El:
                 gap=8, align="center", width="fill"))
     return _modal_frame("Keyboard Shortcuts", body, width=460,
                         key="modal-help")
+
+
+def rewind_modal(state) -> El:
+    """Project Rewind timeline (the reference design review's "10x
+    feature", design_feedback_feb2026.md:368-414): scrub through state
+    snapshots, see what changed since, copy the commands to get back."""
+    from ...gitcore.types import format_relative_time
+    from ...services.rewind import diff_to_now, restore_commands
+
+    snaps = state.snapshots
+    body: list[El] = []
+    if not snaps:
+        body.append(text("No snapshots yet — Rewind records repository "
+                         "state every 30 s while the app runs.",
+                         font_size=11, color=T.text_muted, wrap=True))
+        return _modal_frame("Project Rewind", body, width=560,
+                            key="modal-rewind")
+
+    sel = max(0, min(state.index, len(snaps) - 1))
+    now_snap = snaps[-1]
+    cur = snaps[sel]
+
+    # -- timeline dots (downsampled to ≤40, selected always shown) -------
+    idxs = list(range(len(snaps)))
+    if len(idxs) > 40:
+        step = len(idxs) / 39.0
+        idxs = sorted({int(i * step) for i in range(39)} | {sel,
+                                                            len(snaps) - 1})
+    dots: list[El] = []
+    for i in idxs:
+        is_sel = i == sel
+        is_now = i == len(snaps) - 1
+        color = (T.accent if is_sel else
+                 T.success if is_now else
+                 T.warning if snaps[i].label else (1, 1, 1, 0.35))
+        d = 11.0 if is_sel else 7.0
+        dots.append(rect(width=d, height=d, radius=d / 2, fill=color,
+                         route=f"rewind-scrub:{i}",
+                         hover_fill=T.accent))
+    dots.append(text("NOW", font_size=9, bold=True, color=T.success))
+    body.append(rect(row(*dots, gap=5, align="center"),
+                     width="fill", height=26, align="center",
+                     fill=(1, 1, 1, 0.04), radius=6,
+                     padding=(4, 8, 4, 8)))
+    body.append(row(
+        rect(text("< older", font_size=10, color=T.text_bright),
+             route="rewind-step:-1", radius=4, padding=(2, 8, 2, 8),
+             fill=(1, 1, 1, 0.08), hover_fill=T.surface_hover),
+        text(f"{sel + 1}/{len(snaps)}", font_size=10, color=T.text_muted),
+        rect(text("newer >", font_size=10, color=T.text_bright),
+             route="rewind-step:1", radius=4, padding=(2, 8, 2, 8),
+             fill=(1, 1, 1, 0.08), hover_fill=T.surface_hover),
+        spacer(),
+        text("Left/Right to scrub", font_size=9, color=T.text_muted),
+        gap=8, align="center", width="fill"))
+
+    # -- selected snapshot summary ---------------------------------------
+    when = format_relative_time(int(cur.ts))
+    title = f"{when}" + (f" — {cur.label}" if cur.label else "")
+    body.append(row(
+        text(title, font_size=T.font_size, bold=True, color=T.text_bright),
+        spacer(),
+        text("current state" if sel == len(snaps) - 1 else "",
+             font_size=10, color=T.success),
+        align="center", width="fill"))
+    head = cur.head_oid[:8] if cur.head_oid else "(unborn)"
+    body.append(text(f"{cur.branch or '(detached)'} @ {head} · "
+                     f"{cur.dirty_summary()} · "
+                     f"{len(cur.stashes)} stash"
+                     f"{'es' if len(cur.stashes) != 1 else ''}",
+                     font_size=11, color=T.text))
+
+    # -- diff to now ------------------------------------------------------
+    if sel != len(snaps) - 1:
+        lines = diff_to_now(cur, now_snap)
+        body.append(text("SINCE THEN", font_size=9, bold=True,
+                         color=T.text_muted))
+        for ln in lines[:8]:
+            body.append(rect(text(ln, font_size=10, color=T.text),
+                             fill=(1, 1, 1, 0.05), radius=4,
+                             padding=(2, 8, 2, 8), width="fill"))
+        if len(lines) > 8:
+            body.append(text(f"… {len(lines) - 8} more", font_size=10,
+                             color=T.text_muted))
+
+        # -- restore commands (shown on demand, copied — never run) ------
+        if state.show_commands:
+            cmds = restore_commands(cur, now_snap)
+            body.append(text("RESTORE COMMANDS", font_size=9, bold=True,
+                             color=T.text_muted))
+            for c in cmds:
+                body.append(rect(
+                    text(c, font_size=10,
+                         color=T.text_muted if c.startswith("#")
+                         else T.text_bright),
+                    fill=(0, 0, 0, 0.35), radius=4,
+                    padding=(2, 8, 2, 8), width="fill"))
+        body.append(row(
+            rect(text("Hide commands" if state.show_commands
+                      else "Restore This State…", font_size=11, bold=True,
+                      color=T.text_bright),
+                 route="rewind-commands", radius=6, padding=(4, 10, 4, 10),
+                 fill=(T.accent[0], T.accent[1], T.accent[2], 0.35),
+                 hover_fill=T.surface_hover),
+            rect(text("Copy commands", font_size=11, color=T.text_bright),
+                 route="rewind-copy", radius=6, padding=(4, 10, 4, 10),
+                 fill=(1, 1, 1, 0.08), hover_fill=T.surface_hover),
+            gap=8, align="center"))
+    return _modal_frame("Project Rewind", body, width=560,
+                        key="modal-rewind")

@@ -25,7 +25,7 @@ SCREENSHOT_STATES = [
     "welcome", "history", "history-search", "commit-menu", "diff",
     "settings", "open-repo", "confirm", "error", "clone", "token",
     "token-edit", "context-menu", "many-worktrees", "many-worktrees-open",
-    "palette", "rebase-i", "pr",
+    "palette", "rebase-i", "pr", "rewind",
 ]
 
 
@@ -139,6 +139,39 @@ def apply_screenshot_state(app: WhisperApp, state: str) -> None:
             entries[2].action = "drop"
         app.modal = ("rebase-i", dialogs.RebaseIForm(
             onto=plan[0].oid if plan else "HEAD~4", entries=entries))
+    elif state == "rewind" and tab is not None:
+        # Synthetic timeline: a working session of cadence + op-labeled
+        # snapshots ending at NOW, scrubbed back two steps.
+        import time as _time
+
+        from ..services.rewind import RewindSnapshot, RewindState
+        base = _time.time() - 3 * 3600
+        oid = tab.head_oid or ("a" * 40)
+        older = "b" * 40
+        snaps = [
+            RewindSnapshot(ts=base, head_oid=older, branch="main",
+                           branch_tips=(("main", older),),
+                           label="fresh after pull"),
+            RewindSnapshot(ts=base + 1500, head_oid=older, branch="main",
+                           branch_tips=(("main", older),),
+                           unstaged=("auth.py", "config.py")),
+            RewindSnapshot(ts=base + 4200, head_oid=older,
+                           branch="feature/auth",
+                           branch_tips=(("feature/auth", older),
+                                        ("main", older)),
+                           staged=("auth.py",), unstaged=("config.py",),
+                           label="started auth work"),
+            RewindSnapshot(ts=base + 7800, head_oid=oid, branch="main",
+                           branch_tips=(("feature/auth", older),
+                                        ("main", oid)),
+                           untracked=("notes.md",)),
+            RewindSnapshot(ts=_time.time(), head_oid=oid, branch="main",
+                           branch_tips=(("feature/auth", older),
+                                        ("main", oid))),
+        ]
+        app.modal = ("rewind", RewindState(snapshots=snaps,
+                                           index=len(snaps) - 3,
+                                           show_commands=True))
     # "history" is the default rendered state — nothing to inject.
 
 

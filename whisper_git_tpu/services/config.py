@@ -34,6 +34,9 @@ class Config:
     # Worktree changeset taglines via cheap LLM (user_needs.md
     # "LLM-Generated Descriptions"); off by default — it shells out.
     ai_taglines: bool = False
+    # Project Rewind timeline (design_feedback_feb2026.md:368 — local
+    # state-only snapshots, no file contents, no network).
+    rewind_enabled: bool = True
 
     @staticmethod
     def path() -> str:
