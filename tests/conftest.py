@@ -25,6 +25,12 @@ import tempfile  # noqa: E402
 # never land in the developer's real ~/.local/state during tests.
 os.environ["XDG_STATE_HOME"] = tempfile.mkdtemp(prefix="wgit-test-state-")
 
+# Deterministic pixels: pin the dirty-indicator pulse clock so two renders
+# of the same state compare byte-for-byte (pixel-exactness tests).
+from whisper_git_tpu.app.views.widgets import freeze_pulse  # noqa: E402
+
+freeze_pulse(0.0)
+
 import pytest  # noqa: E402
 
 

@@ -359,3 +359,39 @@ def test_async_present_latest_wins():
             d._closing = True
             d._cv.notify()
         d._thread.join(timeout=2.0)
+
+
+def test_pulse_period_and_wake(temp_repo, git):
+    """'The Pulse' (design_feedback_feb2026.md:339): dirty-count-scaled
+    period, volatile header dot, and the animation wake deadline."""
+    import os
+
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+    from whisper_git_tpu.app.views.widgets import pulse_alpha, pulse_period
+    from whisper_git_tpu.host.loop import (
+        FRAME_TIMEOUT, PULSE_TIMEOUT, next_wake_timeout)
+    from whisper_git_tpu.ui.layout import layout_tree
+
+    assert pulse_period(1) == 2.0
+    assert pulse_period(10) == 1.0
+    assert pulse_period(30) == 0.5
+    # Opacity oscillates within (0.3, 1.0] over a cycle.
+    vals = [pulse_alpha(1, now=t * 0.2) for t in range(10)]
+    assert max(vals) > 0.9 and min(vals) < 0.5
+
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync()
+    app = WhisperApp.with_tabs([tab])
+    # Clean tree: no pulse wake, no volatile dot.
+    t = next_wake_timeout(app, 0.0)
+    assert t == FRAME_TIMEOUT
+    with open(os.path.join(temp_repo, "dirty.txt"), "w") as f:
+        f.write("x\n")
+    tab.refresh_sync()
+    assert next_wake_timeout(app, 0.0) == PULSE_TIMEOUT
+    root = layout_tree(app.build((1280.0, 800.0)), (1280, 800))
+    vol = [n for n in root.walk()
+           if n.el.kind == "rect" and n.el.volatile and n.el.width == 7]
+    assert vol, "pulsing dirty dot missing from the header"
+    tab.stop_workers()

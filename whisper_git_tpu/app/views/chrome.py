@@ -100,11 +100,21 @@ def header_bar(app, tab) -> El:
     local = next((t for t in tab.branch_tips
                   if not t.is_remote and t.is_head), None)
     pr = tab.pr_by_branch.get(tab.current_branch or "")
+    counts = _workdir_counts(tab)
+    # While dirty, the pulse dot's opacity must track wall clock: key the
+    # memo on a quantized phase so the header El rebuilds at animation
+    # cadence (cheap — ~30 elements) while everything below it (layout,
+    # scene, compose chrome) still caches; the dot itself is volatile.
+    phase = None
+    if counts[0] or counts[1] or counts[2]:
+        from .widgets import pulse_alpha
+
+        phase = round(pulse_alpha(counts[0] + counts[1] + counts[2]), 2)
     key = ("header", tab.tab_id, tab.current_branch, tab.head_oid,
            tab.repo_state,
            (local.ahead, local.behind) if local is not None else None,
            (pr.number, pr.draft) if pr is not None else None,
-           _workdir_counts(tab), _fetch_age_label(tab),
+           counts, phase, _fetch_age_label(tab),
            tuple((name, op.label, int(op.elapsed()))
                  for name, op in tab.busy_slots()))
     return memo_el(key, lambda: _header_bar_impl(app, tab))
@@ -162,8 +172,21 @@ def _header_bar_impl(app, tab) -> El:
             parts.append(f"{unstaged} modified")
         if untracked:
             parts.append(f"{untracked} untracked")
-        cells.append(rect(text(" · ".join(parts), font_size=11,
-                               color=T.text_muted),
+        n_dirty = staged + unstaged + untracked
+        from .widgets import pulse_alpha
+
+        # "The Pulse" (design_feedback_feb2026.md:339): the dirty dot
+        # breathes, faster with more dirty files, shifting to orange when
+        # urgent. volatile=True keeps it on the per-frame dynamic tail so
+        # the chrome compose caches stay warm while it animates.
+        pc = T.warning if n_dirty > 20 else (0.92, 0.75, 0.25, 1.0)
+        dot = rect(width=7, height=7, radius=3.5,
+                   fill=(pc[0], pc[1], pc[2], pulse_alpha(n_dirty)),
+                   volatile=True)
+        cells.append(rect(row(dot,
+                              text(" · ".join(parts), font_size=11,
+                                   color=T.text_muted),
+                              gap=6, align="center"),
                           radius=T.radius_pill, padding=(3, 8, 3, 8),
                           route="focus-staging",
                           hover_fill=T.surface_hover, key="workdir-chip"))

@@ -166,6 +166,39 @@ def cursor_visible() -> bool:
     return int(time.time() * 2) % 2 == 0
 
 
+def pulse_period(n_dirty: int) -> float:
+    """"The Pulse" (design_feedback_feb2026.md:339-347): the
+    working-directory indicator pulses when dirty, rate scaling with the
+    dirty file count — gentle 2 s, medium 1 s, urgent 0.5 s."""
+    if n_dirty > 20:
+        return 0.5
+    if n_dirty > 5:
+        return 1.0
+    return 2.0
+
+
+_PULSE_FREEZE: float | None = None
+
+
+def freeze_pulse(at: float | None) -> None:
+    """Pin the pulse clock (tests and golden dumps need deterministic
+    pixels; two renders of the same state must match byte-for-byte)."""
+    global _PULSE_FREEZE
+    _PULSE_FREEZE = at
+
+
+def pulse_alpha(n_dirty: int, now: float | None = None) -> float:
+    """Sinusoidal 0.35‥1.0 opacity at the count-scaled period."""
+    import math
+
+    if now is None:
+        now = _PULSE_FREEZE if _PULSE_FREEZE is not None \
+            else time.monotonic()
+    period = pulse_period(n_dirty)
+    t = now % period
+    return 0.675 + 0.325 * math.sin(2.0 * math.pi * t / period)
+
+
 def input_text_el(value: str, cursor, anchor, caret_on: bool,
                   color, font_size: float) -> El:
     """Single-line input content with selection highlight: the

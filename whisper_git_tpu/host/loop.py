@@ -26,6 +26,7 @@ FRAME_TIMEOUT = 1.0  # safety-net cadence needs periodic wakeups
 BLINK_TIMEOUT = 0.25  # caret flips every 0.5 s; wake at quarter phase so
                       # an idle focused input still blinks (reference
                       # README.md:14 does continuous redraw for this)
+PULSE_TIMEOUT = 0.15  # dirty-indicator pulse animation cadence
 
 
 def next_wake_timeout(app: WhisperApp, now: float) -> float:
@@ -41,6 +42,16 @@ def next_wake_timeout(app: WhisperApp, now: float) -> float:
         timeout = min(timeout, BLINK_TIMEOUT)  # lifetime expiry + fade
     if app.focused_input:
         timeout = min(timeout, BLINK_TIMEOUT)  # caret blink phase
+    # "The Pulse": the header dirty dot breathes while the focused
+    # worktree has changes (design_feedback_feb2026.md:339). 0.15 s steps
+    # give ≥13 frames per cycle at the gentlest 2 s period; each frame
+    # ships only the ~1 KB volatile tail, so the cadence is cheap.
+    tab = app.current()
+    if tab is not None:
+        view = tab.active_view()
+        st = view.status if view is not None else None
+        if st is not None and (st.staged or st.unstaged or st.untracked):
+            timeout = min(timeout, PULSE_TIMEOUT)
     return timeout
 
 

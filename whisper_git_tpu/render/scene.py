@@ -302,6 +302,12 @@ class _LayerAccum:
             im[:, 1] += dy
             self.image_chunks.append(im)
             self.image_clip_chunks.append(shifted_clips(chunks.image_clips))
+        if chunks.dyn is not None:
+            # Volatile side: route to this layer's dynamic tail when one
+            # is tracked, else inline AFTER the static content so it still
+            # paints on top of its own panel.
+            (self.dyn if self.dyn is not None else self).splice(
+                chunks.dyn, dx, dy, clip)
 
 
 _CHUNK_UID = [0]
@@ -309,7 +315,14 @@ _CHUNK_UID = [0]
 
 @dataclass
 class SubtreeChunks:
-    """Origin-relative compiled commands of one cached subtree."""
+    """Origin-relative compiled commands of one cached subtree.
+
+    `dyn` carries the subtree's VOLATILE side (El.volatile descendants)
+    as a nested SubtreeChunks: splicing routes it to the target layer's
+    dynamic tail, so an animating element inside a memoized panel (e.g.
+    the header's pulsing dirty dot) changes only the per-frame dyn blob
+    while the static bytes — and every chrome/compose cache keyed on
+    them — stay identical across animation phases."""
 
     shapes: np.ndarray
     shape_clips: np.ndarray
@@ -319,6 +332,7 @@ class SubtreeChunks:
     images: np.ndarray
     image_clips: np.ndarray
     uid: int = -1  # content identity for device-side blob caching
+    dyn: "SubtreeChunks | None" = None
 
     def __post_init__(self):
         _CHUNK_UID[0] += 1
@@ -570,13 +584,20 @@ class SceneCompiler:
         hit = self._subtree_cache.get(key)
         if hit is not None:
             return hit
-        # track_dyn=False: volatile inside a cached subtree stays inline
-        # (the volatile contract applies to top-level chrome only).
-        acc = _LayerAccum(track_dyn=False)
+        # track_dyn=True: volatile descendants freeze into the chunks'
+        # `dyn` side, which splice() routes to the target layer's dynamic
+        # tail — so an animating element inside a memoized panel leaves
+        # the static bytes (and every cache keyed on them) unchanged.
+        acc = _LayerAccum()
         # bounds=None disables viewport culling and nested cache lookups
         # (a cached subtree is compiled in full, exactly once).
         self._walk_into(node, acc, _NOCLIP, None)
         chunks = _freeze_accum(acc, -node.x, -node.y)
+        if acc.dyn is not None:
+            d = _freeze_accum(acc.dyn, -node.x, -node.y)
+            if d.shapes.shape[0] or d.glyphs.shape[0] \
+                    or d.images.shape[0]:
+                chunks.dyn = d
         if len(self._subtree_cache) > 20_000:
             self._subtree_cache.clear()
         self._subtree_cache[key] = chunks
@@ -595,7 +616,10 @@ class SceneCompiler:
                      for c in kids))
         comp = self._window_cache.get(key)
         if comp is None:
-            acc2 = _LayerAccum()
+            # track_dyn=False: a volatile element inside a scroll ROW
+            # inlines into the window comp (device-resident windows have
+            # no dyn side; the row's cache_key must then carry its phase).
+            acc2 = _LayerAccum(track_dyn=False)
             for c in kids:
                 ch = self._subtree_chunks(c)
                 # _NOCLIP: per-row internal clips stay row-relative; the

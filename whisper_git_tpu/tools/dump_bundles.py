@@ -187,6 +187,9 @@ def build_scenes(repo_path: str) -> dict[str, WhisperApp]:
 
 
 def dump_all(out_dir: str, repo_path: str | None = None) -> int:
+    from ..app.views.widgets import freeze_pulse
+
+    freeze_pulse(0.0)  # golden dumps must be byte-deterministic
     os.makedirs(out_dir, exist_ok=True)
     tmp = None
     if repo_path is None:
