@@ -600,3 +600,39 @@ def _walk_el(el):
     yield el
     for ch in getattr(el, "children", ()) or ():
         yield from _walk_el(ch)
+
+
+def test_branch_health_staleness(temp_repo, git):
+    """Branch Health (design_feedback_feb2026.md:173): sidebar labels dim
+    with tip-commit age; HEAD stays full; tips older than the commit walk
+    read as abandoned."""
+    from whisper_git_tpu.app.views.sidebar import branch_health
+
+    tab = make_tab(temp_repo)
+    # Fresh commit → active; HEAD always active.
+    tip = next(t for t in tab.branch_tips if t.is_head)
+    assert branch_health(tab, tip.oid, True) == 1.0
+    assert branch_health(tab, tip.oid, False) == 1.0
+    # Unknown oid (outside the walk) → abandoned.
+    assert branch_health(tab, "f" * 40, False) == 0.35
+
+    # An old branch: commit with a 40-day-old timestamp.
+    import subprocess as sp
+    import time as _time
+    old = int(_time.time()) - 40 * 86400
+    env = dict(os.environ, GIT_AUTHOR_DATE=str(old),
+               GIT_COMMITTER_DATE=str(old))
+    sp.run(["git", "-C", temp_repo, "checkout", "-qb", "aging"],
+           check=True, capture_output=True)
+    with open(os.path.join(temp_repo, "aging.txt"), "w") as f:
+        f.write("x\n")
+    sp.run(["git", "-C", temp_repo, "add", "-A"], check=True,
+           capture_output=True)
+    sp.run(["git", "-C", temp_repo, "commit", "-qm", "old work"],
+           check=True, capture_output=True, env=env)
+    sp.run(["git", "-C", temp_repo, "checkout", "-q", "main"],
+           check=True, capture_output=True)
+    tab.refresh_sync()
+    aging = next(t for t in tab.branch_tips if t.name == "aging")
+    assert branch_health(tab, aging.oid, False) == 0.55
+    tab.stop_workers()

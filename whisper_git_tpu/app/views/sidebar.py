@@ -25,11 +25,40 @@ def item_h(tab) -> float:
     return ITEM_H * getattr(tab, "row_scale", 1.0)
 
 
+def branch_health(tab, oid: str, is_head: bool) -> float:
+    """Branch staleness → label opacity (adapted from the reference
+    design review's "Branch Health" line styling,
+    design_feedback_feb2026.md:173-181): active full, aging 0.8,
+    stale 0.55, abandoned/off-walk 0.35. HEAD is always active."""
+    import time as _time
+
+    if is_head:
+        return 1.0
+    ts_map = getattr(tab, "_tip_ts_memo", None)
+    lv = getattr(tab, "layout_version", 0)
+    if ts_map is None or ts_map[0] != lv:
+        ts_map = (lv, {c.oid: c.timestamp for c in tab.commits
+                       if not c.is_synthetic})
+        tab._tip_ts_memo = ts_map
+    ts = ts_map[1].get(oid)
+    if ts is None:
+        return 0.35  # older than the 1000-commit walk: abandoned
+    age = _time.time() - ts
+    if age < 7 * 86400:
+        return 1.0
+    if age < 28 * 86400:
+        return 0.8
+    if age < 90 * 86400:
+        return 0.55
+    return 0.35
+
+
 def _sidebar_key(tab) -> tuple:
     """Every pixel-affecting input of the sidebar panel."""
     return (
         "sidebar", tab.tab_id,
-        tuple((t.name, t.is_remote, t.is_head, t.ahead, t.behind)
+        tuple((t.name, t.is_remote, t.is_head, t.ahead, t.behind,
+               branch_health(tab, t.oid, t.is_head))
               for t in tab.branch_tips),
         tuple(sorted((br, p.number, p.draft)
                      for br, p in tab.pr_by_branch.items())),
@@ -72,13 +101,14 @@ def _section_header(tab, key: str, label: str, count: int,
 
 def _item_row(label: str, route: str, *, selected=False, current=False,
               badge: str = "", dirty=False, route_right: str | None = None,
-              muted=False, pr=None, row_h: float = 24.0) -> El:
+              muted=False, pr=None, row_h: float = 24.0,
+              health: float = 1.0) -> El:
     fg = (T.accent if current else T.text_muted if muted else T.text)
     cells: list[El] = []
     if current:
         cells.append(rect(width=3, height="fill", fill=T.accent, radius=1))
     cells.append(text(label[:34], font_size=T.font_size, color=fg,
-                      bold=current))
+                      bold=current, opacity=health))
     if dirty:
         cells.append(rect(width=7, height=7, radius=3.5, fill=T.warning))
     if pr is not None:
@@ -132,7 +162,8 @@ def _sidebar_impl(tab) -> El:
                 current=tip.is_head,
                 selected=tab.selected_sidebar_key == f"branch:{tip.name}",
                 badge=badge, route_right=f"menu-branch:{tip.name}",
-                pr=tab.pr_by_branch.get(tip.name)))
+                pr=tab.pr_by_branch.get(tip.name),
+                health=branch_health(tab, tip.oid, tip.is_head)))
 
     remotes = [t for t in tab.branch_tips if t.is_remote]
     by_remote: dict[str, list] = defaultdict(list)
@@ -152,7 +183,8 @@ def _sidebar_impl(tab) -> El:
                         "  " + tip.name.split("/", 1)[1],
                         f"checkout-remote:{tip.name}",
                         selected=tab.selected_sidebar_key == f"remote:{tip.name}",
-                        route_right=f"menu-remote-branch:{tip.name}"))
+                        route_right=f"menu-remote-branch:{tip.name}",
+                        health=branch_health(tab, tip.oid, False)))
 
     rows.append(_section_header(tab, "tags", "TAGS", len(tab.tags),
                                 "open-tag-dialog"))
