@@ -636,3 +636,68 @@ def test_branch_health_staleness(temp_repo, git):
     aging = next(t for t in tab.branch_tips if t.name == "aging")
     assert branch_health(tab, aging.oid, False) == 0.55
     tab.stop_workers()
+
+
+def test_commit_range_compare(temp_repo, git):
+    """Range selection + compare (design_feedback_feb2026.md:492): set an
+    anchor, compare with another commit → combined diff, row wash,
+    Escape ladder clears."""
+    # Three commits touching different files.
+    for i in (1, 2):
+        with open(os.path.join(temp_repo, f"c{i}.txt"), "w") as f:
+            f.write(f"content {i}\n")
+        git(temp_repo, "add", "-A")
+        git(temp_repo, "commit", "-m", f"commit {i}")
+    app = make_app(temp_repo)
+    tab = app.current()
+    newest, mid, oldest = [c.oid for c in tab.commits[:3]]
+
+    # Context-menu path: anchor at oldest, compare with newest.
+    app.handle_action(f"compare-set-anchor:{oldest}")
+    assert tab.range_anchor == oldest
+    app.handle_action(f"compare-with-anchor:{newest}")
+    assert tab.compare_range == (oldest, newest)
+    assert app.diff_open and app.diff_source == "range"
+    assert "2 commits" in app.diff_title
+    paths = {f.path for f in app.diff_files}
+    assert paths == {"c1.txt", "c2.txt"}
+
+    # Rows between the endpoints carry the accent wash.
+    from whisper_git_tpu.ui.layout import layout_tree
+    root = layout_tree(app.build((1280.0, 800.0)), (1280, 800))
+    del root
+
+    # Shift+click path: select newest, shift-click oldest.
+    tab.compare_range = None
+    tab.select_commit(newest)
+    app.shift_click = True
+    app._act_select_commit(oldest, 0, 0)
+    app.shift_click = False
+    assert tab.compare_range == (oldest, newest)
+
+    # Escape: diff → range → selection.
+    app.on_key("Escape")
+    assert not app.diff_open and tab.compare_range is not None
+    app.on_key("Escape")
+    assert tab.compare_range is None and tab.range_anchor is None
+    assert tab.selected_oid is not None
+    app.on_key("Escape")
+    assert tab.selected_oid is None
+    for tb in app.tabs:
+        tb.stop_workers()
+
+
+def test_range_diff_gitcore(temp_repo, git):
+    from whisper_git_tpu.gitcore.diff import range_commit_count, range_diff
+
+    with open(os.path.join(temp_repo, "x.txt"), "w") as f:
+        f.write("a\n")
+    git(temp_repo, "add", "-A")
+    git(temp_repo, "commit", "-m", "add x")
+    tab = make_tab(temp_repo)
+    head, base = tab.commits[0].oid, tab.commits[1].oid
+    files = range_diff(tab.repo, base, head)
+    assert [f.path for f in files] == ["x.txt"]
+    assert range_commit_count(tab.repo, base, head) == 1
+    assert range_commit_count(tab.repo, head, base) == 0
+    tab.stop_workers()

@@ -124,6 +124,11 @@ class RepoTab:
 
         # Selection / detail.
         self.selected_oid: Optional[str] = None
+        # Commit-range compare (design_feedback_feb2026.md:492: richer
+        # selection model): anchor picked via Shift+click or context menu;
+        # compare_range = (base_oid, head_oid) while the compare is open.
+        self.range_anchor: Optional[str] = None
+        self.compare_range: Optional[tuple] = None
         self.commit_detail: Optional[FullCommitInfo] = None
         self.detail_file: Optional[str] = None
 

@@ -110,6 +110,7 @@ class WhisperApp:
         self.selection_text = ""        # clipboard fallback
         self.primary_selection = ""     # PRIMARY store (middle-click paste)
         self._focus_route_hit = False   # set when a click lands on an input
+        self.shift_click = False        # Shift held on the current click
         self.input_anchor: Optional[int] = None  # selection anchor (None = no selection)
         self.quit_requested = False
         self._last_viewport = (1280.0, 800.0)
@@ -495,7 +496,15 @@ class WhisperApp:
         if tab is None:
             return
         self.focus = "graph"
+        # Shift+click with an existing selection → range compare
+        # (design_feedback_feb2026.md:492; terminals that swallow
+        # Shift+click reach the same via the commit context menu).
+        if (self.shift_click and tab.selected_oid
+                and arg and arg != tab.selected_oid):
+            self._open_range_compare(tab.selected_oid, arg)
+            return
         tab.select_commit(arg)
+        tab.compare_range = None
         self.diff_open = False
         if tab.selected_oid == arg:
             try:
@@ -504,6 +513,49 @@ class WhisperApp:
                 self.diff_title = f"Commit {arg[:8]}"
             except Exception:
                 self.diff_files = []
+
+    def _open_range_compare(self, a: str, b: str) -> None:
+        """Open the combined diff between two commits, oldest as base
+        (commits list is newest-first)."""
+        from ..gitcore.diff import range_commit_count, range_diff
+
+        tab = self.current()
+        if tab is None:
+            return
+        order = {c.oid: i for i, c in enumerate(tab.commits)}
+        ia, ib = order.get(a), order.get(b)
+        if ia is not None and ib is not None and ia < ib:
+            base, head = b, a   # larger index = older = base
+        else:
+            base, head = a, b
+        try:
+            files = range_diff(tab.repo, base, head)
+            n = range_commit_count(tab.repo, base, head)
+        except Exception as exc:
+            self.toast("error", f"Compare failed: {exc}")
+            return
+        tab.compare_range = (base, head)
+        tab.range_anchor = None
+        tab.select_commit(head)
+        self.diff_files = files
+        self.diff_source = "range"
+        self.diff_title = (f"{base[:8]}..{head[:8]} · {n} commit"
+                           f"{'s' if n != 1 else ''}")
+        self.diff_open = True
+
+    def _act_compare_set_anchor(self, arg, x, y):
+        tab = self.current()
+        if tab is None:
+            return
+        tab.range_anchor = arg
+        self.toast("info",
+                   f"Compare anchor {arg[:8]} — pick the other commit")
+
+    def _act_compare_with_anchor(self, arg, x, y):
+        tab = self.current()
+        if tab is None or not tab.range_anchor:
+            return
+        self._open_range_compare(tab.range_anchor, arg)
 
     def _act_jump_to(self, arg, x, y):
         self._act_select_commit(arg, x, y)
@@ -1242,6 +1294,14 @@ class WhisperApp:
             items=[
                 MenuItem("Copy SHA", f"copy-sha:{oid}"),
                 MenuItem("View Details", f"view-details:{oid}"),
+                (MenuItem("Compare with anchor "
+                          f"{self.current().range_anchor[:8]}",
+                          f"compare-with-anchor:{oid}")
+                 if self.current() is not None
+                 and self.current().range_anchor
+                 and self.current().range_anchor != oid else
+                 MenuItem("Compare: set anchor here",
+                          f"compare-set-anchor:{oid}")),
                 MenuItem("Checkout (detached)", f"checkout-detached:{oid}",
                          separator_before=True),
                 MenuItem("Create Branch here…", f"open-branch-dialog:{oid}"),
@@ -2218,6 +2278,10 @@ class WhisperApp:
                 self.focused_input = ""
             elif self.diff_open:
                 self.diff_open = False
+            elif tab is not None and (tab.compare_range
+                                      or tab.range_anchor):
+                tab.compare_range = None
+                tab.range_anchor = None
             elif tab is not None and tab.selected_oid:
                 tab.select_commit(None)
             else:

@@ -175,8 +175,24 @@ def build_row(tab, index: int, segments_by_row: dict,
         ref_memo = (lv, {k: tuple(v) for k, v in tips_by_oid.items()},
                     {k: tuple(v) for k, v in tags_by_oid.items()})
         tab._row_ref_memo = ref_memo
+    # Compare-range membership: rows between the two selected endpoints
+    # get an accent wash (design_feedback_feb2026.md:492 selection model).
+    rng = tab.compare_range
+    in_range = False
+    if rng is not None:
+        rmemo = getattr(tab, "_range_rows_memo", None)
+        if rmemo is None or rmemo[0] != lv or rmemo[1] != rng:
+            order = {c.oid: i for i, c in enumerate(tab.commits)}
+            ib, ih = order.get(rng[0]), order.get(rng[1])
+            bounds = ((min(ib, ih), max(ib, ih))
+                      if ib is not None and ih is not None else None)
+            rmemo = (lv, rng, bounds)
+            tab._range_rows_memo = rmemo
+        b = rmemo[2]
+        in_range = b is not None and b[0] <= index <= b[1]
     cache_key = (
         "history-row", commit.oid, index % 2, selected, bool(dimmed),
+        in_range,
         commit.additions, commit.deletions, rh,
         (tab.tab_id, lv),  # new layout → new prims
         ref_memo[1].get(commit.oid, ()),
@@ -221,7 +237,9 @@ def build_row(tab, index: int, segments_by_row: dict,
 
     zebra = (T.surface if index % 2 == 1 else T.background)
     bg = (T.surface_hover if selected else
-          (0.92, 0.75, 0.25, 0.10) if commit.is_synthetic else zebra)
+          (0.92, 0.75, 0.25, 0.10) if commit.is_synthetic else
+          (T.accent[0], T.accent[1], T.accent[2], 0.10) if in_range
+          else zebra)
 
     # Graph column shadow: a 3-step alpha falloff on the right edge of
     # the lane area (reference README: "Graph column shadow on right edge

@@ -228,6 +228,28 @@ def commit_diff(repo: GitRepo, oid: str) -> list[DiffFile]:
     return parse_unified_diff(out.stdout)
 
 
+def range_diff(repo: GitRepo, base: str, head: str) -> list[DiffFile]:
+    """Combined diff of `head` relative to `base` — the compare view for
+    a commit-range selection (reference design review's richer selection
+    model, design_feedback_feb2026.md:492-506; the reference itself only
+    ever diffs one commit against its parent)."""
+    out = run_git(repo.root, "diff", *_DIFF_ARGS, base, head, "--",
+                  check=False)
+    if not out.ok:
+        return []
+    return parse_unified_diff(out.stdout)
+
+
+def range_commit_count(repo: GitRepo, base: str, head: str) -> int:
+    """Number of commits reachable from head but not base."""
+    out = run_git(repo.root, "rev-list", "--count", f"{base}..{head}",
+                  check=False)
+    try:
+        return int(out.stdout.strip()) if out.ok else 0
+    except ValueError:
+        return 0
+
+
 def file_in_commit_diff(repo: GitRepo, oid: str, path: str) -> list[DiffFile]:
     """Single file within a commit (reference: diff.rs:107)."""
     out = run_git(repo.root, "show", *_DIFF_ARGS, "--format=", "-m",

@@ -62,7 +62,11 @@ def _route_mouse(app, runner, display, ev) -> bool:
     if ev.kind == "down":
         if ev.button == "middle":
             app._focus_route_hit = False
-        runner.pointer_down(x, y, button=ev.button)
+        app.shift_click = bool(ev.shift)
+        try:
+            runner.pointer_down(x, y, button=ev.button)
+        finally:
+            app.shift_click = False
         if ev.button == "middle":
             # Middle-click pastes the PRIMARY selection into the input
             # under the click — and only there (reference:

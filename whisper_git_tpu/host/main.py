@@ -25,7 +25,7 @@ SCREENSHOT_STATES = [
     "welcome", "history", "history-search", "commit-menu", "diff",
     "settings", "open-repo", "confirm", "error", "clone", "token",
     "token-edit", "context-menu", "many-worktrees", "many-worktrees-open",
-    "palette", "rebase-i", "pr", "rewind",
+    "palette", "rebase-i", "pr", "rewind", "compare",
 ]
 
 
@@ -139,6 +139,10 @@ def apply_screenshot_state(app: WhisperApp, state: str) -> None:
             entries[2].action = "drop"
         app.modal = ("rebase-i", dialogs.RebaseIForm(
             onto=plan[0].oid if plan else "HEAD~4", entries=entries))
+    elif state == "compare" and tab is not None and len(tab.commits) >= 3:
+        real = [c for c in tab.commits if not c.is_synthetic]
+        if len(real) >= 3:
+            app._open_range_compare(real[2].oid, real[0].oid)
     elif state == "rewind" and tab is not None:
         # Synthetic timeline: a working session of cadence + op-labeled
         # snapshots ending at NOW, scrubbed back two steps.
