@@ -701,3 +701,106 @@ def test_range_diff_gitcore(temp_repo, git):
     assert range_commit_count(tab.repo, base, head) == 1
     assert range_commit_count(tab.repo, head, base) == 0
     tab.stop_workers()
+
+
+def test_compare_branch_with_current(temp_repo, git):
+    git(temp_repo, "checkout", "-b", "other")
+    with open(os.path.join(temp_repo, "o.txt"), "w") as f:
+        f.write("o\n")
+    git(temp_repo, "add", "-A")
+    git(temp_repo, "commit", "-m", "other work")
+    git(temp_repo, "checkout", "main")
+    app = make_app(temp_repo)
+    tab = app.current()
+    # From main, comparing the 'other' branch against HEAD shows o.txt
+    # as present on other / absent here.
+    app.handle_action("compare-branch:other")
+    assert app.diff_open and app.diff_source == "range"
+    assert {f.path for f in app.diff_files} == {"o.txt"}
+    # Menu offers the item.
+    app.handle_action("menu-branch:other")
+    labels = [i.label for i in app.context_menu.items]
+    assert "Compare with Current" in labels
+    for tb in app.tabs:
+        tb.stop_workers()
+
+
+def _make_submodule_pair(tmp_path, git):
+    """Parent repo with a submodule whose workdir has drifted one commit
+    past the pinned gitlink."""
+    import subprocess as sp
+    sub_src = str(tmp_path / "subsrc")
+    os.makedirs(sub_src)
+    git(sub_src, "init", "-b", "main")
+    git(sub_src, "config", "user.email", "t@t.t")
+    git(sub_src, "config", "user.name", "T")
+    with open(os.path.join(sub_src, "lib.txt"), "w") as f:
+        f.write("v1\n")
+    git(sub_src, "add", "-A")
+    git(sub_src, "commit", "-m", "lib v1")
+
+    parent = str(tmp_path / "parent")
+    os.makedirs(parent)
+    git(parent, "init", "-b", "main")
+    git(parent, "config", "user.email", "t@t.t")
+    git(parent, "config", "user.name", "T")
+    with open(os.path.join(parent, "app.txt"), "w") as f:
+        f.write("app\n")
+    git(parent, "add", "-A")
+    git(parent, "commit", "-m", "app")
+    sp.run(["git", "-C", parent, "-c", "protocol.file.allow=always",
+            "submodule", "add", sub_src, "vendor"],
+           check=True, capture_output=True)
+    git(parent, "commit", "-m", "add submodule")
+    # Drift: advance the submodule workdir one commit past the pin.
+    subwd = os.path.join(parent, "vendor")
+    git(subwd, "config", "user.email", "t@t.t")
+    git(subwd, "config", "user.name", "T")
+    with open(os.path.join(subwd, "lib.txt"), "w") as f:
+        f.write("v2\n")
+    git(subwd, "add", "-A")
+    git(subwd, "commit", "-m", "lib v2")
+    return parent
+
+
+def test_submodule_drift_menu_and_diff(tmp_path, git):
+    """Pin-drift operations (design_feedback_feb2026.md:469): drifted
+    submodules offer Show Diff from Expected + Stage Pointer Change; the
+    diff shows the submodule's own content change."""
+    parent = _make_submodule_pair(tmp_path, git)
+    app = make_app(parent)
+    tab = app.current()
+    sub = next(s for s in tab.submodules if s.path == "vendor")
+    assert sub.head_oid and sub.workdir_oid
+    assert sub.head_oid != sub.workdir_oid
+
+    app.handle_action("menu-submodule:vendor")
+    labels = [i.label for i in app.context_menu.items]
+    assert "Show Diff from Expected" in labels
+    assert "Stage Pointer Change" in labels
+
+    app.handle_action("submodule-drift-diff:vendor")
+    assert app.diff_open
+    assert "(expected)" in app.diff_title
+    assert {f.path for f in app.diff_files} == {"lib.txt"}
+
+    app.handle_action("stage-submodule-pointer:vendor")
+    from whisper_git_tpu.gitcore.status import status as _status
+    staged = _status(tab.repo, exclude_submodules=False).staged
+    assert "vendor" in {e.path for e in staged}
+    for tb in app.tabs:
+        tb.stop_workers()
+
+
+def test_submodule_clean_has_no_drift_items(tmp_path, git):
+    parent = _make_submodule_pair(tmp_path, git)
+    import subprocess as sp
+    # Reset the submodule back to the pin: no drift items.
+    sp.run(["git", "-C", parent, "submodule", "update", "--init"],
+           check=True, capture_output=True)
+    app = make_app(parent)
+    app.handle_action("menu-submodule:vendor")
+    labels = [i.label for i in app.context_menu.items]
+    assert "Show Diff from Expected" not in labels
+    for tb in app.tabs:
+        tb.stop_workers()

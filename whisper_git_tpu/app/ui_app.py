@@ -557,6 +557,18 @@ class WhisperApp:
             return
         self._open_range_compare(tab.range_anchor, arg)
 
+    def _act_compare_branch(self, arg, x, y):
+        """Branch label → combined diff of that branch tip vs HEAD."""
+        tab = self.current()
+        if tab is None or not tab.head_oid:
+            return
+        tip = next((t for t in tab.branch_tips
+                    if t.name == arg and not t.is_remote), None)
+        if tip is None or tip.oid == tab.head_oid:
+            self.toast("info", "Nothing to compare")
+            return
+        self._open_range_compare(tip.oid, tab.head_oid)
+
     def _act_jump_to(self, arg, x, y):
         self._act_select_commit(arg, x, y)
 
@@ -1323,6 +1335,9 @@ class WhisperApp:
             MenuItem("Checkout", f"checkout-branch:{arg}"),
             MenuItem("Merge into Current…", f"open-merge-dialog:{arg}"),
             MenuItem("Rebase Current onto…", f"open-rebase-dialog:{arg}"),
+            # "Compare with..." on branch labels
+            # (design_feedback_feb2026.md:461-466).
+            MenuItem("Compare with Current", f"compare-branch:{arg}"),
         ]
         # PR integration (beyond-reference: Deferred in user_needs.md).
         tab = self.current()
@@ -1388,14 +1403,66 @@ class WhisperApp:
             items=items, x=x, y=y, target=f"worktree:{arg}")
 
     def _act_menu_submodule(self, arg, x, y):
+        items = [
+            MenuItem("Open", f"enter-submodule:{arg}"),
+            MenuItem("Open in Terminal", f"open-terminal:{arg}"),
+            MenuItem("Update (to expected commit)",
+                     f"update-submodule:{arg}"),
+        ]
+        # Pin-drift operations (design_feedback_feb2026.md:469-474): only
+        # offered when the workdir points somewhere else than the pin.
+        tab = self.current()
+        sub = next((s for s in (tab.submodules if tab else [])
+                    if s.path == arg), None)
+        if (sub is not None and sub.head_oid and sub.workdir_oid
+                and sub.head_oid != sub.workdir_oid):
+            items += [
+                MenuItem("Show Diff from Expected",
+                         f"submodule-drift-diff:{arg}",
+                         separator_before=True),
+                MenuItem("Stage Pointer Change",
+                         f"stage-submodule-pointer:{arg}"),
+            ]
+        items.append(MenuItem("Remove", f"confirm-remove-submodule:{arg}",
+                              destructive=True, separator_before=True))
         self.context_menu = ContextMenuState(
-            items=[
-                MenuItem("Open", f"enter-submodule:{arg}"),
-                MenuItem("Open in Terminal", f"open-terminal:{arg}"),
-                MenuItem("Update", f"update-submodule:{arg}"),
-                MenuItem("Remove", f"confirm-remove-submodule:{arg}",
-                         destructive=True),
-            ], x=x, y=y, target=f"submodule:{arg}")
+            items=items, x=x, y=y, target=f"submodule:{arg}")
+
+    def _act_submodule_drift_diff(self, arg, x, y):
+        """Combined diff inside the submodule between the pinned gitlink
+        (expected) and its actual workdir HEAD."""
+        import os as _os
+
+        from ..gitcore.diff import range_diff
+        from ..gitcore.repo import GitRepo
+
+        tab = self.current()
+        sub = next((s for s in (tab.submodules if tab else [])
+                    if s.path == arg), None)
+        if sub is None or not (sub.head_oid and sub.workdir_oid):
+            return
+        try:
+            sub_repo = GitRepo.open(
+                _os.path.join(tab.repo.workdir or "", arg))
+            self.diff_files = range_diff(sub_repo, sub.head_oid,
+                                         sub.workdir_oid)
+        except Exception as exc:
+            self.toast("error", f"Submodule diff failed: {exc}")
+            return
+        self.diff_source = "range"
+        self.diff_title = (f"{sub.name}: {sub.head_oid[:8]} (expected) → "
+                           f"{sub.workdir_oid[:8]} (actual)")
+        self.diff_open = True
+
+    def _act_stage_submodule_pointer(self, arg, x, y):
+        """Stage the submodule's moved gitlink in the parent index."""
+        from ..gitcore import status as gstatus
+
+        tab = self.current()
+        if tab is None:
+            return
+        self.run_sync_op(f"Stage {arg} pointer",
+                         lambda: gstatus.stage_file(tab.repo, arg))
 
     def _act_menu_file(self, arg, x, y):
         bucket, _, path = arg.partition(":")
