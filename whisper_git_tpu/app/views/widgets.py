@@ -188,7 +188,12 @@ def freeze_pulse(at: float | None) -> None:
 
 
 def pulse_alpha(n_dirty: int, now: float | None = None) -> float:
-    """Sinusoidal 0.35‥1.0 opacity at the count-scaled period."""
+    """Sinusoidal 0.35‥1.0 opacity at the count-scaled period, QUANTIZED
+    to 1/16 steps: discrete opacities recur every cycle, so the per-frame
+    volatile blob's content hash recurs too and the device-resident blob
+    cache keeps steady-state frames at zero upload (a continuous alpha
+    made every frame's blob novel — one ~0.4 ms tunnel upload per frame,
+    measurably dropping bench throughput)."""
     import math
 
     if now is None:
@@ -196,7 +201,8 @@ def pulse_alpha(n_dirty: int, now: float | None = None) -> float:
             else time.monotonic()
     period = pulse_period(n_dirty)
     t = now % period
-    return 0.675 + 0.325 * math.sin(2.0 * math.pi * t / period)
+    a = 0.675 + 0.325 * math.sin(2.0 * math.pi * t / period)
+    return round(a * 16.0) / 16.0
 
 
 def input_text_el(value: str, cursor, anchor, caret_on: bool,

@@ -526,7 +526,9 @@ def render_frame_composed(scene, font_tex, image_atlas):
     blob_dev = _lru_get(_BLOB_DEV_CACHE, bkey)
     if blob_dev is None or blob_dev.shape != blob.shape:
         blob_dev = jnp.asarray(blob)
-        while len(_BLOB_DEV_CACHE) > 128:
+        # ~1 KB device arrays; 512 entries cover scroll-offset × pulse-
+        # phase combinations so animated steady states still recur.
+        while len(_BLOB_DEV_CACHE) > 512:
             _BLOB_DEV_CACHE.pop(next(iter(_BLOB_DEV_CACHE)))
         _BLOB_DEV_CACHE[bkey] = blob_dev
     meta = (plan["ops"], dyn_meta, len(starts))
