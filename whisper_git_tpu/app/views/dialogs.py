@@ -463,14 +463,16 @@ _HELP_SECTIONS = (
         ("Ctrl+O / Ctrl+W", "Open / close repository tab"),
         ("Ctrl+Tab / Ctrl+Shift+Tab", "Next / previous tab"),
         ("Tab", "Cycle focus: graph → staging → sidebar"),
-        ("Ctrl+P / Ctrl+K", "Command palette"),
+        ("Ctrl+P / Ctrl+K", "Command palette (incl. Project Rewind)"),
         ("Ctrl+S / Ctrl+Shift+S", "Stash push / pop"),
+        ("Middle-click", "Paste PRIMARY into clicked input"),
         ("Escape", "Close topmost surface, then exit"),
     )),
     ("COMMIT GRAPH", (
         ("j / k, PageUp / PageDown", "Navigate commits"),
         ("Enter", "Select commit (details + diff)"),
         ("/ or Ctrl+F", "Search (dims non-matches)"),
+        ("Shift+click / menu anchor", "Compare two commits (range diff)"),
         ("Right-click", "Commit context menu"),
     )),
     ("SIDEBAR", (
