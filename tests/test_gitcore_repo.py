@@ -446,3 +446,45 @@ def test_discard_hunk(temp_repo):
     res = discard_hunk(repo, "README.md", files[0].hunks[0])
     assert res.success, res.stderr
     assert open(p).read() == "hello\n"
+
+
+def test_commit_diff_rename_binary_unicode(temp_repo, git):
+    """End-to-end parser regression: a commit mixing a rename of a
+    unicode/spaced path, a binary change, and a mode-only change must
+    surface rename old→new, the binary flag, and keep parsing (the
+    compare view feeds arbitrary ranges through this parser)."""
+    import os
+    import subprocess as sp
+
+    from whisper_git_tpu.gitcore.diff import commit_diff
+    from whisper_git_tpu.gitcore.types import FileStatus
+
+    d = temp_repo
+    with open(os.path.join(d, "naïve café.txt"), "w") as f:
+        f.write("hello\nworld\n")
+    with open(os.path.join(d, "bin.dat"), "wb") as f:
+        f.write(bytes(range(256)))
+    with open(os.path.join(d, "script.sh"), "w") as f:
+        f.write("#!/bin/sh\necho hi\n")
+    git(d, "add", "-A")
+    git(d, "commit", "-m", "base")
+    os.rename(os.path.join(d, "naïve café.txt"),
+              os.path.join(d, "renamed ünïcode.txt"))
+    with open(os.path.join(d, "renamed ünïcode.txt"), "a") as f:
+        f.write("extra\n")
+    with open(os.path.join(d, "bin.dat"), "wb") as f:
+        f.write(bytes(range(255, -1, -1)))
+    os.chmod(os.path.join(d, "script.sh"), 0o755)
+    git(d, "add", "-A")
+    git(d, "commit", "-m", "changes")
+
+    repo = GitRepo.open(d)
+    head = sp.run(["git", "-C", d, "rev-parse", "HEAD"],
+                  capture_output=True, text=True).stdout.strip()
+    by_path = {f.path: f for f in commit_diff(repo, head)}
+    assert by_path["bin.dat"].is_binary
+    ren = by_path["renamed ünïcode.txt"]
+    assert ren.status == FileStatus.RENAMED
+    assert ren.old_path == "naïve café.txt"
+    assert ren.additions == 1
+    assert "script.sh" in by_path  # mode-only change still listed
