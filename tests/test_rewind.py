@@ -215,3 +215,33 @@ def test_rewind_disabled_records_nothing(temp_repo, tmp_path, monkeypatch):
     assert tab.rewind_log is None
     for tb in app.tabs:
         tb.stop_workers()
+
+
+def test_welcome_back_toast(temp_repo, tmp_path, monkeypatch):
+    """Context restoration (design_feedback_feb2026.md:428): when the
+    last session's snapshot is old, the first poll of a new session
+    toasts where the user left off."""
+    monkeypatch.setenv("XDG_STATE_HOME", str(tmp_path / "state"))
+    app = _make_app(temp_repo)
+    tab = app.current()
+    # Seed yesterday's final state into the log.
+    log = app._rewind_log(tab)
+    log.record(RewindSnapshot(ts=time.time() - 7200, head_oid="a" * 40,
+                              branch="feature/auth",
+                              unstaged=("auth.py",),
+                              label="after pulled"))
+    tab.last_rewind = 0.0
+    app._poll_safety_nets(tab, time.monotonic())
+    msgs = [t.message for t in app.toasts]
+    assert any("Welcome back: 2h ago" in m and "feature/auth" in m
+               and "1 modified" in m and "after pulled" in m
+               for m in msgs), msgs
+    # Fresh sessions (recent snapshot) stay quiet.
+    app2 = _make_app(temp_repo)
+    tab2 = app2.current()
+    tab2.last_rewind = 0.0
+    app2._poll_safety_nets(tab2, time.monotonic())
+    assert not any("Welcome back" in t.message for t in app2.toasts)
+    for a in (app, app2):
+        for tb in a.tabs:
+            tb.stop_workers()

@@ -1208,6 +1208,31 @@ class WhisperApp:
         except Exception:
             pass  # snapshotting must never break the frame loop
 
+    def _welcome_back(self, tab) -> None:
+        """'Welcome back — here's where you left off': built from the
+        last session's final Rewind snapshot when it's ≥30 min old."""
+        try:
+            snaps = self._rewind_log(tab).snapshots
+        except Exception:
+            return
+        if not snaps:
+            return
+        last = snaps[-1]
+        gap = time.time() - last.ts
+        if gap < 1800:
+            return
+        if gap < 86400:
+            ago = f"{int(gap // 3600)}h" if gap >= 3600 \
+                else f"{int(gap // 60)}m"
+        else:
+            ago = f"{int(gap // 86400)}d"
+        where = last.branch or "(detached)"
+        state = last.dirty_summary()
+        label = f" — {last.label}" if last.label else ""
+        self.toast("info",
+                   f"Welcome back: {ago} ago you were on {where} "
+                   f"({state}){label}")
+
     def _act_open_rewind(self, arg, x, y):
         tab = self.current()
         if tab is None:
@@ -2088,6 +2113,12 @@ class WhisperApp:
                 tab.pending_rewind_label = ""
                 tab.last_rewind = now
             elif now - tab.last_rewind > CADENCE_SECS:
+                if tab.last_rewind == 0.0:
+                    # First snapshot of this session: before taking it,
+                    # say where the user left off (context restoration,
+                    # design_feedback_feb2026.md:428 — deterministic from
+                    # the Rewind log, no LLM round-trip needed).
+                    self._welcome_back(tab)
                 tab.last_rewind = now
                 self._record_rewind(tab)
         # Diff-stats drain.
