@@ -225,6 +225,18 @@ def build_row(tab, index: int, segments_by_row: dict,
                                         else 0.0)
             tone = (None if commit.is_synthetic or commit.is_orphan
                     else _delta_tone(commit))
+            # "The Comet" (design_feedback_feb2026.md:348-356): a tapered
+            # fading tail toward the parent, longer/brighter with commit
+            # size — drawn under the node so the joint stays clean.
+            if (not commit.is_synthetic and commit.parents
+                    and commit.additions is not None):
+                tail = min(2.0 * _node_radius(commit), rh - (cy - row_top))
+                c = node_color
+                for frac, w, a in ((0.45, 3.8, 0.55), (0.75, 2.6, 0.30),
+                                   (1.0, 1.6, 0.14)):
+                    prims.append(("vline", cx, cy - row_top,
+                                  cy - row_top + tail * frac, w,
+                                  (c[0], c[1], c[2], a)))
             if tone is not None:
                 # Dual-tone: +/- ratio ring around the lane-colored core.
                 prims.append(("circle", cx, cy - row_top, r, tone))
