@@ -804,3 +804,34 @@ def test_submodule_clean_has_no_drift_items(tmp_path, git):
     assert "Show Diff from Expected" not in labels
     for tb in app.tabs:
         tb.stop_workers()
+
+
+def test_compare_wash_excludes_interleaved_branch(temp_repo, git):
+    """The range wash uses the EXACT rev-list set: a side-branch commit
+    interleaved in the dated log must not be marked as part of
+    base..head on main."""
+    with open(os.path.join(temp_repo, "m1.txt"), "w") as f:
+        f.write("m1\n")
+    git(temp_repo, "add", "-A")
+    git(temp_repo, "commit", "-m", "main 1")
+    git(temp_repo, "checkout", "-b", "side")
+    with open(os.path.join(temp_repo, "s.txt"), "w") as f:
+        f.write("s\n")
+    git(temp_repo, "add", "-A")
+    git(temp_repo, "commit", "-m", "side work")
+    git(temp_repo, "checkout", "main")
+    with open(os.path.join(temp_repo, "m2.txt"), "w") as f:
+        f.write("m2\n")
+    git(temp_repo, "add", "-A")
+    git(temp_repo, "commit", "-m", "main 2")
+
+    app = make_app(temp_repo)
+    tab = app.current()
+    side_oid = next(t.oid for t in tab.branch_tips if t.name == "side")
+    main_commits = [c for c in tab.commits if c.oid != side_oid]
+    base, head = main_commits[2].oid, main_commits[0].oid
+    app._open_range_compare(base, head)
+    assert head in tab.compare_set and base in tab.compare_set
+    assert side_oid not in tab.compare_set
+    for tb in app.tabs:
+        tb.stop_workers()

@@ -130,8 +130,10 @@ def test_snapshot_of_tab_and_cadence(temp_repo, tmp_path, monkeypatch):
     assert snap is not None and snap.branch == "main"
     assert snap.head_oid == tab.head_oid
 
-    # Cadence recording through the poll loop's safety-net pass.
+    # Cadence recording through the poll loop's safety-net pass (status
+    # net kept quiet so the tab counts as settled in this pass).
     tab.last_rewind = 0.0
+    tab.last_status_query = time.monotonic()
     app._poll_safety_nets(tab, time.monotonic())
     assert tab.rewind_log is not None
     assert len(tab.rewind_log.snapshots) == 1
@@ -231,6 +233,7 @@ def test_welcome_back_toast(temp_repo, tmp_path, monkeypatch):
                               unstaged=("auth.py",),
                               label="after pulled"))
     tab.last_rewind = 0.0
+    tab.last_status_query = time.monotonic()
     app._poll_safety_nets(tab, time.monotonic())
     msgs = [t.message for t in app.toasts]
     assert any("Welcome back: 2h ago" in m and "feature/auth" in m
@@ -240,8 +243,57 @@ def test_welcome_back_toast(temp_repo, tmp_path, monkeypatch):
     app2 = _make_app(temp_repo)
     tab2 = app2.current()
     tab2.last_rewind = 0.0
+    tab2.last_status_query = time.monotonic()
     app2._poll_safety_nets(tab2, time.monotonic())
     assert not any("Welcome back" in t.message for t in app2.toasts)
     for a in (app, app2):
         for tb in a.tabs:
             tb.stop_workers()
+
+
+def test_restore_recreates_deleted_branch():
+    """A snapshot on a since-deleted branch must restore via
+    `git checkout -b <branch> <oid>`, not a failing plain checkout."""
+    past = _snap(branch="feature", head="b" * 40,
+                 branch_tips=(("feature", "b" * 40),))
+    now = _snap(branch="main", head="c" * 40,
+                branch_tips=(("main", "c" * 40),))  # feature deleted
+    cmds = restore_commands(past, now)
+    assert cmds[0].startswith(f"git checkout -b feature {'b' * 12}")
+    assert not any(c == "git checkout feature" for c in cmds)
+
+
+def test_open_rewind_disabled_does_not_record(temp_repo, tmp_path,
+                                              monkeypatch):
+    """Opening the timeline with snapshots disabled must not write new
+    state to disk (the Settings toggle gates ALL recording)."""
+    monkeypatch.setenv("XDG_STATE_HOME", str(tmp_path / "state"))
+    app = _make_app(temp_repo)
+    app.config.rewind_enabled = False
+    tab = app.current()
+    app.handle_action("open-rewind")
+    assert app.modal is not None and app.modal[0] == "rewind"
+    assert tab.rewind_log.snapshots == []
+    for tb in app.tabs:
+        tb.stop_workers()
+
+
+def test_cadence_waits_for_settled_state(temp_repo, tmp_path, monkeypatch):
+    """A refresh in flight defers the cadence snapshot (recording a new
+    HEAD with stale status lists would fabricate a state that never
+    existed)."""
+    import queue as _q
+
+    monkeypatch.setenv("XDG_STATE_HOME", str(tmp_path / "state"))
+    app = _make_app(temp_repo)
+    tab = app.current()
+    tab.last_rewind = 0.0
+    tab.last_status_query = time.monotonic()
+    tab.state_refresh_rx = _q.Queue()   # refresh "in flight"
+    app._poll_safety_nets(tab, time.monotonic())
+    assert tab.rewind_log is None or tab.rewind_log.snapshots == []
+    tab.state_refresh_rx = None         # settled → records
+    app._poll_safety_nets(tab, time.monotonic())
+    assert len(tab.rewind_log.snapshots) == 1
+    for tb in app.tabs:
+        tb.stop_workers()

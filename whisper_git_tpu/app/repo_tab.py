@@ -129,6 +129,7 @@ class RepoTab:
         # compare_range = (base_oid, head_oid) while the compare is open.
         self.range_anchor: Optional[str] = None
         self.compare_range: Optional[tuple] = None
+        self.compare_set: frozenset = frozenset()  # exact base..head oids
         self.commit_detail: Optional[FullCommitInfo] = None
         self.detail_file: Optional[str] = None
 

@@ -505,6 +505,7 @@ class WhisperApp:
             return
         tab.select_commit(arg)
         tab.compare_range = None
+        tab.compare_set = frozenset()
         self.diff_open = False
         if tab.selected_oid == arg:
             try:
@@ -535,6 +536,14 @@ class WhisperApp:
             self.toast("error", f"Compare failed: {exc}")
             return
         tab.compare_range = (base, head)
+        # Exact membership for the history-view wash: rev-list, not a
+        # list-index interval (which would mark interleaved commits from
+        # other branches that the diff excludes). Base is shown too.
+        try:
+            from ..gitcore.diff import range_oids
+            tab.compare_set = range_oids(tab.repo, base, head) | {base}
+        except Exception:
+            tab.compare_set = frozenset((base, head))
         tab.range_anchor = None
         tab.select_commit(head)
         self.diff_files = files
@@ -1218,19 +1227,16 @@ class WhisperApp:
         if not snaps:
             return
         last = snaps[-1]
-        gap = time.time() - last.ts
-        if gap < 1800:
+        if time.time() - last.ts < 1800:
             return
-        if gap < 86400:
-            ago = f"{int(gap // 3600)}h" if gap >= 3600 \
-                else f"{int(gap // 60)}m"
-        else:
-            ago = f"{int(gap // 86400)}d"
+        from ..gitcore.types import format_relative_time
+
+        ago = format_relative_time(int(last.ts))
         where = last.branch or "(detached)"
         state = last.dirty_summary()
         label = f" — {last.label}" if last.label else ""
         self.toast("info",
-                   f"Welcome back: {ago} ago you were on {where} "
+                   f"Welcome back: {ago} you were on {where} "
                    f"({state}){label}")
 
     def _act_open_rewind(self, arg, x, y):
@@ -1238,7 +1244,8 @@ class WhisperApp:
         if tab is None:
             return
         from ..services.rewind import RewindState
-        self._record_rewind(tab)  # the timeline always ends at NOW
+        if self.config.rewind_enabled:
+            self._record_rewind(tab)  # the timeline always ends at NOW
         snaps = list(self._rewind_log(tab).snapshots)
         self.modal = ("rewind", RewindState(
             snapshots=snaps, index=max(0, len(snaps) - 1)))
@@ -1932,8 +1939,11 @@ class WhisperApp:
                     tab.last_ci_fetch = 0.0  # immediate CI fetch
                 if slot in ("fetch_op", "pull_op"):
                     tab.last_fetch_time = time.monotonic()
-                # Label the next Rewind snapshot with the completed op.
-                tab.pending_rewind_label = f"after {msg.lower()}"
+                # Label the next Rewind snapshot with the completed op
+                # (only while Rewind records — a label set while disabled
+                # would attach to an unrelated state after re-enabling).
+                if self.config.rewind_enabled:
+                    tab.pending_rewind_label = f"after {msg.lower()}"
             else:
                 err = classify_git_error(result.stderr)
                 if err.retryable and slot == "push_op":
@@ -2112,7 +2122,10 @@ class WhisperApp:
                 self._record_rewind(tab, label=tab.pending_rewind_label)
                 tab.pending_rewind_label = ""
                 tab.last_rewind = now
-            elif now - tab.last_rewind > CADENCE_SECS:
+            elif settled and now - tab.last_rewind > CADENCE_SECS:
+                # `settled` also gates the cadence: a refresh in flight
+                # could pair a new HEAD with the previous status lists —
+                # a state that never existed. Retry next poll instead.
                 if tab.last_rewind == 0.0:
                     # First snapshot of this session: before taking it,
                     # say where the user left off (context restoration,
@@ -2379,6 +2392,7 @@ class WhisperApp:
             elif tab is not None and (tab.compare_range
                                       or tab.range_anchor):
                 tab.compare_range = None
+                tab.compare_set = frozenset()
                 tab.range_anchor = None
             elif tab is not None and tab.selected_oid:
                 tab.select_commit(None)

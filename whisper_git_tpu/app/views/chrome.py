@@ -83,17 +83,17 @@ def _workdir_counts(tab) -> tuple[int, int, int, int]:
 
 
 def _fetch_age_label(tab) -> str | None:
-    """'fetched Nm ago' at minute granularity (None before any fetch)."""
+    """'fetched Nm ago' (None before any fetch) — same formatter as
+    commit times (gitcore.types.format_relative_time), fed a wall-clock
+    timestamp synthesized from the monotonic stamp."""
     import time as _time
+
+    from ...gitcore.types import format_relative_time
 
     if not tab.last_fetch_time:
         return None
     secs = _time.monotonic() - tab.last_fetch_time
-    if secs < 60:
-        return "fetched just now"
-    if secs < 3600:
-        return f"fetched {int(secs // 60)}m ago"
-    return f"fetched {int(secs // 3600)}h ago"
+    return "fetched " + format_relative_time(int(_time.time() - secs))
 
 
 def header_bar(app, tab) -> El:

@@ -175,21 +175,11 @@ def build_row(tab, index: int, segments_by_row: dict,
         ref_memo = (lv, {k: tuple(v) for k, v in tips_by_oid.items()},
                     {k: tuple(v) for k, v in tags_by_oid.items()})
         tab._row_ref_memo = ref_memo
-    # Compare-range membership: rows between the two selected endpoints
-    # get an accent wash (design_feedback_feb2026.md:492 selection model).
-    rng = tab.compare_range
-    in_range = False
-    if rng is not None:
-        rmemo = getattr(tab, "_range_rows_memo", None)
-        if rmemo is None or rmemo[0] != lv or rmemo[1] != rng:
-            order = {c.oid: i for i, c in enumerate(tab.commits)}
-            ib, ih = order.get(rng[0]), order.get(rng[1])
-            bounds = ((min(ib, ih), max(ib, ih))
-                      if ib is not None and ih is not None else None)
-            rmemo = (lv, rng, bounds)
-            tab._range_rows_memo = rmemo
-        b = rmemo[2]
-        in_range = b is not None and b[0] <= index <= b[1]
+    # Compare-range membership wash: EXACT rev-list set (an index
+    # interval would mark interleaved other-branch commits the compare
+    # diff excludes). design_feedback_feb2026.md:492 selection model.
+    in_range = (tab.compare_range is not None
+                and commit.oid in tab.compare_set)
     cache_key = (
         "history-row", commit.oid, index % 2, selected, bool(dimmed),
         in_range,

@@ -250,6 +250,18 @@ def range_commit_count(repo: GitRepo, base: str, head: str) -> int:
         return 0
 
 
+def range_oids(repo: GitRepo, base: str, head: str,
+               cap: int = 2000) -> frozenset:
+    """The EXACT oid set of base..head — the history view's range wash
+    must not mark interleaved other-branch commits that the compare diff
+    excludes (a list-index interval would)."""
+    out = run_git(repo.root, "rev-list", f"--max-count={cap}",
+                  f"{base}..{head}", check=False)
+    if not out.ok:
+        return frozenset()
+    return frozenset(out.stdout.split())
+
+
 def file_in_commit_diff(repo: GitRepo, oid: str, path: str) -> list[DiffFile]:
     """Single file within a commit (reference: diff.rs:107)."""
     out = run_git(repo.root, "show", *_DIFF_ARGS, "--format=", "-m",

@@ -410,7 +410,7 @@ def _memo_stack(kind: str, keys: tuple, arrays, empty_shape):
         return hit
     out = (jnp.stack(arrays) if arrays
            else jnp.zeros(empty_shape, jnp.float32))
-    while len(_STACK_CACHE) > 6:
+    while len(_STACK_CACHE) > 8:
         _STACK_CACHE.pop(next(iter(_STACK_CACHE)))
     _STACK_CACHE[key] = out
     return out
@@ -508,10 +508,11 @@ def render_frame_composed(scene, font_tex, image_atlas):
         plan = _build_plan(scene, windows, chrome_entries, win_art,
                            win_caps, lws_by_layer, font_tex, image_atlas,
                            tiles_y, tiles_x, height, width)
-        # Plans are small (the heavy arrays live in the memoized stack /
-        # group / slab caches), so keep enough for a scroll-and-back
-        # pattern across several materialization buckets.
-        while len(_PLAN_CACHE) > 8:
+        # Plans hold strong refs to their stacked device arrays (a slab
+        # stack is ~20 MB at 1280×800), so the cap bounds the HBM
+        # high-water mark — keep it tight; the stack memo makes plan
+        # REBUILDS cheap, which is what scroll-and-back actually hits.
+        while len(_PLAN_CACHE) > 4:
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[plan_key] = plan
 

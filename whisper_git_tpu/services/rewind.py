@@ -196,10 +196,15 @@ def restore_commands(past: RewindSnapshot, now: RewindSnapshot) -> list[str]:
     file contents, so dirty working-tree files are surfaced as comments
     rather than silently discarded."""
     cmds: list[str] = []
-    if past.branch and past.branch != now.branch:
-        cmds.append(f"git checkout {past.branch}")
-    if past.branch:
-        n_tips = dict(now.branch_tips)
+    n_tips = dict(now.branch_tips)
+    if past.branch and past.branch not in n_tips:
+        # The branch was deleted since the snapshot: recreate it at the
+        # snapshot commit (a plain `git checkout` would fail).
+        cmds.append(f"git checkout -b {past.branch} {past.head_oid[:12]}"
+                    "  # branch was deleted since")
+    elif past.branch:
+        if past.branch != now.branch:
+            cmds.append(f"git checkout {past.branch}")
         if n_tips.get(past.branch, past.head_oid) != past.head_oid:
             cmds.append(f"git reset --soft {past.head_oid[:12]}"
                         f"  # move {past.branch} back (keeps files)")
