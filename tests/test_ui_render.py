@@ -320,3 +320,17 @@ def test_atlas_covers_greek_cyrillic_latin_ext():
     # The '?' fallback still applies to genuinely uncovered scripts.
     cps = r.regular.codepoints("汉字")
     assert all(cp == ord("?") for cp in cps)
+
+
+def test_commit_kind_classifier():
+    """Auto-tagging (design_feedback_feb2026.md:427): conventional-commit
+    prefixes classify deterministically; everything else stays None."""
+    from whisper_git_tpu.app.views.commit_graph import commit_kind
+
+    n, color = commit_kind("feat: add thing")
+    assert n == len("feat:") and color[1] > color[0]  # green-ish
+    n, color = commit_kind("fix(scope)!: urgent")
+    assert n == len("fix(scope)!:")
+    assert commit_kind("Update readme") is None
+    assert commit_kind("weird: unknown token") is None
+    assert commit_kind("feat without colon") is None

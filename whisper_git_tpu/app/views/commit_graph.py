@@ -56,6 +56,30 @@ def _delta_tone(commit: CommitInfo):
             r[2] + (g[2] - r[2]) * f, 0.95)
 
 
+# Conventional-commit category colors for the prefix token
+# (design_feedback_feb2026.md:427 "Auto-tagging … without user input").
+_KIND_COLORS = {
+    "feat": (0.46, 0.78, 0.50, 1.0), "fix": (0.94, 0.47, 0.47, 1.0),
+    "perf": (0.92, 0.62, 0.30, 1.0), "docs": (0.37, 0.70, 0.92, 1.0),
+    "refactor": (0.68, 0.50, 0.84, 1.0), "test": (0.37, 0.79, 0.79, 1.0),
+    "tests": (0.37, 0.79, 0.79, 1.0),
+    "chore": (0.55, 0.58, 0.64, 1.0), "build": (0.55, 0.58, 0.64, 1.0),
+    "ci": (0.55, 0.58, 0.64, 1.0), "style": (0.55, 0.58, 0.64, 1.0),
+    "revert": (0.94, 0.47, 0.47, 1.0),
+}
+_KIND_RE = __import__("re").compile(r"^([a-z]+)(\([^)]*\))?!?:")
+
+
+def commit_kind(summary: str):
+    """(prefix_length, color) when the subject starts with a known
+    conventional-commit token, else None."""
+    m = _KIND_RE.match(summary)
+    if m is None:
+        return None
+    color = _KIND_COLORS.get(m.group(1))
+    return (m.end(), color) if color is not None else None
+
+
 def commit_matches_query(commit: CommitInfo, query: str) -> bool:
     """Match subject, author name, and SHA (reference: commit_graph.rs:1509)."""
     q = query.lower().strip()
@@ -271,8 +295,21 @@ def build_row(tab, index: int, segments_by_row: dict,
         mid.append(row(*pills, gap=4, align="center"))
     summary_color = ((0.92, 0.75, 0.25, 1.0) if commit.is_synthetic
                      else T.text)
-    mid.append(text(commit.summary[:90], color=summary_color,
-                    font_size=T.font_size, opacity=opacity))
+    kind = None if commit.is_synthetic else commit_kind(commit.summary)
+    if kind is not None:
+        # Auto-tagging without user input (design_feedback_feb2026.md:
+        # 427): the conventional-commit prefix token renders in its
+        # category color; the message text stays untouched.
+        head_len, cat_color = kind
+        mid.append(row(
+            text(commit.summary[:head_len], color=cat_color,
+                 font_size=T.font_size, opacity=opacity, bold=True),
+            text(commit.summary[head_len:90], color=summary_color,
+                 font_size=T.font_size, opacity=opacity),
+            gap=0, align="center"))
+    else:
+        mid.append(text(commit.summary[:90], color=summary_color,
+                        font_size=T.font_size, opacity=opacity))
     cells.append(row(*mid, gap=6, align="center", flex=1, clip=True))
 
     right: list[El] = []
