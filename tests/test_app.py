@@ -835,3 +835,29 @@ def test_compare_wash_excludes_interleaved_branch(temp_repo, git):
     assert side_oid not in tab.compare_set
     for tb in app.tabs:
         tb.stop_workers()
+
+
+def test_compare_diverged_branches(temp_repo, git):
+    """Divergence explanation (design_feedback_feb2026.md:425),
+    deterministic: comparing tips where neither contains the other
+    titles the view as diverged with both unique counts, and the range
+    wash covers both unique sides."""
+    git(temp_repo, "checkout", "-b", "left")
+    with open(os.path.join(temp_repo, "l.txt"), "w") as f:
+        f.write("l\n")
+    git(temp_repo, "add", "-A")
+    git(temp_repo, "commit", "-m", "left work")
+    git(temp_repo, "checkout", "main")
+    with open(os.path.join(temp_repo, "r.txt"), "w") as f:
+        f.write("r\n")
+    git(temp_repo, "add", "-A")
+    git(temp_repo, "commit", "-m", "right work")
+    app = make_app(temp_repo)
+    tab = app.current()
+    left = next(t.oid for t in tab.branch_tips if t.name == "left")
+    app.handle_action("compare-branch:left")
+    assert "diverged" in app.diff_title
+    assert "(1 own)" in app.diff_title
+    assert left in tab.compare_set and tab.head_oid in tab.compare_set
+    for tb in app.tabs:
+        tb.stop_workers()

@@ -532,24 +532,34 @@ class WhisperApp:
         try:
             files = range_diff(tab.repo, base, head)
             n = range_commit_count(tab.repo, base, head)
+            n_back = range_commit_count(tab.repo, head, base)
         except Exception as exc:
             self.toast("error", f"Compare failed: {exc}")
             return
         tab.compare_range = (base, head)
         # Exact membership for the history-view wash: rev-list, not a
         # list-index interval (which would mark interleaved commits from
-        # other branches that the diff excludes). Base is shown too.
+        # other branches that the diff excludes). Base is shown too; for
+        # diverged endpoints both unique sides are part of the compare.
         try:
             from ..gitcore.diff import range_oids
-            tab.compare_set = range_oids(tab.repo, base, head) | {base}
+            tab.compare_set = (range_oids(tab.repo, base, head)
+                               | range_oids(tab.repo, head, base)
+                               | {base})
         except Exception:
             tab.compare_set = frozenset((base, head))
         tab.range_anchor = None
         tab.select_commit(head)
         self.diff_files = files
         self.diff_source = "range"
-        self.diff_title = (f"{base[:8]}..{head[:8]} · {n} commit"
-                           f"{'s' if n != 1 else ''}")
+        if n_back:
+            # Divergence explanation (design_feedback_feb2026.md:425),
+            # deterministic: neither endpoint contains the other.
+            self.diff_title = (f"diverged: {base[:8]} ({n_back} own) vs "
+                               f"{head[:8]} ({n} own)")
+        else:
+            self.diff_title = (f"{base[:8]}..{head[:8]} · {n} commit"
+                               f"{'s' if n != 1 else ''}")
         self.diff_open = True
 
     def _act_compare_set_anchor(self, arg, x, y):
