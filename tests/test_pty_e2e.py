@@ -76,6 +76,17 @@ def _wait_for(master: int, buf: bytearray, needle: bytes,
     return needle in buf
 
 
+def _wait_growth(master: int, buf: bytearray, timeout: float) -> bool:
+    """Wait until new bytes arrive (a repaint) or timeout."""
+    start = len(buf)
+    end = time.monotonic() + timeout
+    while time.monotonic() < end:
+        _drain(master, buf, 0.25)
+        if len(buf) > start:
+            return True
+    return False
+
+
 def test_pty_session_end_to_end(tmp_path):
     repo = _mk_repo(tmp_path)
     import pty
@@ -119,9 +130,23 @@ def test_pty_session_end_to_end(tmp_path):
         os.write(master, b"/")
         time.sleep(0.2)
         os.write(master, b"commit")
-        painted = len(buf)
-        _drain(master, buf, 3.0)
-        assert len(buf) > painted, "no repaint after input events"
+        assert _wait_growth(master, buf, 8.0), \
+            "no repaint after input events"
+
+        # 2b) Command palette: Ctrl+P, fuzzy-type, close. Then a
+        # right-click context menu on a history row, close.
+        os.write(master, b"\x1b")          # close search first
+        _drain(master, buf, 0.4)
+        os.write(master, b"\x10")          # Ctrl+P
+        _drain(master, buf, 0.6)
+        os.write(master, b"rewi")
+        assert _wait_growth(master, buf, 8.0), \
+            "no repaint while typing in palette"
+        os.write(master, b"\x1b")          # close palette
+        _drain(master, buf, 0.4)
+        os.write(master, b"\x1b[<2;40;6M\x1b[<2;40;6m")  # right-click
+        assert _wait_growth(master, buf, 8.0), \
+            "no repaint after right-click menu"
 
         # 3) Quit via the Escape ladder (search → selection → quit).
         # Keep DRAINING the pty while quitting: if the master buffer
