@@ -135,3 +135,36 @@ def test_sharded_tile_axis_not_divisible(renderer):
                       - got.astype(np.int16)).max() <= 1
     finally:
         set_render_mesh(None)
+
+
+def test_wgit_mesh_env_activation(monkeypatch, renderer):
+    """WGIT_MESH=<n> forces mesh installation (the env path the verify
+    recipe uses); 0 disables; auto stays off on the CPU backend."""
+    from whisper_git_tpu.render.meshstate import (
+        get_render_mesh, maybe_auto_mesh, set_render_mesh)
+
+    try:
+        monkeypatch.setenv("WGIT_MESH", "8")
+        mesh = maybe_auto_mesh()
+        assert mesh is not None and get_render_mesh() is mesh
+        assert mesh.shape == {"dp": 1, "sp": 8}
+
+        # The production frame path actually renders under it.
+        scene = _steady_scene(renderer, 16.0)
+        from whisper_git_tpu.render.rasterizer import render_scene_device
+        img_mesh = np.asarray(render_scene_device(
+            scene, renderer.font_tex_device(),
+            renderer.image_atlas_device()))
+        set_render_mesh(None)
+        img_single = np.asarray(render_scene_device(
+            scene, renderer.font_tex_device(),
+            renderer.image_atlas_device()))
+        assert np.abs(img_mesh.astype(int)
+                      - img_single.astype(int)).max() <= 1
+
+        monkeypatch.setenv("WGIT_MESH", "0")
+        assert maybe_auto_mesh() is None
+        monkeypatch.setenv("WGIT_MESH", "auto")
+        assert maybe_auto_mesh() is None  # cpu backend: auto stays off
+    finally:
+        set_render_mesh(None)
