@@ -861,3 +861,29 @@ def test_compare_diverged_branches(temp_repo, git):
     assert left in tab.compare_set and tab.head_oid in tab.compare_set
     for tb in app.tabs:
         tb.stop_workers()
+
+
+def test_keyboard_range_extension(temp_repo, git):
+    """Shift+J/K extends a compare range from the keyboard, cursor on
+    the moving end (keyboard parity with Shift+click)."""
+    for i in (1, 2, 3):
+        with open(os.path.join(temp_repo, f"k{i}.txt"), "w") as f:
+            f.write(f"{i}\n")
+        git(temp_repo, "add", "-A")
+        git(temp_repo, "commit", "-m", f"kb {i}")
+    app = make_app(temp_repo)
+    tab = app.current()
+    app.focus = "graph"
+    newest = tab.commits[0].oid
+    tab.select_commit(newest)
+    app.on_key("J", shift=True)
+    assert tab.compare_range is not None
+    assert newest in tab.compare_range
+    assert tab.selected_oid == tab.commits[1].oid  # cursor moved
+    app.on_key("J", shift=True)                    # extend further
+    assert tab.compare_range == (tab.commits[2].oid, newest)
+    assert len(tab.compare_set) >= 2
+    app.on_key("K", shift=True)                    # shrink back
+    assert tab.compare_range == (tab.commits[1].oid, newest)
+    for tb in app.tabs:
+        tb.stop_workers()

@@ -2562,6 +2562,27 @@ class WhisperApp:
         # Graph navigation.
         if self.focus == "graph":
             selectable = [c.oid for c in tab.commits if not c.is_synthetic]
+            if key in ("J", "K") and tab.selected_oid in selectable:
+                # Shift+j/k: extend/open a range compare from the current
+                # selection (keyboard parity with Shift+click;
+                # design_feedback_feb2026.md:492 selection model). The
+                # keyboard cursor IS the moving end; the other end of an
+                # existing range stays fixed.
+                cur = selectable.index(tab.selected_oid)
+                nxt = max(0, min(len(selectable) - 1,
+                                 cur + (1 if key == "J" else -1)))
+                if nxt != cur:
+                    target = selectable[nxt]
+                    if (tab.compare_range
+                            and tab.selected_oid in tab.compare_range):
+                        a, b = tab.compare_range
+                        fixed = b if tab.selected_oid == a else a
+                    else:
+                        fixed = tab.selected_oid
+                    self._open_range_compare(fixed, target)
+                    tab.select_commit(target)
+                    self._scroll_selected_into_view(tab)
+                return
             if key in ("j", "Down", "k", "Up", "PageDown", "PageUp"):
                 if not selectable:
                     return

@@ -472,7 +472,7 @@ _HELP_SECTIONS = (
         ("j / k, PageUp / PageDown", "Navigate commits"),
         ("Enter", "Select commit (details + diff)"),
         ("/ or Ctrl+F", "Search (dims non-matches)"),
-        ("Shift+click / menu anchor", "Compare two commits (range diff)"),
+        ("Shift+click / Shift+J/K", "Compare commits (range diff)"),
         ("Right-click", "Commit context menu"),
     )),
     ("SIDEBAR", (
