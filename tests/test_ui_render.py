@@ -334,3 +334,32 @@ def test_commit_kind_classifier():
     assert commit_kind("Update readme") is None
     assert commit_kind("weird: unknown token") is None
     assert commit_kind("feat without colon") is None
+
+
+def test_atlas_covers_all_ui_glyphs():
+    """Every non-ASCII character that view/app code puts on screen must
+    exist in the font atlas — a missing one renders as tofu silently
+    (regression: the conflict chip's ⚠ was absent)."""
+    import glob
+    import os
+    import re
+
+    from whisper_git_tpu.render.atlas import _CHARS
+
+    charset = set(_CHARS)
+    root = os.path.join(os.path.dirname(__file__), "..",
+                        "whisper_git_tpu")
+    used: set[str] = set()
+    for pat in ("app/views/*.py", "app/*.py", "host/*.py"):
+        for path in glob.glob(os.path.join(root, pat)):
+            src = open(path, encoding="utf-8").read()
+            # String literals only — comments/docstrings may use any
+            # typography without needing atlas coverage.
+            for lit in re.findall(r'"([^"\n]*)"|\'([^\'\n]*)\'', src):
+                for s in lit:
+                    used.update(c for c in s if ord(c) > 126)
+    # The half-block cell is terminal OUTPUT, never drawn via the atlas;
+    # box-drawing input echoes likewise.
+    exempt = set("▀│")
+    missing = sorted((used - exempt) - charset)
+    assert not missing, f"glyphs used in UI but absent from atlas: {missing}"

@@ -36,7 +36,7 @@ _CHARS = list(dict.fromkeys(
     # the VMEM budget allows it (font cells ≈ 7 MB bf16 of ~16 MB/core).
     + [chr(c) for c in range(0x386, 0x3CF) if chr(c).isprintable()]
     + [chr(c) for c in range(0x400, 0x460)]
-    + list("…·→✓—–•✕⚙▸▾▴◂↑↓↗⟳›‹▏●○■□†‡€™")        # UI symbols
+    + list("…·→✓—–•✕⚙⚠▸▾▴◂↑↓↗⟳›‹▏●○■□†‡€™")       # UI symbols
     + list("‘’“”„−±≈≠≤≥")                          # punctuation/math
 ))
 
