@@ -82,6 +82,15 @@ def run(out_path: str = "out/vector_smoke.png") -> dict:
 if __name__ == "__main__":
     import sys
 
+    # A seam check is pure math — pin the CPU backend so it never waits
+    # on a congested accelerator tunnel (same policy as tools/goldens).
+    if not os.environ.get("WGIT_DEVICE"):
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     result = run(sys.argv[1] if len(sys.argv) > 1 else "out/vector_smoke.png")
     print(result)
     ok = result["max_diff_per_row_vs_single"] <= 2
