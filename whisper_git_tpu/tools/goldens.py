@@ -1,6 +1,6 @@
 """Pixel-golden regression scenes.
 
-Six small, fully deterministic scenes (no git, no wall clock, no network)
+Seven small, fully deterministic scenes (no git, no wall clock, no network)
 rendered through the real pipeline (layout → scene compile → rasterizer)
 on the CPU backend, checked into `tests/goldens/*.png`. A shader-math
 regression that keeps layout intact — SDF coverage, compositing order,
