@@ -175,6 +175,79 @@ def _scene_unicode():
                  width="fill", height="fill", fill=T.background)
 
 
+def _scene_signatures():
+    """Round-2 visual signatures, pinned: dual-tone size-scaled nodes
+    with comet tails, author strips, conventional-commit prefix colors,
+    and the dirty/conflict chips (pulse at a fixed phase)."""
+    from ..app.views.commit_graph import IDENTICON_COLORS, commit_kind
+
+    rows = []
+    fixtures = [  # (subject, +adds, -dels, author-seed)
+        ("feat: add rewind timeline", 620, 40, "ada"),
+        ("fix(scope)!: race in present loop", 48, 12, "brin"),
+        ("docs: deepen the render notes", 6, 1, "ada"),
+        ("plain subject without prefix", 0, 0, "cyd"),
+    ]
+    radii = [8.5, 5.5, 4.0, 4.0]
+    tones = [(0.55, 0.74, 0.46, 0.95), (0.75, 0.55, 0.45, 0.95),
+             (0.52, 0.73, 0.48, 0.95), None]
+    for i, ((subj, add, dele, author), r_node, tone) in enumerate(
+            zip(fixtures, radii, tones)):
+        lane = (0.36, 0.61, 0.84, 1.0)
+        prims = [("vline", 14, 0.0, 28.0, 2.0, lane)]
+        tail = 2.0 * r_node
+        for frac, w, a in ((0.45, 3.8, 0.55), (0.75, 2.6, 0.30),
+                           (1.0, 1.6, 0.14)):
+            prims.append(("vline", 14, 14.0, 14.0 + tail * frac, w,
+                          (lane[0], lane[1], lane[2], a)))
+        if tone is not None:
+            prims.append(("circle", 14, 14.0, r_node, tone))
+            prims.append(("circle", 14, 14.0, max(r_node - 2.0, 2.0),
+                          lane))
+        else:
+            prims.append(("circle", 14, 14.0, r_node, lane))
+        ac = IDENTICON_COLORS[sum(author.encode())
+                              % len(IDENTICON_COLORS)]
+        kind = commit_kind(subj)
+        if kind is not None:
+            head_len, cat = kind
+            subject = row(text(subj[:head_len], color=cat, bold=True,
+                               font_size=13),
+                          text(subj[head_len:], color=T.text,
+                               font_size=13), gap=0, align="center")
+        else:
+            subject = text(subj, color=T.text, font_size=13)
+        rows.append(rect(
+            row(rect(width=3, height="fill",
+                     fill=(ac[0], ac[1], ac[2], 0.55)),
+                path(prims, width=32, height=28),
+                subject, spacer(),
+                rect(text(f"+{add} −{dele}", font_size=10,
+                          color=T.text_muted),
+                     fill=(1, 1, 1, 0.06), radius=4,
+                     padding=(1, 5, 1, 5)),
+                gap=8, align="center", width="fill", height="fill"),
+            width="fill", height=28,
+            fill=T.surface if i % 2 else T.background))
+    chips = row(
+        rect(text("⚠ 2 conflicts", font_size=11, bold=True,
+                  color=T.text_bright),
+             fill=(T.danger[0], T.danger[1], T.danger[2], 0.45),
+             radius=T.radius_pill, padding=(3, 8, 3, 8)),
+        rect(row(rect(width=7, height=7, radius=3.5,
+                      fill=(0.92, 0.75, 0.25, 0.675)),  # pulse mid-phase
+                 text("1 staged · 3 modified", font_size=11,
+                      color=T.text_muted), gap=6, align="center"),
+             radius=T.radius_pill, padding=(3, 8, 3, 8)),
+        text("fetched 4m ago", font_size=11, color=T.text_muted),
+        gap=8, align="center", width="fill", padding=(6, 10, 6, 10))
+    return stack(
+        column(rect(chips, fill=T.surface_raised, width="fill",
+                    height=32),
+               *rows, width="fill", height="fill"),
+        width="fill", height="fill", fill=T.background)
+
+
 SCENES = {
     "chrome": _scene_chrome,
     "graph": _scene_graph,
@@ -183,6 +256,7 @@ SCENES = {
     "images": _scene_images,
     "window": _scene_window,
     "unicode": _scene_unicode,
+    "signatures": _scene_signatures,
 }
 
 
