@@ -488,3 +488,18 @@ def test_commit_diff_rename_binary_unicode(temp_repo, git):
     assert ren.old_path == "naïve café.txt"
     assert ren.additions == 1
     assert "script.sh" in by_path  # mode-only change still listed
+
+
+def test_repo_name_bare_with_worktrees_layout(tmp_path, git):
+    """The reference README's featured layout (proj/.bare + proj/.git
+    pointer + sibling worktrees, README:365-377) must surface the
+    PROJECT name, not '.bare'."""
+    import subprocess as sp
+
+    proj = tmp_path / "myproject"
+    proj.mkdir()
+    sp.run(["git", "init", "-q", "--bare", str(proj / ".bare"),
+            "-b", "main"], check=True, capture_output=True)
+    (proj / ".git").write_text("gitdir: ./.bare\n")
+    repo = GitRepo.open(str(proj))
+    assert repo.repo_name() == "myproject"

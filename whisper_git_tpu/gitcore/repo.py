@@ -90,8 +90,12 @@ class GitRepo:
         if self.workdir:
             return os.path.basename(self.workdir.rstrip(os.sep))
         base = os.path.basename(self.common_dir.rstrip(os.sep))
-        if base == ".git":
-            return os.path.basename(os.path.dirname(self.common_dir.rstrip(os.sep)))
+        if base in (".git", ".bare"):
+            # The bare-repo-with-worktrees layout (reference README:
+            # 365-377: proj/.bare + proj/.git pointer): the project name
+            # is the PARENT directory, not the hidden store's.
+            return os.path.basename(
+                os.path.dirname(self.common_dir.rstrip(os.sep)))
         return base[:-4] if base.endswith(".git") else base
 
     # -- HEAD / state -------------------------------------------------------
