@@ -5,6 +5,7 @@ clamping, fingerprint-gated spawning, and the synthetic-row surface.
 
 from __future__ import annotations
 
+import os
 import queue
 
 from whisper_git_tpu.gitcore.types import CommitInfo
@@ -156,3 +157,69 @@ def test_settings_checkbox_and_toggle(temp_repo):
     assert "toggle-ai-taglines" in routes(el, [])
     app.handle_action("toggle-ai-taglines")
     assert app.config.ai_taglines is True
+
+
+def test_branch_intent_flow(temp_repo, git, monkeypatch):
+    """Branch intent summarization (design_feedback_feb2026.md:423):
+    menu action spawns the claude CLI over the branch's unique
+    commits + diffstat; the result lands in an info modal."""
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+    from whisper_git_tpu.services import ai
+
+    git(temp_repo, "checkout", "-b", "auth-work")
+    with open(os.path.join(temp_repo, "auth.py"), "w") as f:
+        f.write("def login(): pass\n")
+    git(temp_repo, "add", "-A")
+    git(temp_repo, "commit", "-m", "add login scaffolding")
+    git(temp_repo, "checkout", "main")
+
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync()
+    app = WhisperApp.with_tabs([tab])
+
+    captured = {}
+
+    def fake_gen(text, **k):
+        captured["prompt"] = text
+        return {"ok": True, "summary": "Builds the login/auth scaffolding."}
+
+    monkeypatch.setattr(ai, "find_claude_binary", lambda: "/bin/claude")
+    monkeypatch.setattr(ai, "generate_intent_via_claude_cli", fake_gen)
+    app.handle_action("branch-intent:auth-work")
+    assert tab.intent_rx is not None
+    # Prompt carries the branch's unique commit and stats, not noise.
+    import time as _time
+    for _ in range(50):
+        if not tab.intent_rx[1].empty():
+            break
+        _time.sleep(0.05)
+    app._poll_op_slots(tab)
+    assert app.modal is not None and app.modal[0] == "info"
+    assert "auth-work" in app.modal[1].title
+    assert "login/auth scaffolding" in app.modal[1].message
+    assert "add login scaffolding" in captured["prompt"]
+    assert "auth.py" in captured["prompt"]
+
+    # Menu exposes the item.
+    app.modal = None
+    app.handle_action("menu-branch:auth-work")
+    labels = [i.label for i in app.context_menu.items]
+    assert "Summarize Intent (AI)" in labels
+    tab.stop_workers()
+
+
+def test_branch_intent_no_unique_commits(temp_repo, git, monkeypatch):
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+    from whisper_git_tpu.services import ai
+
+    git(temp_repo, "branch", "same-as-main")
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync()
+    app = WhisperApp.with_tabs([tab])
+    monkeypatch.setattr(ai, "find_claude_binary", lambda: "/bin/claude")
+    app.handle_action("branch-intent:same-as-main")
+    assert tab.intent_rx is None
+    assert any("no commits of its own" in t.message for t in app.toasts)
+    tab.stop_workers()

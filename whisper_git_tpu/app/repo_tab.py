@@ -199,6 +199,8 @@ class RepoTab:
         self.worktree_taglines: dict[str, str] = {}   # path -> tagline
         self.tagline_rx: list = []                    # (path, fp, rx)
         self.tagline_stamps: dict[str, str] = {}      # path -> handled fp
+        # AI branch intent (design_feedback_feb2026.md:423).
+        self.intent_rx = None                          # (branch, rx)
 
         # Safety-net stamps.
         self.last_status_query: float = 0.0

@@ -330,6 +330,7 @@ class WhisperApp:
             "rebase-i": lambda: dialogs.rebase_interactive_modal(form),
             "worktrees-manage": lambda: dialogs.worktrees_manage_modal(tab),
             "rewind": lambda: dialogs.rewind_modal(form),
+            "info": lambda: dialogs.info_modal(form),
         }
         builder = builders.get(kind)
         return builder() if builder else rect(width=0, height=0)
@@ -575,6 +576,34 @@ class WhisperApp:
         if tab is None or not tab.range_anchor:
             return
         self._open_range_compare(tab.range_anchor, arg)
+
+    def _act_branch_intent(self, arg, x, y):
+        """'What is this branch FOR?' — AI summary of the branch's unique
+        commits vs the merge base (design_feedback_feb2026.md:423)."""
+        from ..gitcore.cli import run_git
+        from ..services import ai
+
+        tab = self.current()
+        if tab is None or not tab.head_oid:
+            return
+        if ai.find_claude_binary() is None:
+            self.toast("error", "claude CLI not found in PATH")
+            return
+        tip = next((t for t in tab.branch_tips
+                    if t.name == arg and not t.is_remote), None)
+        if tip is None:
+            return
+        mb = run_git(tab.repo.root, "merge-base", tab.head_oid, tip.oid,
+                     check=False)
+        base = mb.stdout.strip() if mb.ok and mb.stdout.strip() \
+            else tab.head_oid
+        rx = ai.spawn_branch_intent_async(tab.repo, base, tip.oid,
+                                          self.proxy)
+        if rx is None:
+            self.toast("info", f"{arg} has no commits of its own")
+            return
+        tab.intent_rx = (arg, rx)
+        self.toast("info", f"Summarizing {arg}…")
 
     def _act_compare_branch(self, arg, x, y):
         """Branch label → combined diff of that branch tip vs HEAD."""
@@ -1380,6 +1409,8 @@ class WhisperApp:
             # "Compare with..." on branch labels
             # (design_feedback_feb2026.md:461-466).
             MenuItem("Compare with Current", f"compare-branch:{arg}"),
+            # "Branch intent summarization" (:423) via the claude CLI.
+            MenuItem("Summarize Intent (AI)", f"branch-intent:{arg}"),
         ]
         # PR integration (beyond-reference: Deferred in user_needs.md).
         tab = self.current()
@@ -1964,6 +1995,22 @@ class WhisperApp:
                 else:
                     self.modal = ("error", dialogs.ErrorState(
                         f"{op.verb or 'Operation'} failed", err.message))
+        # Branch-intent receiver (design_feedback_feb2026.md:423).
+        if tab.intent_rx is not None:
+            branch, rx = tab.intent_rx
+            try:
+                payload = rx.get_nowait()
+            except queue.Empty:
+                payload = None
+            if payload is not None:
+                tab.intent_rx = None
+                if payload.get("ok"):
+                    self.modal = ("info", dialogs.ErrorState(
+                        f"Branch intent: {branch}", payload["summary"]))
+                else:
+                    self.toast("error",
+                               f"Intent summary failed: "
+                               f"{payload.get('error', 'unknown')[:80]}")
         # AI slot (separate payload type).
         if tab.ai_op is not None:
             try:

@@ -619,3 +619,16 @@ def rewind_modal(state) -> El:
             gap=8, align="center"))
     return _modal_frame("Project Rewind", body, width=560,
                         key="modal-rewind")
+
+
+def info_modal(state: ErrorState) -> El:
+    """Neutral informational modal (same shape as error_modal, accent
+    border instead of danger — used for AI branch-intent summaries)."""
+    body = [
+        text(state.message, color=T.text, wrap=True, width="fill"),
+        row(spacer(),
+            rect(text("Close", color=T.text), fill=T.surface_hover,
+                 radius=5, padding=(5, 12, 5, 12), route="close-modal"),
+            width="fill"),
+    ]
+    return _modal_frame(state.title, body, key="modal-info")

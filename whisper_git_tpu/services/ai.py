@@ -187,3 +187,76 @@ def spawn_generate_async(repo: GitRepo, proxy=None,
 
     threading.Thread(target=worker, daemon=True, name="ai-generate").start()
     return rx
+
+
+# -- branch intent summarization ---------------------------------------------
+# Reference design review: "Branch intent summarization — what is this
+# branch FOR? not just what files changed"
+# (design_feedback_feb2026.md:423). Same claude-CLI plumbing as commit
+# messages/taglines; fed the branch's unique commits + diffstat.
+
+INTENT_PROMPT = (
+    "Here are the commit subjects and file-level stats unique to one git "
+    "branch. In one or two short sentences, say what this branch is FOR — "
+    "the intent of the work, not a list of files. Output ONLY the "
+    "summary.\n\n"
+)
+INTENT_CLAMP = 280
+MAX_INTENT_BYTES = 20_000
+
+
+def branch_intent_text(repo: GitRepo, base: str, tip: str) -> str:
+    """The branch's unique commits + diffstat vs the merge base."""
+    from ..gitcore.cli import run_git
+
+    log = run_git(repo.root, "log", "--oneline", "--no-decorate",
+                  f"{base}..{tip}", check=False)
+    stat = run_git(repo.root, "diff", "--stat", base, tip, check=False)
+    text = (f"Commits:\n{log.stdout if log.ok else ''}\n"
+            f"Diffstat:\n{stat.stdout if stat.ok else ''}")
+    return text[:MAX_INTENT_BYTES]
+
+
+def generate_intent_via_claude_cli(text: str, model: str = "haiku",
+                                   timeout: float = 60.0) -> dict:
+    binary = find_claude_binary()
+    if binary is None:
+        return {"ok": False, "error": "claude CLI not found in PATH"}
+    try:
+        proc = subprocess.run(
+            [binary, "-p", INTENT_PROMPT + text, "--model", model,
+             "--output-format", "json"],
+            capture_output=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "error": "intent summarization timed out"}
+    if proc.returncode != 0:
+        return {"ok": False,
+                "error": proc.stderr.decode("utf-8", "replace")[:200]
+                or "claude CLI failed"}
+    try:
+        payload = json.loads(proc.stdout.decode("utf-8", "replace"))
+        result = payload.get("result", "")
+    except json.JSONDecodeError:
+        result = proc.stdout.decode("utf-8", "replace")
+    summary = " ".join(result.split()).strip()[:INTENT_CLAMP]
+    if not summary:
+        return {"ok": False, "error": "AI returned an empty summary"}
+    return {"ok": True, "summary": summary}
+
+
+def spawn_branch_intent_async(repo: GitRepo, base: str, tip: str,
+                              proxy=None) -> Optional["queue.Queue[dict]"]:
+    """Returns None when the branch has no unique commits."""
+    text = branch_intent_text(repo, base, tip)
+    if "Commits:\n\n" in text[:12]:
+        return None
+    rx: "queue.Queue[dict]" = queue.Queue(maxsize=1)
+
+    def worker():
+        rx.put(generate_intent_via_claude_cli(text))
+        if proxy is not None:
+            proxy.send_event()
+
+    threading.Thread(target=worker, daemon=True,
+                     name="ai-branch-intent").start()
+    return rx
