@@ -887,3 +887,26 @@ def test_keyboard_range_extension(temp_repo, git):
     assert tab.compare_range == (tab.commits[1].oid, newest)
     for tb in app.tabs:
         tb.stop_workers()
+
+
+def test_keyboard_range_collapse(temp_repo, git):
+    """Shift+K shrinking a range back onto its fixed end collapses to a
+    plain selection — never a degenerate 0-commit compare."""
+    with open(os.path.join(temp_repo, "c.txt"), "w") as f:
+        f.write("c\n")
+    git(temp_repo, "add", "-A")
+    git(temp_repo, "commit", "-m", "second")
+    app = make_app(temp_repo)
+    tab = app.current()
+    app.focus = "graph"
+    newest = tab.commits[0].oid
+    tab.select_commit(newest)
+    app.on_key("J", shift=True)
+    assert tab.compare_range is not None
+    app.on_key("K", shift=True)
+    assert tab.compare_range is None
+    assert tab.compare_set == frozenset()
+    assert not app.diff_open
+    assert tab.selected_oid == newest
+    for tb in app.tabs:
+        tb.stop_workers()

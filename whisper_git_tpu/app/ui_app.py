@@ -519,7 +519,7 @@ class WhisperApp:
     def _open_range_compare(self, a: str, b: str) -> None:
         """Open the combined diff between two commits, oldest as base
         (commits list is newest-first)."""
-        from ..gitcore.diff import range_commit_count, range_diff
+        from ..gitcore.diff import range_diff
 
         tab = self.current()
         if tab is None:
@@ -530,37 +530,45 @@ class WhisperApp:
             base, head = b, a   # larger index = older = base
         else:
             base, head = a, b
+        # Exact membership (rev-list, not a list-index interval) doubles
+        # as the commit counts — 3 subprocesses per compare, not 5.
+        from ..gitcore.diff import range_oids
         try:
             files = range_diff(tab.repo, base, head)
-            n = range_commit_count(tab.repo, base, head)
-            n_back = range_commit_count(tab.repo, head, base)
+            fwd = range_oids(tab.repo, base, head)
+            back = range_oids(tab.repo, head, base)
         except Exception as exc:
             self.toast("error", f"Compare failed: {exc}")
             return
+        if not fwd and back:
+            # Caller-order fallback guessed the direction wrong (an
+            # endpoint outside the loaded commit window): head is an
+            # ancestor of base. Swap so the diff reads forward.
+            base, head = head, base
+            fwd, back = back, fwd
+            try:
+                files = range_diff(tab.repo, base, head)
+            except Exception:
+                pass
         tab.compare_range = (base, head)
-        # Exact membership for the history-view wash: rev-list, not a
-        # list-index interval (which would mark interleaved commits from
-        # other branches that the diff excludes). Base is shown too; for
-        # diverged endpoints both unique sides are part of the compare.
-        try:
-            from ..gitcore.diff import range_oids
-            tab.compare_set = (range_oids(tab.repo, base, head)
-                               | range_oids(tab.repo, head, base)
-                               | {base})
-        except Exception:
-            tab.compare_set = frozenset((base, head))
+        tab.compare_set = fwd | back | {base}
         tab.range_anchor = None
         tab.select_commit(head)
         self.diff_files = files
         self.diff_source = "range"
-        if n_back:
+
+        def count(s):  # range_oids caps at 2000 — show saturation
+            return f"{len(s)}+" if len(s) >= 2000 else str(len(s))
+
+        if fwd and back:
             # Divergence explanation (design_feedback_feb2026.md:425),
             # deterministic: neither endpoint contains the other.
-            self.diff_title = (f"diverged: {base[:8]} ({n_back} own) vs "
-                               f"{head[:8]} ({n} own)")
+            self.diff_title = (f"diverged: {base[:8]} ({count(back)} own) "
+                               f"vs {head[:8]} ({count(fwd)} own)")
         else:
-            self.diff_title = (f"{base[:8]}..{head[:8]} · {n} commit"
-                               f"{'s' if n != 1 else ''}")
+            n = len(fwd)
+            self.diff_title = (f"{base[:8]}..{head[:8]} · {count(fwd)} "
+                               f"commit{'s' if n != 1 else ''}")
         self.diff_open = True
 
     def _act_compare_set_anchor(self, arg, x, y):
@@ -2005,8 +2013,16 @@ class WhisperApp:
             if payload is not None:
                 tab.intent_rx = None
                 if payload.get("ok"):
-                    self.modal = ("info", dialogs.ErrorState(
-                        f"Branch intent: {branch}", payload["summary"]))
+                    if self.modal is None:
+                        self.modal = ("info", dialogs.ErrorState(
+                            f"Branch intent: {branch}",
+                            payload["summary"]))
+                    else:
+                        # The result lands at an arbitrary later moment —
+                        # never clobber a form the user is filling in.
+                        self.toast("info",
+                                   f"{branch}: "
+                                   f"{payload['summary'][:120]}")
                 else:
                     self.toast("error",
                                f"Intent summary failed: "
@@ -2626,8 +2642,17 @@ class WhisperApp:
                         fixed = b if tab.selected_oid == a else a
                     else:
                         fixed = tab.selected_oid
-                    self._open_range_compare(fixed, target)
-                    tab.select_commit(target)
+                    if fixed == target:
+                        # Shrunk back onto the fixed end: collapse to a
+                        # plain selection, not a degenerate 0-commit
+                        # compare.
+                        tab.compare_range = None
+                        tab.compare_set = frozenset()
+                        self.diff_open = False
+                        tab.select_commit(target)
+                    else:
+                        self._open_range_compare(fixed, target)
+                        tab.select_commit(target)
                     self._scroll_selected_into_view(tab)
                 return
             if key in ("j", "Down", "k", "Up", "PageDown", "PageUp"):

@@ -7,6 +7,7 @@ history_view, commit_matches_query) on top of ops.lanes geometry.
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict
 from typing import Optional
 
@@ -67,14 +68,16 @@ _KIND_COLORS = {
     "ci": (0.55, 0.58, 0.64, 1.0), "style": (0.55, 0.58, 0.64, 1.0),
     "revert": (0.94, 0.47, 0.47, 1.0),
 }
-_KIND_RE = __import__("re").compile(r"^([a-z]+)(\([^)]*\))?!?:")
+_KIND_RE = re.compile(r"^([a-z]+)(\([^)]*\))?!?:")
 
 
 def commit_kind(summary: str):
     """(prefix_length, color) when the subject starts with a known
-    conventional-commit token, else None."""
+    conventional-commit token, else None. A "prefix" longer than 40
+    chars isn't one (an unbounded scope group must not defeat the
+    90-char summary cap downstream)."""
     m = _KIND_RE.match(summary)
-    if m is None:
+    if m is None or m.end() > 40:
         return None
     color = _KIND_COLORS.get(m.group(1))
     return (m.end(), color) if color is not None else None

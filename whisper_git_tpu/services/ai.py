@@ -54,19 +54,22 @@ def split_subject_body(text: str) -> tuple[str, str]:
     return subject, body
 
 
-def generate_via_claude_cli(diff: str, model: str = "haiku",
-                            timeout: float = 120.0) -> dict:
-    """reference: ai.rs:130-194 (claude_cli::generate)."""
+def _invoke_claude(prompt: str, model: str, timeout: float,
+                   err_label: str) -> dict:
+    """ONE claude-CLI invocation shape for every AI feature (commit
+    message, tagline, branch intent): binary lookup, `-p … --model …
+    --output-format json`, timeout/exit handling, `{"result"}` parse.
+    Returns {ok, result|error}; callers post-process `result`."""
     binary = find_claude_binary()
     if binary is None:
         return {"ok": False, "error": "claude CLI not found in PATH"}
     try:
         proc = subprocess.run(
-            [binary, "-p", PROMPT + diff, "--model", model,
+            [binary, "-p", prompt, "--model", model,
              "--output-format", "json"],
             capture_output=True, timeout=timeout)
     except subprocess.TimeoutExpired:
-        return {"ok": False, "error": "AI generation timed out"}
+        return {"ok": False, "error": f"{err_label} timed out"}
     if proc.returncode != 0:
         return {"ok": False,
                 "error": proc.stderr.decode("utf-8", "replace")[:200]
@@ -76,7 +79,16 @@ def generate_via_claude_cli(diff: str, model: str = "haiku",
         result = payload.get("result", "")
     except json.JSONDecodeError:
         result = proc.stdout.decode("utf-8", "replace")
-    subject, body = split_subject_body(result)
+    return {"ok": True, "result": result}
+
+
+def generate_via_claude_cli(diff: str, model: str = "haiku",
+                            timeout: float = 120.0) -> dict:
+    """reference: ai.rs:130-194 (claude_cli::generate)."""
+    out = _invoke_claude(PROMPT + diff, model, timeout, "AI generation")
+    if not out["ok"]:
+        return out
+    subject, body = split_subject_body(out["result"])
     if not subject:
         return {"ok": False, "error": "AI returned an empty message"}
     return {"ok": True, "subject": subject, "body": body}
@@ -127,26 +139,11 @@ def clamp_tagline(text: str, limit: int = 60) -> str:
 
 def generate_tagline_via_claude_cli(changes: str, model: str = "haiku",
                                     timeout: float = 60.0) -> dict:
-    binary = find_claude_binary()
-    if binary is None:
-        return {"ok": False, "error": "claude CLI not found in PATH"}
-    try:
-        proc = subprocess.run(
-            [binary, "-p", TAGLINE_PROMPT + changes, "--model", model,
-             "--output-format", "json"],
-            capture_output=True, timeout=timeout)
-    except subprocess.TimeoutExpired:
-        return {"ok": False, "error": "tagline generation timed out"}
-    if proc.returncode != 0:
-        return {"ok": False,
-                "error": proc.stderr.decode("utf-8", "replace")[:200]
-                or "claude CLI failed"}
-    try:
-        payload = json.loads(proc.stdout.decode("utf-8", "replace"))
-        result = payload.get("result", "")
-    except json.JSONDecodeError:
-        result = proc.stdout.decode("utf-8", "replace")
-    tagline = clamp_tagline(result)
+    out = _invoke_claude(TAGLINE_PROMPT + changes, model, timeout,
+                         "tagline generation")
+    if not out["ok"]:
+        return out
+    tagline = clamp_tagline(out["result"])
     if not tagline:
         return {"ok": False, "error": "AI returned an empty tagline"}
     return {"ok": True, "tagline": tagline}
@@ -205,40 +202,13 @@ INTENT_CLAMP = 280
 MAX_INTENT_BYTES = 20_000
 
 
-def branch_intent_text(repo: GitRepo, base: str, tip: str) -> str:
-    """The branch's unique commits + diffstat vs the merge base."""
-    from ..gitcore.cli import run_git
-
-    log = run_git(repo.root, "log", "--oneline", "--no-decorate",
-                  f"{base}..{tip}", check=False)
-    stat = run_git(repo.root, "diff", "--stat", base, tip, check=False)
-    text = (f"Commits:\n{log.stdout if log.ok else ''}\n"
-            f"Diffstat:\n{stat.stdout if stat.ok else ''}")
-    return text[:MAX_INTENT_BYTES]
-
-
 def generate_intent_via_claude_cli(text: str, model: str = "haiku",
                                    timeout: float = 60.0) -> dict:
-    binary = find_claude_binary()
-    if binary is None:
-        return {"ok": False, "error": "claude CLI not found in PATH"}
-    try:
-        proc = subprocess.run(
-            [binary, "-p", INTENT_PROMPT + text, "--model", model,
-             "--output-format", "json"],
-            capture_output=True, timeout=timeout)
-    except subprocess.TimeoutExpired:
-        return {"ok": False, "error": "intent summarization timed out"}
-    if proc.returncode != 0:
-        return {"ok": False,
-                "error": proc.stderr.decode("utf-8", "replace")[:200]
-                or "claude CLI failed"}
-    try:
-        payload = json.loads(proc.stdout.decode("utf-8", "replace"))
-        result = payload.get("result", "")
-    except json.JSONDecodeError:
-        result = proc.stdout.decode("utf-8", "replace")
-    summary = " ".join(result.split()).strip()[:INTENT_CLAMP]
+    out = _invoke_claude(INTENT_PROMPT + text, model, timeout,
+                         "intent summarization")
+    if not out["ok"]:
+        return out
+    summary = " ".join(out["result"].split()).strip()[:INTENT_CLAMP]
     if not summary:
         return {"ok": False, "error": "AI returned an empty summary"}
     return {"ok": True, "summary": summary}
@@ -246,14 +216,30 @@ def generate_intent_via_claude_cli(text: str, model: str = "haiku",
 
 def spawn_branch_intent_async(repo: GitRepo, base: str, tip: str,
                               proxy=None) -> Optional["queue.Queue[dict]"]:
-    """Returns None when the branch has no unique commits."""
-    text = branch_intent_text(repo, base, tip)
-    if "Commits:\n\n" in text[:12]:
+    """Returns None ONLY when the branch verifiably has no unique
+    commits (a cheap `git log --oneline` check up front). Git errors
+    surface through the queue as {ok: False} — a failed log must not
+    read as "no commits of its own". The expensive `diff --stat` runs on
+    the worker thread, never the UI thread."""
+    from ..gitcore.cli import run_git
+
+    log = run_git(repo.root, "log", "--oneline", "--no-decorate",
+                  f"{base}..{tip}", check=False)
+    if log.ok and not log.stdout.strip():
         return None
     rx: "queue.Queue[dict]" = queue.Queue(maxsize=1)
 
     def worker():
-        rx.put(generate_intent_via_claude_cli(text))
+        if not log.ok:
+            rx.put({"ok": False,
+                    "error": "git log failed for this branch range"})
+        else:
+            stat = run_git(repo.root, "diff", "--stat", base, tip,
+                           check=False)
+            text = (f"Commits:\n{log.stdout}\n"
+                    f"Diffstat:\n{stat.stdout if stat.ok else ''}"
+                    )[:MAX_INTENT_BYTES]
+            rx.put(generate_intent_via_claude_cli(text))
         if proxy is not None:
             proxy.send_event()
 
