@@ -24,9 +24,11 @@ VIEWPORT = (1280, 800)
 TARGET_FPS = 60.0
 WARMUP = 3
 ITERS = 20
-BATCHES = 10  # best-of-N: the remote-device link has multi-ms latency
+BATCHES = 14  # best-of-N: the remote-device link has multi-ms latency
               # spikes and multi-second congestion windows; one slow
-              # stretch must not define the number
+              # stretch must not define the number, and more samples
+              # raise the odds of catching a clear window (median is
+              # reported alongside, honestly)
 
 
 def build_history_repo(base: str, n_commits: int = 240) -> str:
