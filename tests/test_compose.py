@@ -172,3 +172,31 @@ def test_content_change_invalidates(app_fixture):
     assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
     assert not np.array_equal(np.asarray(base), got), \
         "selection change did not change pixels"
+
+
+def test_compose_random_walk_stays_exact(app_fixture):
+    """Seeded random walk over scroll offsets and content changes: the
+    compose path must hold its ≤1 u8 bound against the packed path at
+    EVERY step — cache hits, slab rebuilds, selection invalidations,
+    whatever the walk happens to trigger."""
+    import random
+
+    rng = random.Random(424242)
+    app, tab, r = app_fixture
+    C.clear_caches()
+    oids = [c.oid for c in tab.commits if not c.is_synthetic]
+    for step in range(8):
+        roll = rng.random()
+        if roll < 0.2 and oids:
+            tab.select_commit(rng.choice(oids))
+        elif roll < 0.3:
+            tab.select_commit(None)
+        off = float(rng.randrange(0, 600))
+        scene = _scene(app, tab, r, off)
+        got = _render_composed(scene, r)
+        if got is None:
+            continue  # fractional-scroll style fallback: packed path
+        want = _render_packed(scene, r)
+        diff = int(np.abs(got.astype(np.int16)
+                          - want.astype(np.int16)).max())
+        assert diff <= 1, (step, off, diff)
