@@ -297,3 +297,58 @@ def test_cadence_waits_for_settled_state(temp_repo, tmp_path, monkeypatch):
     assert len(tab.rewind_log.snapshots) == 1
     for tb in app.tabs:
         tb.stop_workers()
+
+
+def test_dirty_snapshot_persists_across_sessions(temp_repo, tmp_path,
+                                                 monkeypatch):
+    """Regression: snapshots of DIRTY trees must store path strings —
+    StatusEntry objects neither sort (2+ entries) nor JSON-serialize, so
+    persistence silently failed while the in-memory log looked fine."""
+    monkeypatch.setenv("XDG_STATE_HOME", str(tmp_path / "state"))
+    app = _make_app(temp_repo)
+    tab = app.current()
+    # Two modified + one untracked: triggers both the sort and the dump.
+    with open(os.path.join(temp_repo, "a1.txt"), "w") as f:
+        f.write("1\n")
+    with open(os.path.join(temp_repo, "a2.txt"), "w") as f:
+        f.write("2\n")
+    tab.refresh_sync()
+    app._record_rewind(tab)
+    snaps = tab.rewind_log.snapshots
+    assert snaps and snaps[-1].untracked == ("a1.txt", "a2.txt")
+    # Reload from DISK — the JSONL write must have happened.
+    log2 = RewindLog(tab.repo.common_dir or temp_repo,
+                     root=os.path.dirname(tab.rewind_log.path))
+    assert log2.snapshots
+    assert log2.snapshots[-1].untracked == ("a1.txt", "a2.txt")
+    assert log2.snapshots[-1].fingerprint() == snaps[-1].fingerprint()
+    for tb in app.tabs:
+        tb.stop_workers()
+
+
+def test_snapshot_multi_worktree_state(tmp_path, git):
+    """The spec's timeline mockup lists every working tree's dirty state
+    (design_feedback_feb2026.md:390); snapshots carry (name, n_dirty)
+    pairs when the repo has multiple worktrees."""
+    repo = str(tmp_path / "wts")
+    os.makedirs(repo)
+    git(repo, "init", "-b", "main")
+    git(repo, "config", "user.email", "t@t.t")
+    git(repo, "config", "user.name", "T")
+    with open(os.path.join(repo, "x.txt"), "w") as f:
+        f.write("x\n")
+    git(repo, "add", "-A")
+    git(repo, "commit", "-m", "base")
+    git(repo, "worktree", "add", str(tmp_path / "wt2"), "-b", "side")
+    with open(str(tmp_path / "wt2" / "dirty.txt"), "w") as f:
+        f.write("d\n")
+
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    tab = RepoTab.open(repo)
+    tab.refresh_sync()
+    snap = snapshot_of_tab(tab)
+    assert snap is not None
+    names = dict(snap.worktree_state)
+    assert len(names) == 2
+    assert any(n >= 1 for n in names.values()), names
+    tab.stop_workers()

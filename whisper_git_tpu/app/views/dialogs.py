@@ -580,6 +580,14 @@ def rewind_modal(state) -> El:
                      f"{len(cur.stashes)} stash"
                      f"{'es' if len(cur.stashes) != 1 else ''}",
                      font_size=11, color=T.text))
+    if cur.worktree_state:
+        # Per-worktree dirty lines, as in the spec's timeline mockup
+        # ("main-app/ dirty(2)", design_feedback_feb2026.md:390).
+        parts = [f"{name}: {'dirty(' + str(n) + ')' if n else 'clean'}"
+                 for name, n in cur.worktree_state]
+        body.append(text("worktrees — " + " · ".join(parts[:5])
+                         + ("…" if len(parts) > 5 else ""),
+                         font_size=10, color=T.text_muted))
 
     # -- diff to now ------------------------------------------------------
     if sel != len(snaps) - 1:

@@ -168,7 +168,8 @@ def apply_screenshot_state(app: WhisperApp, state: str) -> None:
             RewindSnapshot(ts=base + 7800, head_oid=oid, branch="main",
                            branch_tips=(("feature/auth", older),
                                         ("main", oid)),
-                           untracked=("notes.md",)),
+                           untracked=("notes.md",),
+                           worktree_state=(("feature-x", 2), ("main", 1))),
             RewindSnapshot(ts=_time.time(), head_oid=oid, branch="main",
                            branch_tips=(("feature/auth", older),
                                         ("main", oid))),

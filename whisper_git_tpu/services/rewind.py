@@ -41,12 +41,16 @@ class RewindSnapshot:
     untracked: tuple = ()
     conflicted: tuple = ()
     label: str = ""                        # "after pull", "" for cadence
+    # Per-worktree dirty summary — the spec's mockup lists every working
+    # tree's state per timeline entry ("main-app/ dirty(2)", :390-394).
+    worktree_state: tuple = ()             # ((name, n_dirty), ...)
 
     def fingerprint(self) -> tuple:
         """Identity of the STATE (not the time or label): two snapshots
         with equal fingerprints describe the same repository situation."""
         return (self.head_oid, self.branch, self.branch_tips, self.stashes,
-                self.staged, self.unstaged, self.untracked, self.conflicted)
+                self.staged, self.unstaged, self.untracked, self.conflicted,
+                self.worktree_state)
 
     def dirty_summary(self) -> str:
         parts = []
@@ -68,6 +72,14 @@ def snapshot_of_tab(tab, label: str = "") -> RewindSnapshot | None:
         return None
     view = tab.active_view()
     st = view.status if view is not None else None
+    wt_state = []
+    if len(tab.worktrees) > 1:
+        for w in tab.worktrees:
+            v = tab.worktree_views.get(w.path)
+            wst = v.status if v is not None else None
+            n = (len(wst.staged) + len(wst.unstaged) + len(wst.untracked)
+                 + len(wst.conflicted)) if wst is not None else 0
+            wt_state.append((w.name, n))
     return RewindSnapshot(
         ts=time.time(),
         head_oid=tab.head_oid or "",
@@ -75,11 +87,17 @@ def snapshot_of_tab(tab, label: str = "") -> RewindSnapshot | None:
         branch_tips=tuple(sorted((t.name, t.oid) for t in tab.branch_tips
                                  if not t.is_remote)),
         stashes=tuple(s.summary for s in tab.stashes),
-        staged=tuple(sorted(st.staged)) if st else (),
-        unstaged=tuple(sorted(st.unstaged)) if st else (),
-        untracked=tuple(sorted(st.untracked)) if st else (),
-        conflicted=tuple(sorted(st.conflicted)) if st else (),
+        # PATH strings, not StatusEntry objects: entries don't sort
+        # (TypeError at 2+ items) and don't JSON-serialize — either
+        # silently broke persistence of dirty-tree snapshots.
+        staged=tuple(sorted(e.path for e in st.staged)) if st else (),
+        unstaged=tuple(sorted(e.path for e in st.unstaged)) if st else (),
+        untracked=tuple(sorted(e.path for e in st.untracked))
+        if st else (),
+        conflicted=tuple(sorted(e.path for e in st.conflicted))
+        if st else (),
         label=label,
+        worktree_state=tuple(sorted(wt_state)),
     )
 
 
