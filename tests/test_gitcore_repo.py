@@ -503,3 +503,36 @@ def test_repo_name_bare_with_worktrees_layout(tmp_path, git):
     (proj / ".git").write_text("gitdir: ./.bare\n")
     repo = GitRepo.open(str(proj))
     assert repo.repo_name() == "myproject"
+
+
+def test_hunk_ops_on_file_without_trailing_newline(temp_repo, git):
+    """Regression: the unified-diff parser dropped the '\\ No newline at
+    end of file' marker, so rebuilt hunk patches were invalid and stage/
+    unstage/discard ALL failed on files without a trailing newline."""
+    from whisper_git_tpu.gitcore.diff import working_file_diff
+    from whisper_git_tpu.gitcore.hunk import (
+        discard_hunk, stage_hunk, unstage_hunk)
+    from whisper_git_tpu.gitcore.status import status as _status
+
+    d = temp_repo
+    with open(os.path.join(d, "no_nl.txt"), "w") as f:
+        f.write("line1\nline2")  # no trailing newline
+    git(d, "add", "-A")
+    git(d, "commit", "-m", "base")
+    with open(os.path.join(d, "no_nl.txt"), "w") as f:
+        f.write("line1\nline2 changed")
+
+    repo = GitRepo.open(d)
+    files = working_file_diff(repo, "no_nl.txt", staged=False)
+    assert files[0].hunks[0].lines[-1].no_newline
+    assert stage_hunk(repo, "no_nl.txt", files[0].hunks[0]).success
+    assert [e.path for e in _status(repo).staged] == ["no_nl.txt"]
+
+    staged = working_file_diff(repo, "no_nl.txt", staged=True)
+    assert unstage_hunk(repo, "no_nl.txt", staged[0].hunks[0]).success
+    assert not _status(repo).staged
+
+    files = working_file_diff(repo, "no_nl.txt", staged=False)
+    assert discard_hunk(repo, "no_nl.txt", files[0].hunks[0]).success
+    with open(os.path.join(d, "no_nl.txt")) as f:
+        assert f.read() == "line1\nline2"

@@ -108,16 +108,16 @@ def compute_intra_line_highlights(lines: list[DiffLine]) -> list[DiffLine]:
         ranges = [intra_line_highlight(lines[a].content, lines[b].content)
                   for a, b in pair_idx]
 
+    from dataclasses import replace
+
     out = list(lines)
     for ((a, b), ((oa, ob), (na, nb))) in zip(pair_idx, ranges):
+        # dataclasses.replace: other fields (e.g. no_newline) must ride
+        # through the highlight rebuild untouched.
         if ob > oa:
-            out[a] = DiffLine(out[a].origin, out[a].content,
-                              out[a].old_lineno, out[a].new_lineno,
-                              ((oa, ob),))
+            out[a] = replace(out[a], highlights=((oa, ob),))
         if nb > na:
-            out[b] = DiffLine(out[b].origin, out[b].content,
-                              out[b].old_lineno, out[b].new_lineno,
-                              ((na, nb),))
+            out[b] = replace(out[b], highlights=((na, nb),))
     return out
 
 
@@ -206,7 +206,13 @@ def parse_unified_diff(text: str, highlight: bool = True) -> list[DiffFile]:
                 old_no += 1
                 new_no += 1
         elif hunk is not None and raw.startswith("\\"):
-            pass  # "\ No newline at end of file"
+            # "\ No newline at end of file" applies to the PREVIOUS line;
+            # record it so hunk patches can re-emit the marker (git apply
+            # rejects a rebuilt patch that lost it).
+            if hunk["lines"]:
+                from dataclasses import replace
+                hunk["lines"][-1] = replace(hunk["lines"][-1],
+                                            no_newline=True)
     flush_file()
     return files
 

@@ -21,6 +21,8 @@ def build_hunk_patch(path: str, hunk: DiffHunk, old_path: str | None = None) -> 
              f"@@ -{hunk.old_start},{hunk.old_lines} +{hunk.new_start},{hunk.new_lines} @@"]
     for dl in hunk.lines:
         lines.append(f"{dl.origin}{dl.content}")
+        if dl.no_newline:
+            lines.append("\\ No newline at end of file")
     return "\n".join(lines) + "\n"
 
 

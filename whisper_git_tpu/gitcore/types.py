@@ -198,6 +198,10 @@ class DiffLine:
     # Word-level highlight byte ranges within content (reference:
     # src/git/diff.rs:135 compute_intra_line_highlights).
     highlights: tuple[tuple[int, int], ...] = ()
+    # True when git followed this line with "\ No newline at end of
+    # file" — the hunk patch builder must re-emit the marker or `git
+    # apply` rejects the patch for files without a trailing newline.
+    no_newline: bool = False
 
 
 @dataclass(frozen=True)
