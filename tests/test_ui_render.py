@@ -363,3 +363,19 @@ def test_atlas_covers_all_ui_glyphs():
     exempt = set("▀│")
     missing = sorted((used - exempt) - charset)
     assert not missing, f"glyphs used in UI but absent from atlas: {missing}"
+
+
+def test_long_line_glyphs_culled_against_clip():
+    """A clipped panel containing a very long single line must not emit
+    tens of thousands of invisible glyph quads (a 24k-char minified line
+    previously put 42k quads in the frame's command tables)."""
+    from whisper_git_tpu.render.renderer import get_renderer
+
+    r = get_renderer()
+    long_line = "var a=1;" * 2000
+    ui = rect(text(long_line, font_size=12),
+              width=400, height=40, clip=True, fill=DARK.surface)
+    root = layout_tree(stack(ui, width=400, height=40), (400, 40))
+    scene = r.compile(root, (400, 40), DARK.background)
+    total = sum(lb.n_glyphs for lb in scene.layers)
+    assert total < 200, f"{total} glyphs for a 400px-wide clipped panel"

@@ -474,6 +474,8 @@ class SceneCompiler:
                                 _AtlasShim(atlas))
         else:
             lines = el.text.split("\n")
+        cx0, cy0, cx1, cy1 = clip
+        finite_clip = (cx1 - cx0) < 1e5  # cached subtrees use _NOCLIP
         y = node.y
         for line in lines:
             if line:
@@ -482,7 +484,20 @@ class SceneCompiler:
                     quads = quads.copy()
                     quads[:, 0] += node.x
                     quads[:, 1] += y
-                    acc.glyph_run(quads, color, clip)
+                    if finite_clip and quads.shape[0] > 8:
+                        # Cull glyphs wholly outside the clip: one
+                        # 24k-char minified line otherwise emits tens of
+                        # thousands of invisible quads into the frame's
+                        # command tables (clip-rect coverage already
+                        # guarantees they contribute no pixels).
+                        keep = ((quads[:, 0] < cx1)
+                                & (quads[:, 0] + quads[:, 2] > cx0)
+                                & (quads[:, 1] < cy1)
+                                & (quads[:, 1] + quads[:, 3] > cy0))
+                        if not keep.all():
+                            quads = quads[keep]
+                    if quads.shape[0]:
+                        acc.glyph_run(quads, color, clip)
             y += lh
 
     def _run_template(self, atlas: FontAtlas, line: str, scale: float,
