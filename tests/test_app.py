@@ -910,3 +910,30 @@ def test_keyboard_range_collapse(temp_repo, git):
     assert tab.selected_oid == newest
     for tb in app.tabs:
         tb.stop_workers()
+
+
+def test_failed_checkout_no_false_success_toast(temp_repo, git):
+    """Regression: a checkout blocked by dirty local changes toasted BOTH
+    'Checkout failed' and 'Checked out X' — the success toast must be
+    conditional on the op actually succeeding."""
+    with open(os.path.join(temp_repo, "README.md"), "w") as f:
+        f.write("v1\n")
+    git(temp_repo, "add", "-A")
+    git(temp_repo, "commit", "-m", "v1")
+    git(temp_repo, "checkout", "-b", "other")
+    with open(os.path.join(temp_repo, "README.md"), "w") as f:
+        f.write("other\n")
+    git(temp_repo, "commit", "-am", "other version")
+    git(temp_repo, "checkout", "main")
+    with open(os.path.join(temp_repo, "README.md"), "w") as f:
+        f.write("dirty local edit\n")   # conflicts with 'other'
+
+    app = make_app(temp_repo)
+    tab = app.current()
+    app.handle_action("checkout-branch:other")
+    kinds = [(t.kind, t.message) for t in app.toasts]
+    assert any(k == "error" for k, _ in kinds), kinds
+    assert not any(k == "success" for k, _ in kinds), kinds
+    assert tab.current_branch == "main"
+    for tb in app.tabs:
+        tb.stop_workers()

@@ -709,9 +709,10 @@ class WhisperApp:
         tab = self.current()
         if tab is None:
             return
-        self.run_sync_op(f"Checkout {arg}",
-                         lambda: grefs.checkout_branch(tab.active_repo(), arg))
-        self.toast("success", f"Checked out {arg}")
+        if self.run_sync_op(
+                f"Checkout {arg}",
+                lambda: grefs.checkout_branch(tab.active_repo(), arg)):
+            self.toast("success", f"Checked out {arg}")
 
     def _act_checkout_remote(self, arg, x, y):
         tab = self.current()
