@@ -220,6 +220,15 @@ def test_branch_intent_no_unique_commits(temp_repo, git, monkeypatch):
     app = WhisperApp.with_tabs([tab])
     monkeypatch.setattr(ai, "find_claude_binary", lambda: "/bin/claude")
     app.handle_action("branch-intent:same-as-main")
+    # The no-unique-commits check runs on the WORKER thread (the git log
+    # must never block the UI thread) and signals through the queue.
+    assert tab.intent_rx is not None
+    import time as _time
+    for _ in range(100):
+        app._poll_op_slots(tab)
+        if tab.intent_rx is None:
+            break
+        _time.sleep(0.05)
     assert tab.intent_rx is None
     assert any("no commits of its own" in t.message for t in app.toasts)
     tab.stop_workers()

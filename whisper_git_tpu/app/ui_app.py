@@ -548,8 +548,11 @@ class WhisperApp:
             fwd, back = back, fwd
             try:
                 files = range_diff(tab.repo, base, head)
-            except Exception:
-                pass
+            except Exception as exc:
+                # The swapped title must never present the ORIGINAL
+                # (reversed) diff — its +/- signs would read backwards.
+                self.toast("error", f"Compare failed: {exc}")
+                return
         tab.compare_range = (base, head)
         tab.compare_set = fwd | back | {base}
         tab.range_anchor = None
@@ -607,9 +610,6 @@ class WhisperApp:
             else tab.head_oid
         rx = ai.spawn_branch_intent_async(tab.repo, base, tip.oid,
                                           self.proxy)
-        if rx is None:
-            self.toast("info", f"{arg} has no commits of its own")
-            return
         tab.intent_rx = (arg, rx)
         self.toast("info", f"Summarizing {arg}…")
 
@@ -1291,10 +1291,23 @@ class WhisperApp:
         tab = self.current()
         if tab is None:
             return
-        from ..services.rewind import RewindState
+        from ..services.rewind import RewindState, snapshot_of_tab
         if self.config.rewind_enabled:
             self._record_rewind(tab)  # the timeline always ends at NOW
         snaps = list(self._rewind_log(tab).snapshots)
+        if not self.config.rewind_enabled:
+            # Recording is off, but the modal still labels its last entry
+            # NOW and diffs against it — append an UNRECORDED in-memory
+            # snapshot so "current state" is actually current, not the
+            # last pre-toggle entry.
+            try:
+                now_snap = snapshot_of_tab(tab)
+            except Exception:
+                now_snap = None
+            if now_snap is not None and (
+                    not snaps or snaps[-1].fingerprint() !=
+                    now_snap.fingerprint()):
+                snaps.append(now_snap)
         self.modal = ("rewind", RewindState(
             snapshots=snaps, index=max(0, len(snaps) - 1)))
 
@@ -2013,7 +2026,10 @@ class WhisperApp:
                 payload = None
             if payload is not None:
                 tab.intent_rx = None
-                if payload.get("ok"):
+                if payload.get("empty"):
+                    self.toast("info",
+                               f"{branch} has no commits of its own")
+                elif payload.get("ok"):
                     if self.modal is None:
                         self.modal = ("info", dialogs.ErrorState(
                             f"Branch intent: {branch}",

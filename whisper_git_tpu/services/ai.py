@@ -215,24 +215,25 @@ def generate_intent_via_claude_cli(text: str, model: str = "haiku",
 
 
 def spawn_branch_intent_async(repo: GitRepo, base: str, tip: str,
-                              proxy=None) -> Optional["queue.Queue[dict]"]:
-    """Returns None ONLY when the branch verifiably has no unique
-    commits (a cheap `git log --oneline` check up front). Git errors
-    surface through the queue as {ok: False} — a failed log must not
-    read as "no commits of its own". The expensive `diff --stat` runs on
-    the worker thread, never the UI thread."""
+                              proxy=None) -> "queue.Queue[dict]":
+    """EVERY git subprocess (log + diff --stat) runs on the worker thread
+    — a cold `git log` on a large repo can take hundreds of ms, which
+    would hitch the frame loop if run up front. A branch with no unique
+    commits signals {ok: True, empty: True} through the queue; git
+    errors surface as {ok: False} — a failed log must not read as "no
+    commits of its own"."""
     from ..gitcore.cli import run_git
 
-    log = run_git(repo.root, "log", "--oneline", "--no-decorate",
-                  f"{base}..{tip}", check=False)
-    if log.ok and not log.stdout.strip():
-        return None
     rx: "queue.Queue[dict]" = queue.Queue(maxsize=1)
 
     def worker():
+        log = run_git(repo.root, "log", "--oneline", "--no-decorate",
+                      f"{base}..{tip}", check=False)
         if not log.ok:
             rx.put({"ok": False,
                     "error": "git log failed for this branch range"})
+        elif not log.stdout.strip():
+            rx.put({"ok": True, "empty": True})
         else:
             stat = run_git(repo.root, "diff", "--stat", base, tip,
                            check=False)

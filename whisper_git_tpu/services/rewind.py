@@ -109,8 +109,13 @@ class RewindLog:
             base = os.environ.get(
                 "XDG_STATE_HOME", os.path.expanduser("~/.local/state"))
             root = os.path.join(base, "whisper-git", "rewind")
+        # Tail-truncated slug + a hash of the FULL key: two repos whose
+        # sanitized paths share an 80-char tail must not interleave
+        # timelines in one file.
+        import hashlib
         safe = "".join(c if c.isalnum() else "_" for c in repo_key)[-80:]
-        self.path = os.path.join(root, f"{safe}.jsonl")
+        digest = hashlib.sha1(repo_key.encode()).hexdigest()[:8]
+        self.path = os.path.join(root, f"{safe}-{digest}.jsonl")
         self._snaps: list[RewindSnapshot] = self._load()
 
     # -- persistence -----------------------------------------------------
