@@ -296,3 +296,47 @@ def test_avatar_cache_no_retry(monkeypatch):
     assert cache.get("x@y.z") is None  # failed → no retry
     time.sleep(0.1)
     assert len(calls) == 1
+
+
+def test_avatar_prefetch_shared_deadline(monkeypatch):
+    """prefetch_sync fans out over a pool under ONE wall deadline: 20
+    hung downloads must cost ~timeout total, not 20 × timeout."""
+    from whisper_git_tpu.services import avatar
+
+    started = []
+
+    def hung_download(email, timeout=10.0):
+        started.append(email)
+        time.sleep(30.0)  # never completes within the deadline
+        return None
+
+    monkeypatch.setattr(avatar, "download_avatar", hung_download)
+    cache = avatar.AvatarCache()
+    emails = [f"u{i}@example.com" for i in range(20)]
+    t0 = time.monotonic()
+    cache.prefetch_sync(emails, timeout=0.5)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 5.0, f"prefetch blocked {elapsed:.1f}s (serial?)"
+    # Everything in flight at the deadline is marked failed-for-session.
+    for e in started:
+        assert cache.get(e) is None
+
+
+def test_avatar_prefetch_parallel_success(monkeypatch):
+    from whisper_git_tpu.services import avatar
+    import numpy as np
+
+    tile = np.zeros((64, 64, 4), np.uint8)
+
+    def ok_download(email, timeout=10.0):
+        time.sleep(0.05)
+        return tile
+
+    monkeypatch.setattr(avatar, "download_avatar", ok_download)
+    cache = avatar.AvatarCache()
+    emails = [f"p{i}@example.com" for i in range(8)]
+    t0 = time.monotonic()
+    cache.prefetch_sync(emails, timeout=5.0)
+    assert time.monotonic() - t0 < 2.0
+    for e in emails:
+        assert cache.get(e) is not None

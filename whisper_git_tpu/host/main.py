@@ -196,7 +196,9 @@ def main(argv: list[str] | None = None) -> int:
             tab.refresh_sync()  # sync full refresh — no event loop
         # Blocking avatar prefetch so the frame shows real avatars
         # (reference: prefetch_avatars_for_screenshot, main.rs:307;
-        # WGIT_SKIP_AVATARS skips it).
+        # WGIT_SKIP_AVATARS skips it). The fetches fan out over a thread
+        # pool with ONE 3 s wall deadline per tab — a dead network costs
+        # seconds, not 20 × 3 s of serial timeouts.
         for tab in app.tabs:
             emails = list({c.author_email for c in tab.commits
                            if c.author_email})[:20]

@@ -136,14 +136,47 @@ class AvatarCache:
 
     def prefetch_sync(self, emails: list[str], timeout: float = 5.0) -> None:
         """Blocking prefetch for screenshot mode (reference: main.rs:307;
-        WGIT_SKIP_AVATARS skips it)."""
+        WGIT_SKIP_AVATARS skips it).
+
+        Fetches fan out over a thread pool under ONE shared wall-clock
+        deadline (`timeout` total, not per email): a slow or dead network
+        costs at most ~`timeout` seconds of pre-render stall, never
+        len(emails) × timeout (20 serial 3 s timeouts ≈ 60 s)."""
         if not self.enabled or os.environ.get("WGIT_SKIP_AVATARS"):
             return
-        for email in emails:
-            arr = download_avatar(email, timeout=timeout)
+        import concurrent.futures
+        import time
+
+        if not emails:
+            return
+        deadline = time.monotonic() + timeout
+        pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(8, len(emails)),
+            thread_name_prefix="avatar-prefetch")
+        futures = {pool.submit(download_avatar, e, timeout): e
+                   for e in emails}
+        try:
+            for fut in concurrent.futures.as_completed(
+                    futures, timeout=max(0.1, deadline - time.monotonic())):
+                email = futures[fut]
+                try:
+                    arr = fut.result()
+                except Exception:
+                    arr = None
+                with self._lock:
+                    if arr is None:
+                        self._states[email] = AvatarState.FAILED
+                    else:
+                        self._states[email] = AvatarState.LOADED
+                        self._images[email] = arr
+        except concurrent.futures.TimeoutError:
+            # Deadline hit: mark the stragglers failed-for-this-session
+            # and move on — the screenshot renders identicons for them.
             with self._lock:
-                if arr is None:
-                    self._states[email] = AvatarState.FAILED
-                else:
-                    self._states[email] = AvatarState.LOADED
-                    self._images[email] = arr
+                for fut, email in futures.items():
+                    if not fut.done():
+                        self._states.setdefault(email, AvatarState.FAILED)
+        finally:
+            # No wait: in-flight downloads may finish in the background,
+            # but the caller's pre-render stall ends at the deadline.
+            pool.shutdown(wait=False, cancel_futures=True)
