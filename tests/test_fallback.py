@@ -1,0 +1,189 @@
+"""Fallback glyph bank (render/fallback.py): lazy out-of-coverage glyph
+rasterization through a discovered font chain.
+
+The test environment has no CJK-capable font (only DejaVu/STIX), so the
+chain's load-bearing properties are exercised with codepoints DejaVu
+covers but the resident atlas does not (Hebrew, box drawing, math);
+CJK-specific assertions are gated on an actual CJK font being present —
+exactly the reference's own behavior (cosmic-text renders tofu on a
+system with no CJK font installed).
+"""
+
+import numpy as np
+import pytest
+
+# Codepoints OUTSIDE the resident atlas coverage but INSIDE DejaVu:
+HEBREW = "שלום"           # U+05E9... Hebrew
+BOX = "┌─┐"               # box drawing
+MATH = "∮"                # contour integral U+222E
+
+
+def _fresh_renderer():
+    from whisper_git_tpu.render.renderer import Renderer
+
+    return Renderer()
+
+
+@pytest.fixture(scope="module")
+def renderer():
+    return _fresh_renderer()
+
+
+def test_resident_atlas_does_not_cover_probe_glyphs(renderer):
+    """Guard: if these ever enter the resident set, pick new probes."""
+    for ch in HEBREW + BOX + MATH:
+        assert ch not in renderer.regular.glyphs
+
+
+def test_chain_discovers_dejavu():
+    from whisper_git_tpu.render.fallback import discover_chain_paths
+
+    paths = discover_chain_paths()
+    assert paths, "fallback chain must never be empty (DejaVu is bundled)"
+    assert any("DejaVu" in p for p in paths)
+
+
+def test_ensure_rasterizes_and_registers(renderer):
+    bank = renderer.fallback_bank
+    cps = [ord(c) for c in HEBREW]
+    assert bank.ensure(cps)
+    assert bank.used
+    for cp in cps:
+        row = bank.metrics[cp]
+        u, v = int(row[0]), int(row[1])
+        assert v >= renderer.font_tex.shape[0]  # below resident rows
+        # The cell actually holds ink (SDF interior values > 128).
+        v_rel = v - renderer.font_tex.shape[0]
+        cell = bank.texture[v_rel:v_rel + 64, u:u + 64]
+        assert cell.max() > 128
+    assert not bank.ensure(cps)  # idempotent
+
+
+def test_measure_uses_real_advances(renderer):
+    atlas = renderer.regular
+    w_heb = atlas.measure(HEBREW, 14.0)
+    w_qm = atlas.measure("?" * len(HEBREW), 14.0)
+    assert w_heb > 0
+    # Hebrew letters are narrower than '?' in DejaVu; the widths must
+    # come from the bank, not the '?' fallback metrics.
+    assert abs(w_heb - w_qm) > 0.5
+
+
+def test_render_differs_from_question_marks(renderer):
+    """End-to-end: a Hebrew string renders DIFFERENT pixels than the
+    same-length '?' string (i.e. the bank cells are actually sampled)."""
+    from whisper_git_tpu.ui.el import El
+
+    def render(s):
+        tree = El("stack", children=[
+            El("text", text=s, font_size=20.0,
+               color=(1.0, 1.0, 1.0, 1.0))])
+        return np.asarray(renderer.render(tree, (256, 64)))
+
+    img_heb = render(HEBREW)
+    img_qm = render("?" * len(HEBREW))
+    assert img_heb.shape == img_qm.shape
+    assert (img_heb != img_qm).any()
+    # And the glyphs left ink: some pixels clearly brighter than bg.
+    assert (img_heb[..., :3].max(axis=-1) > 128).sum() > 50
+
+
+def test_box_drawing_and_math(renderer):
+    bank = renderer.fallback_bank
+    cps = [ord(c) for c in BOX + MATH]
+    bank.ensure(cps)
+    for cp in cps:
+        assert cp in bank.metrics, hex(cp)
+
+
+def test_missing_coverage_marks_and_falls_back(renderer):
+    """A codepoint no chain font covers renders '?' and is never
+    retried."""
+    bank = renderer.fallback_bank
+    # U+E123: private use area — no real font maps it.
+    pua = 0xE123
+    bank.ensure([pua])
+    assert pua in bank.missing
+    assert pua not in bank.metrics
+    atlas = renderer.regular
+    w = atlas.measure(chr(pua), 14.0)
+    assert w == pytest.approx(atlas.measure("?", 14.0), rel=1e-5)
+
+
+def test_combined_texture_grows_and_versions(renderer):
+    bank = renderer.fallback_bank
+    tex0 = renderer.font_tex_device()
+    assert tex0.shape[0] == (renderer.font_tex.shape[0]
+                             + bank.texture.shape[0])
+    v0 = bank.version
+    bank.ensure([ord("∯")])  # another DejaVu math glyph
+    assert bank.version > v0
+    tex1 = renderer.font_tex_device()
+    assert tex1 is not tex0  # re-uploaded after the texture write
+
+
+def test_eviction_recycles_and_invalidates(renderer):
+    import whisper_git_tpu.render.fallback as fb
+
+    bank = fb.FallbackBank(capacity=12)   # one row → quick recycling
+    bank.set_layout(v_base=renderer.font_tex.shape[0],
+                    primary_ascent=renderer.regular.ascent)
+    first = [0x05D0 + i for i in range(12)]   # fills exactly
+    bank.ensure(first)
+    assert bank.evictions == 0
+    bank.ensure([0x2560])  # 13th glyph → recycles slot 0
+    assert bank.evictions == 1
+    assert first[0] not in bank.metrics       # evicted
+    assert 0x2560 in bank.metrics
+    # Re-ensuring the evicted glyph works (recycles the next slot).
+    bank.ensure([first[0]])
+    assert first[0] in bank.metrics
+
+
+def test_run_template_revalidates_on_eviction(renderer):
+    """A cached text template that used the bank rebuilds after an
+    eviction (its quads may point at recycled cells)."""
+    compiler = renderer.compiler
+    atlas = renderer.regular
+    bank = renderer.fallback_bank
+    line = "ש test"
+    t1 = compiler._run_template(atlas, line, 1.0, 0)
+    t2 = compiler._run_template(atlas, line, 1.0, 0)
+    assert t2 is t1                       # cache hit, no eviction
+    bank.evictions += 1                   # simulate a recycle
+    t3 = compiler._run_template(atlas, line, 1.0, 0)
+    assert t3 is not t1                   # rebuilt
+    bank.evictions -= 1
+
+
+def test_bold_run_uses_bank_without_bold_offset(renderer):
+    """Bank rows carry an absolute v: a bold run mixing resident and
+    fallback glyphs must offset only the resident glyphs."""
+    compiler = renderer.compiler
+    bold = renderer.bold
+    tpl = compiler._run_template(bold, "aש", 1.0, compiler.bold_v_offset)
+    assert tpl.shape[0] == 2
+    v_a, v_heb = tpl[0, 5], tpl[1, 5]
+    # 'a' sits in the bold band; 'ש' below both resident atlases.
+    assert v_a >= compiler.bold_v_offset
+    assert v_a < renderer.font_tex.shape[0]
+    assert v_heb >= renderer.font_tex.shape[0]
+
+
+def test_cjk_renders_when_font_available(renderer):
+    """CJK end-to-end — runs only where a CJK-capable font exists (this
+    CI image has none; documented parity delta)."""
+    from whisper_git_tpu.render.fallback import discover_chain_paths
+    bank = renderer.fallback_bank
+    cp = ord("中")
+    bank.ensure([cp])
+    if cp in bank.missing:
+        pytest.skip("no CJK-capable font on this system "
+                    f"(chain: {len(discover_chain_paths())} fonts)")
+    assert cp in bank.metrics
+    from whisper_git_tpu.ui.el import El
+    tree = El("stack", children=[
+        El("text", text="中文提交", font_size=20.0,
+           color=(1.0, 1.0, 1.0, 1.0))])
+    img = np.asarray(renderer.render(tree, (256, 64)))
+    assert (img[..., :3].max(axis=-1) > 128).sum() > 100

@@ -91,10 +91,48 @@ class FontAtlas:
                             g.advance, 1.0)
         self.max_cp = max_cp
         self._measure_cache: dict = {}
+        # Lazy fallback bank (render/fallback.py) — attached by the
+        # Renderer; None keeps the resident-only behavior ('?' fallback).
+        self.fallback = None
+
+    def attach_fallback(self, bank) -> None:
+        self.fallback = bank
+        self._measure_cache.clear()
 
     def codepoints(self, s: str) -> np.ndarray:
         cps = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
         return np.where(cps < self.max_cp, cps, ord("?"))
+
+    def raw_codepoints(self, s: str) -> np.ndarray:
+        return np.frombuffer(s.encode("utf-32-le"),
+                             np.uint32).astype(np.int64)
+
+    def metric_rows(self, line: str
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+        """Per-codepoint metric rows for one run, consulting the fallback
+        bank for out-of-coverage codepoints (lazily rasterizing them).
+
+        Returns (rows (n,8), abs_v (n,) bool, cps (n,) int64, used_bank).
+        Rows with abs_v=True came from the bank: their v is ABSOLUTE in
+        the combined font texture (the emitter must not add the bold
+        v-offset)."""
+        cps = self.raw_codepoints(line)
+        clipped = np.where(cps < self.max_cp, cps, ord("?"))
+        rows = self.lut[clipped]          # fancy index → fresh copy
+        abs_v = np.zeros(len(cps), bool)
+        used = False
+        bank = self.fallback
+        if bank is not None:
+            unknown = (cps >= self.max_cp) | (rows[:, 7] == 0.0)
+            if unknown.any():
+                bank.ensure(np.unique(cps[unknown]))
+                for i in np.nonzero(unknown)[0]:
+                    r = bank.metrics.get(int(cps[i]))
+                    if r is not None:
+                        rows[i] = r
+                        abs_v[i] = True
+                        used = True
+        return rows, abs_v, cps, used
 
     def advance(self, ch: str) -> float:
         g = self.glyphs.get(ch) or self.glyphs.get("?")
@@ -102,14 +140,29 @@ class FontAtlas:
 
     def measure(self, s: str, size: float) -> float:
         """Memoized: view strings (timestamps, names, labels) recur across
-        frames, so steady-state layout mostly hits this cache."""
+        frames, so steady-state layout mostly hits this cache. Fallback-
+        bank advances participate (a CJK subject must measure at its real
+        width, not len × '?'-width); the bank's ensure runs here, so by
+        emit time the glyphs are already resident."""
         if not s:
             return 0.0
         cache = self._measure_cache
         total = cache.get(s)
         if total is None:
             cps = self.codepoints(s)
-            total = float(self.lut[cps, 6].sum())
+            adv = self.lut[cps, 6]
+            bank = self.fallback
+            if bank is not None:
+                raw = self.raw_codepoints(s)
+                unknown = (raw >= self.max_cp) | (self.lut[cps, 7] == 0.0)
+                if unknown.any():
+                    bank.ensure(np.unique(raw[unknown]))
+                    adv = adv.copy()
+                    for i in np.nonzero(unknown)[0]:
+                        a = bank.advance(int(raw[i]))
+                        if a is not None:
+                            adv[i] = a
+            total = float(adv.sum())
             if len(cache) > 100_000:
                 cache.clear()
             cache[s] = total

@@ -47,6 +47,73 @@ def enable_persistent_compile_cache() -> None:
         pass
 
 
+_LINK_WARMUP = {"thread": None, "started": None, "elapsed_s": None}
+
+
+def start_link_warmup() -> None:
+    """Fire the process's FIRST device→host readback on a background
+    thread, as early as possible.
+
+    On the remote-accelerator tunnel this environment uses, the first
+    d2h transfer in a process pays ~2 minutes of transfer-path
+    initialization REGARDLESS of size (measured round 2: a 32 KB first
+    readback took 125.07 s; the 4 MB readback immediately after took
+    0.18 s — see docs/render-engine.md "First-readback stall"). Every
+    later readback is milliseconds. Starting the warmup at Renderer
+    construction overlaps that init with atlas build, repo refresh and
+    kernel compiles, so the first presented frame / screenshot doesn't
+    eat the full stall at the end of the pipeline looking hung.
+
+    Idempotent; no-op on the CPU backend (no tunnel, no stall)."""
+    import threading
+    import time
+
+    if _LINK_WARMUP["thread"] is not None:
+        return
+    import jax
+
+    if jax.default_backend() == "cpu":
+        _LINK_WARMUP["elapsed_s"] = 0.0
+        return
+
+    def worker():
+        import jax.numpy as jnp
+
+        t0 = time.monotonic()
+        try:
+            np.asarray(jnp.zeros((8,), jnp.uint8))
+        except Exception:
+            pass  # a failed warmup only loses the overlap, never the app
+        _LINK_WARMUP["elapsed_s"] = time.monotonic() - t0
+
+    _LINK_WARMUP["started"] = time.monotonic()
+    th = threading.Thread(target=worker, daemon=True, name="wgit-link-warmup")
+    _LINK_WARMUP["thread"] = th
+    th.start()
+
+
+def wait_link_warmup(verbose: bool = False) -> float:
+    """Block until the first-readback warmup completes, surfacing
+    progress every 5 s (so a 2-minute link init reads as a working wait,
+    not a hang). Returns the warmup's elapsed seconds (0.0 when it never
+    ran or was instant)."""
+    import sys
+    import time
+
+    th = _LINK_WARMUP["thread"]
+    if th is None or not th.is_alive():
+        return _LINK_WARMUP["elapsed_s"] or 0.0
+    t0 = _LINK_WARMUP["started"] or time.monotonic()
+    while th.is_alive():
+        th.join(timeout=5.0)
+        if th.is_alive() and verbose:
+            print(f"wgit: waiting on device link warmup… "
+                  f"{time.monotonic() - t0:.0f}s (first device→host "
+                  f"transfer initializes the tunnel; one-time per "
+                  f"process)", file=sys.stderr)
+    return _LINK_WARMUP["elapsed_s"] or 0.0
+
+
 def _apply_device_override() -> None:
     """WGIT_DEVICE=cpu|tpu|… picks the accelerator backend (the analog of
     the reference's WHISPER_GPU device override, host.rs:567). Best-effort:
@@ -82,6 +149,9 @@ class Renderer:
         # visible accelerator chip (no-op single-chip / on CPU; see
         # render/meshstate.py and parallel/mesh.py).
         maybe_auto_mesh()
+        # Absorb the one-time ~2 min first-readback link init in the
+        # background while atlases build and kernels compile.
+        start_link_warmup()
         self.regular = build_atlas(bold=False)
         self.bold = build_atlas(bold=True)
         rt, bt = self.regular.texture, self.bold.texture
@@ -97,17 +167,37 @@ class Renderer:
         self.compiler = SceneCompiler(self.regular, self.bold,
                                       bold_v_offset=rt.shape[0])
         self.measurer = AtlasMeasurer(self.regular, self.bold)
+        # Lazy fallback glyph bank (render/fallback.py): out-of-coverage
+        # codepoints (CJK, Hebrew, box drawing, …) rasterize on first use
+        # from a discovered font chain into rows BELOW the resident
+        # atlases. Until first use the combined texture keeps its
+        # resident-only shape (zero cost for ASCII/Latin sessions).
+        from .fallback import FallbackBank
+
+        self.fallback_bank = FallbackBank()
+        assert self.fallback_bank.texture.shape[1] == self.font_tex.shape[1]
+        self.fallback_bank.set_layout(v_base=self.font_tex.shape[0],
+                                      primary_ascent=self.regular.ascent)
+        self.regular.attach_fallback(self.fallback_bank)
+        self.bold.attach_fallback(self.fallback_bank)
         # Device-resident copies — transferred once, reused every frame
         # (per-frame data crosses as two packed blobs; see rasterizer).
         self._font_tex_dev = None
+        self._font_tex_bank_version = None
         self._image_atlas_dev = None
         self._image_atlas_version = -1
 
     def font_tex_device(self):
         import jax.numpy as jnp
 
-        if self._font_tex_dev is None:
-            self._font_tex_dev = jnp.asarray(self.font_tex)
+        bank = self.fallback_bank
+        want = bank.version if bank.used else -1
+        if self._font_tex_dev is None or self._font_tex_bank_version != want:
+            tex = self.font_tex
+            if bank.used:
+                tex = np.concatenate([tex, bank.texture], axis=0)
+            self._font_tex_dev = jnp.asarray(tex)
+            self._font_tex_bank_version = want
         return self._font_tex_dev
 
     def image_atlas_device(self):

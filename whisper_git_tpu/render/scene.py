@@ -504,13 +504,18 @@ class SceneCompiler:
                       v_off: int) -> np.ndarray:
         """Origin-relative glyph quads for a text run, memoized — the view
         rebuilds the same strings every frame, so steady state is a dict
-        hit + one (n,8) copy."""
+        hit + one (n,8) copy. Runs that used the fallback bank revalidate
+        against its eviction counter (a recycled cell may hold a
+        different glyph now)."""
         key = (line, scale, v_off)
-        tpl = self._text_cache.get(key)
-        if tpl is not None:
-            return tpl
-        cps = atlas.codepoints(line)
-        m = atlas.lut[cps]  # (n, 8): u,v,w,h,bx,by,adv,known
+        hit = self._text_cache.get(key)
+        if hit is not None:
+            tpl, uses_bank, evictions_seen = hit
+            if not uses_bank or (atlas.fallback is not None
+                                 and atlas.fallback.evictions
+                                 == evictions_seen):
+                return tpl
+        m, abs_v, cps, uses_bank = atlas.metric_rows(line)
         adv = m[:, 6] * scale
         pens = np.concatenate(([0.0], np.cumsum(adv[:-1])))
         quads = np.empty((len(cps), 8), np.float32)
@@ -522,15 +527,19 @@ class SceneCompiler:
         quads[:, 2] = m[:, 2] * scale
         quads[:, 3] = atlas.band_h * scale
         quads[:, 4] = m[:, 0]
-        quads[:, 5] = m[:, 1] + v_off
+        # Bank rows carry an ABSOLUTE v (the bank sits below both resident
+        # atlases in the combined texture) — no bold v-offset for them.
+        quads[:, 5] = m[:, 1] + np.where(abs_v, 0.0, float(v_off))
         quads[:, 6] = m[:, 2]
         quads[:, 7] = atlas.band_h
-        # Skip spaces/control chars; unknown codepoints already carry the
-        # fallback '?' metrics from the LUT.
+        # Skip spaces/control chars; out-of-coverage codepoints carry
+        # either bank metrics or the resident '?' fallback.
         tpl = np.ascontiguousarray(quads[cps > 32])
         if len(self._text_cache) > 50_000:
             self._text_cache.clear()
-        self._text_cache[key] = tpl
+        bank = atlas.fallback
+        self._text_cache[key] = (
+            tpl, uses_bank, bank.evictions if bank is not None else 0)
         return tpl
 
     # -- walk ---------------------------------------------------------------
@@ -657,6 +666,21 @@ class SceneCompiler:
 
     def compile(self, root: LayoutNode, viewport: tuple[int, int],
                 background: tuple) -> Scene:
+        bank = self.regular.fallback
+        if bank is not None and bank.evictions != getattr(
+                self, "_bank_evictions_seen", 0):
+            # A bank slot was recycled: cached quads anywhere may point at
+            # a cell that now holds a DIFFERENT glyph, and the device-side
+            # content-addressed caches key on command bytes (which could
+            # collide across eviction epochs). Drop everything; capacity
+            # (192 cells) makes this rare.
+            self._bank_evictions_seen = bank.evictions
+            self._text_cache.clear()
+            self._subtree_cache.clear()
+            self._window_cache.clear()
+            from . import compose as _compose, frame as _frame
+            _frame.clear_caches()
+            _compose.clear_caches()
         W, H = int(viewport[0]), int(viewport[1])
         accums = [_LayerAccum(li) for li in range(MAX_LAYERS)]
         stats = {"clipped_out": 0}
