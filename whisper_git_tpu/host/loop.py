@@ -121,9 +121,16 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                                        int(app.config.window_height)))
             display = display_ctx.__enter__()
     if dump_path or display is not None:
-        from ..render.renderer import get_renderer
+        from ..render.renderer import _LINK_WARMUP, get_renderer
 
         renderer = get_renderer()
+        th = _LINK_WARMUP.get("thread")
+        if th is not None and th.is_alive():
+            # The first presented frame blocks (on the present thread —
+            # input stays live) until the one-time device-link init
+            # finishes; say so instead of showing a silent black screen.
+            app.toast("info", "device link warming up — first frame can "
+                              "take a minute or two on a cold tunnel")
 
     measurer = None
     if renderer is not None:

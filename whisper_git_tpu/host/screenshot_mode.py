@@ -33,11 +33,19 @@ def run(path: str, width: int, height: int, scale: float,
                              DARK.background)
     if scale != 1.0:
         scene = scene.scaled(scale, out_w=width, out_h=height)
-    from ..render.rasterizer import render_scene
+    from ..render.rasterizer import render_scene_device
+    from ..render.renderer import wait_link_warmup
 
-    img = render_scene(scene, renderer.font_tex_device(),
-                       renderer.image_atlas_device())
-    save_png(np.asarray(img), path)
+    # Dispatch the frame (async on device), then drain the link warmup
+    # WITH progress before the blocking readback: the device renders
+    # while the one-time first-readback init (started at Renderer
+    # construction) finishes, and a multi-minute tunnel init reads as a
+    # counting wait instead of a hang (docs/render-engine.md
+    # "First-readback stall").
+    img_dev = render_scene_device(scene, renderer.font_tex_device(),
+                                  renderer.image_atlas_device())
+    wait_link_warmup(verbose=True)
+    save_png(np.asarray(img_dev), path)
 
 
 def render_frame(app: WhisperApp, width: int, height: int):
