@@ -1,12 +1,11 @@
 """Mesh-sharded rendering tests on the 8-virtual-device CPU mesh.
 
-Tolerances are honest about the numerics: the per-tile command math is
-identical across paths, but the glyph/image samplers run bf16 MXU
-matmuls that XLA fuses and orders differently under shard_map than under
-plain vmap, so the single-shot sharded raster is held to ±4/255. The
-PRODUCTION steady-state paths (frame cache + compose, sharded via
-set_render_mesh) re-associate only the compose `over` boundaries and are
-held to the compose path's ≤1 u8 bound."""
+Single-frame sharding (`render_scene_sharded`) routes through the
+PRODUCTION frame-cache/compose path (install mesh → render → restore)
+and is held to that path's ≤1 u8 bound — one numerics story. Only the
+batched dp-axis sweep (`render_batch_sharded`) keeps the ±4/255
+tolerance: its glyph/image samplers run bf16 MXU matmuls that XLA fuses
+and orders differently under shard_map than under plain vmap."""
 
 import numpy as np
 import pytest
@@ -45,7 +44,6 @@ def _scene(renderer, w=256, h=128):
 
 
 def test_sharded_matches_single_chip(renderer):
-    import jax
     scene = _scene(renderer)
     from whisper_git_tpu.render.rasterizer import render_scene
     single = render_scene(scene, renderer.font_tex)
@@ -53,9 +51,8 @@ def test_sharded_matches_single_chip(renderer):
     sharded = render_scene_sharded(scene, renderer.font_tex, mesh)
     assert sharded.shape == single.shape
     diff = np.abs(sharded.astype(int) - single.astype(int))
-    # ±4/255: the glyph sampler runs its matmuls in bf16 (MXU path) and
-    # XLA fuses/orders them differently under shard_map vs vmap.
-    assert diff.max() <= 4
+    # ≤1 u8: render_scene_sharded rides the production frame path now.
+    assert diff.max() <= 1
 
 
 def test_sharded_2d_mesh(renderer):
@@ -65,7 +62,7 @@ def test_sharded_2d_mesh(renderer):
     mesh = make_mesh(8, dp=2)  # (2, 4) mesh used jointly for tiles
     sharded = render_scene_sharded(scene, renderer.font_tex, mesh)
     diff = np.abs(sharded.astype(int) - single.astype(int))
-    assert diff.max() <= 4  # bf16 sampling tolerance (see above)
+    assert diff.max() <= 1  # production-path bound (see module docstring)
 
 
 # ---------------------------------------------------------------------------

@@ -19,20 +19,21 @@ Two consumers:
     the tile axis split across the mesh, and the compose blend carries a
     row-sharding constraint. The app installs this automatically when
     more than one chip is visible (render/meshstate.maybe_auto_mesh,
-    called from Renderer.__init__).
-  * `render_scene_sharded` / `render_batch_sharded` below shard the
-    single-shot rasterizer for one-off batches (golden-dump sweeps).
-
-The per-tile kernel is exactly the single-chip rasterizer body, so the
-paths cannot drift structurally; numerically, sharded output matches
-single-chip within ±4/255 per channel — the glyph/image samplers run
-bf16 MXU matmuls that XLA fuses and orders differently under shard_map
-than under plain vmap (tests/test_parallel.py asserts the bound).
+    called from Renderer.__init__). `render_scene_sharded` is a thin
+    convenience over this path (install mesh → render → restore), so
+    single-frame sharding has ONE numerics story: ≤1 u8 vs single-chip.
+  * `render_batch_sharded` below exists for the
+    BATCHED dp-axis sweep only (B frames data-parallel × tiles spatial —
+    golden-dump sweeps, animation batches; the production frame paths
+    have no frame-batch axis). Their per-tile body is the single-chip
+    rasterizer's, so they cannot drift structurally, but their numerics
+    are held to ±4/255: the glyph/image samplers run bf16 MXU matmuls
+    that XLA fuses and orders differently under shard_map than under
+    plain vmap (tests/test_parallel.py asserts the bound).
 """
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax
@@ -60,99 +61,28 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None
     return Mesh(devices.reshape(dp, n // dp), ("dp", "sp"))
 
 
-def _pad_tiles(bins: np.ndarray, t_pad: int) -> np.ndarray:
-    t = bins.shape[0]
-    if t == t_pad:
-        return bins
-    pad = np.full((t_pad - t,) + bins.shape[1:], -1, bins.dtype)
-    return np.concatenate([bins, pad], axis=0)
-
-
 def render_scene_sharded(scene, font_tex: np.ndarray, mesh: Mesh
                          ) -> np.ndarray:
-    """Single frame, tile axis sharded over the mesh's 'sp' axis.
-    Returns (H, W, 4) uint8 on the host."""
-    scene = scene.inline_windows()
-    tiles_x = -(-scene.width // R.TILE_W)
-    tiles_y = -(-scene.height // R.TILE_H)
-    T = tiles_y * tiles_x
-    sp = mesh.shape["sp"] * mesh.shape["dp"]  # use the whole mesh spatially
-    T_pad = math.ceil(T / sp) * sp
+    """Single frame over the mesh THROUGH THE PRODUCTION KERNELS.
 
-    layer_data = []
-    layer_sig = []
-    for lb in scene.layers:
-        s_bins, _ = R._bin_commands(R._shape_boxes(lb.shapes, lb.n_shapes),
-                                    lb.n_shapes, tiles_y, tiles_x,
-                                    R.K_SHAPES)
-        g_bins, _ = R._bin_commands(R._quad_boxes(lb.glyphs, lb.n_glyphs),
-                                    lb.n_glyphs, tiles_y, tiles_x,
-                                    R.K_GLYPHS)
-        i_bins, _ = R._bin_commands(R._quad_boxes(lb.images, lb.n_images),
-                                    lb.n_images, tiles_y, tiles_x,
-                                    R.K_IMAGES)
-        # Round-trip through the single-chip path's int16 quantization so
-        # command values match render_scene exactly (the residual ±4/255
-        # difference comes from bf16 sampler op ordering, not inputs).
-        def q(name, cols, scale, arr):
-            s = R._part_scale(name, cols, scale)
-            return jnp.asarray(
-                np.clip(np.rint(arr * s), -32767.0, 32767.0)
-                .astype(np.int16).astype(np.float32) / s)
+    Installs `mesh` via set_render_mesh and renders with
+    `render_scene_device` — the same frame-cache/compose pipeline the
+    interactive app and bench run — then restores the previous mesh.
+    Sharded output therefore inherits the production ≤1 u8 bound instead
+    of the ±4/255 the old bespoke shard_map-over-the-single-shot-raster
+    carried (one numerics story for single-frame sharding). Batched
+    multi-frame sweeps keep `render_batch_sharded` below.
 
-        layer_data.append((
-            q("shapes", 16, None, lb.shapes),
-            q("shape_clips", 4, 4.0, lb.shape_clips),
-            q("glyphs", 8, 8.0, lb.glyphs),
-            q("glyph_colors", 4, 8192.0, lb.glyph_colors),
-            q("glyph_clips", 4, 4.0, lb.glyph_clips),
-            q("images", 8, 8.0, lb.images),
-            q("image_clips", 4, 4.0, lb.image_clips),
-            jnp.asarray(_pad_tiles(s_bins, T_pad)),
-            jnp.asarray(_pad_tiles(g_bins, T_pad)),
-            jnp.asarray(_pad_tiles(i_bins, T_pad))))
-        layer_sig.append((lb.n_shapes > 0, lb.n_glyphs > 0, lb.n_images > 0))
-
-    tiles = render_tiles_sharded(
-        tuple(layer_data), jnp.asarray(font_tex),
-        jnp.asarray(scene.image_atlas), tuple(scene.background[:3]),
-        tiles_y, tiles_x, tuple(layer_sig), mesh, t_pad=T_pad)
-    tiles = np.asarray(tiles)[:T]
-    return R.assemble_image(tiles, tiles_y, tiles_x, scene.height,
-                            scene.width)
-
-
-def render_tiles_sharded(layer_data, font_tex, image_atlas, background,
-                         tiles_y: int, tiles_x: int, layer_sig: tuple,
-                         mesh: Mesh, t_pad: int):
-    """shard_map over the tile axis: bins sharded on ('dp','sp') jointly,
-    everything else replicated; output tiles sharded the same way."""
-    spatial = ("dp", "sp")
-
-    # Specs: bins (indices 7..9 of each layer tuple) shard on tiles; the
-    # command buffers and textures replicate.
-    def layer_spec(i):
-        return tuple(P(spatial) if j >= 7 else P() for j in range(10))
-
-    in_specs = (tuple(layer_spec(i) for i in range(len(layer_sig))),
-                P(), P())
-    out_spec = P(spatial)
-
-    def shard_fn(ld, ftex, iatlas):
-        # Each shard owns a contiguous slice of tiles; reconstruct global
-        # tile ids from the shard offset so pixel coordinates are right.
-        idx_dp = jax.lax.axis_index("dp")
-        idx_sp = jax.lax.axis_index("sp")
-        n_sp = mesh.shape["sp"]
-        shard_id = idx_dp * n_sp + idx_sp
-        local_t = t_pad // (mesh.shape["dp"] * n_sp)
-        tile0 = shard_id * local_t
-        return _render_tile_slice(ld, ftex, iatlas, background, tiles_x,
-                                  layer_sig, tile0, local_t)
-
-    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
-                       out_specs=out_spec, check_vma=False)
-    return fn(layer_data, font_tex, image_atlas)
+    Note: with WGIT_FRAME_CACHE=0 the device path falls back to the
+    single-shot packed raster, which renders single-chip (the frame
+    cache / compose pipelines are where the mesh plumbing lives)."""
+    prev = get_render_mesh()
+    set_render_mesh(mesh)
+    try:
+        return np.asarray(R.render_scene_device(scene, font_tex,
+                                                scene.image_atlas))
+    finally:
+        set_render_mesh(prev)
 
 
 def _render_tile_slice(layer_data, font_tex, image_atlas, background,
