@@ -1,23 +1,33 @@
 """Test configuration: force the CPU backend with 8 virtual devices so the
 multi-chip sharding paths are exercised hermetically (the driver validates
-the real multi-chip path separately via __graft_entry__.dryrun_multichip)."""
+the real multi-chip path separately via __graft_entry__.dryrun_multichip).
+
+The REAL-TPU tier (tests/test_tpu_hw.py, @pytest.mark.tpu) is the one
+exception: `WGIT_TPU_TESTS=1 pytest -m tpu` leaves the platform alone so
+the Pallas kernel, the extended font texture, and the frame caches run on
+actual hardware — the code paths CPU CI structurally cannot reach."""
 
 import os
 import subprocess
 
-# Hard-set (not setdefault): the session env carries JAX_PLATFORMS=axon
-# (the TPU tunnel), and subprocesses spawned by tests must inherit cpu.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+_TPU_TIER = os.environ.get("WGIT_TPU_TESTS") == "1"
+
+if not _TPU_TIER:
+    # Hard-set (not setdefault): the session env carries JAX_PLATFORMS=axon
+    # (the TPU tunnel), and subprocesses spawned by tests must inherit cpu.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 # The env var alone is NOT enough in this environment: the axon TPU plugin
 # registers itself regardless and grabs the backend, silently sending every
 # test's compile over the TPU tunnel. jax.config is authoritative.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
 
 import tempfile  # noqa: E402
 
@@ -32,6 +42,22 @@ from whisper_git_tpu.app.views.widgets import freeze_pulse  # noqa: E402
 freeze_pulse(0.0)
 
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: needs real TPU hardware; run WGIT_TPU_TESTS=1 pytest -m tpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    if _TPU_TIER:
+        return
+    skip = pytest.mark.skip(
+        reason="real-TPU tier: run WGIT_TPU_TESTS=1 pytest -m tpu")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture()

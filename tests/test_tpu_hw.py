@@ -1,0 +1,159 @@
+"""Real-TPU hardware tier — `WGIT_TPU_TESTS=1 pytest -m tpu tests/test_tpu_hw.py`.
+
+CPU CI runs the Pallas kernel only in interpret mode and renders the
+pixel goldens on the CPU backend; a Mosaic-level regression (alignment,
+VMEM budget, bf16 MXU behavior) would pass the entire local suite and
+only surface when someone runs the app on hardware. This tier closes
+that hole: it exercises every TPU-only code path on the actual chip —
+the compiled Mosaic kernel vs the XLA scan path, a pixel-golden scene,
+the steady-state frame-cache/compose sequence, the extended (fallback-
+bank) font texture under VMEM residency, and a full screenshot frame.
+
+Budget note: the process's FIRST device→host readback pays the tunnel's
+one-time link init (~2–6 min, docs/render-engine.md "First-readback
+stall"); the module fixture absorbs it once up front.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def tpu_renderer():
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip(f"no TPU backend (got {jax.default_backend()})")
+    from whisper_git_tpu.render.renderer import (
+        enable_persistent_compile_cache,
+        get_renderer,
+        wait_link_warmup,
+    )
+
+    enable_persistent_compile_cache()
+    r = get_renderer()
+    wait_link_warmup()  # absorb the one-time link init before any timing
+    return r
+
+
+def _steady_scene(renderer, off: float, w=384, h=256):
+    from whisper_git_tpu.tools.fixtures import steady_window_scene
+
+    return steady_window_scene(renderer, off, (w, h))
+
+
+def _clear_device_caches():
+    from whisper_git_tpu.render import compose as C, frame as F
+
+    C.clear_caches()
+    F.clear_caches()
+
+
+def test_pallas_kernel_matches_xla_on_hw(tpu_renderer, monkeypatch):
+    """The compiled Mosaic kernel (not interpret mode) vs the XLA scan
+    path, same device, same scene: ≤1 u8. This is the assertion
+    tests/test_pallas_raster.py can only approximate in interpret mode."""
+    from whisper_git_tpu.render import rasterizer as R
+
+    scene = _steady_scene(tpu_renderer, 16.0)
+    monkeypatch.setenv("WGIT_FRAME_CACHE", "0")  # single-shot packed path
+    monkeypatch.setenv("WGIT_PALLAS", "1")
+    _clear_device_caches()
+    got_pallas = np.asarray(R.render_scene_device(
+        scene, tpu_renderer.font_tex_device(),
+        tpu_renderer.image_atlas_device()))
+    monkeypatch.setenv("WGIT_PALLAS", "0")
+    got_xla = np.asarray(R.render_scene_device(
+        scene, tpu_renderer.font_tex_device(),
+        tpu_renderer.image_atlas_device()))
+    diff = np.abs(got_pallas.astype(np.int16) - got_xla.astype(np.int16))
+    assert diff.max() <= 1, f"pallas vs xla on hw: {diff.max()} u8"
+
+
+def test_pixel_golden_on_hw(tpu_renderer):
+    """One checked-in golden scene rendered on the chip. The goldens are
+    CPU-rendered; hardware bf16 MXU rounding differs slightly from the
+    CPU emulation, so the gate is TOLERANCE+2 — still far below any
+    real shader/layout regression (test_pixel_golden's sensitivity test
+    shows a 1 px shift exceeds TOLERANCE many times over)."""
+    import os
+
+    from PIL import Image
+
+    from whisper_git_tpu.tools.goldens import (
+        TOLERANCE,
+        golden_dir,
+        render_scene_image,
+    )
+
+    got = render_scene_image("chrome")
+    want = np.asarray(Image.open(os.path.join(golden_dir(), "chrome.png")))
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= TOLERANCE + 2, \
+        f"hw render vs cpu golden: {diff.max()} u8"
+
+
+def test_steady_state_sequence_on_hw(tpu_renderer, monkeypatch):
+    """Three consecutive scroll frames through the production compose
+    path vs the single-shot packed path, on hardware: ≤1 u8 each (the
+    bound the CPU suite asserts, now certified where the Pallas blocks
+    kernel actually runs)."""
+    from whisper_git_tpu.render import rasterizer as R
+
+    monkeypatch.delenv("WGIT_FRAME_CACHE", raising=False)
+    monkeypatch.delenv("WGIT_FRAME_COMPOSE", raising=False)
+    _clear_device_caches()
+    for off in (0.0, 16.0, 32.0):
+        scene = _steady_scene(tpu_renderer, off)
+        assert scene.windows, "fixture recorded no scroll window"
+        got = np.asarray(R.render_scene_device(
+            scene, tpu_renderer.font_tex_device(),
+            tpu_renderer.image_atlas_device()))
+        monkeypatch.setenv("WGIT_FRAME_CACHE", "0")
+        ref = np.asarray(R.render_scene_device(
+            scene, tpu_renderer.font_tex_device(),
+            tpu_renderer.image_atlas_device()))
+        monkeypatch.delenv("WGIT_FRAME_CACHE", raising=False)
+        diff = np.abs(ref.astype(np.int16) - got.astype(np.int16))
+        assert diff.max() <= 1, (off, diff.max())
+
+
+def test_fallback_bank_under_vmem_on_hw(tpu_renderer):
+    """The EXTENDED font texture (resident + fallback bank rows) through
+    the compiled Pallas kernel: the bank adds ~1.6 MB bf16 of VMEM-
+    resident cells; a budget overflow would fail Mosaic compilation
+    here and nowhere in CPU CI."""
+    from whisper_git_tpu.ui.el import El
+
+    bank = tpu_renderer.fallback_bank
+    bank.ensure([ord(c) for c in "שלום∮┌"])
+    assert bank.used
+    tree = El("stack", children=[
+        El("text", text="fallback שלום ∮ ┌ on hw", font_size=16.0,
+           color=(1.0, 1.0, 1.0, 1.0))])
+    img = np.asarray(tpu_renderer.render(tree, (384, 64)))
+    assert (img[..., :3].max(axis=-1) > 128).sum() > 50
+
+
+def test_screenshot_frame_on_hw(tpu_renderer, temp_repo):
+    """A full app frame (repo open → state refresh → build → layout →
+    compile → TPU raster → readback) — the screenshot surface end to
+    end on hardware."""
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+    from whisper_git_tpu.host.screenshot_mode import render_frame
+
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync(include_orphans=False)
+    app = WhisperApp.with_tabs([tab])
+    img = np.asarray(render_frame(app, 1280, 800))
+    assert img.shape == (800, 1280, 4)
+    # Real content rendered: background is not the only color.
+    assert len(np.unique(img[..., 0])) > 8
+    for tb in app.tabs:
+        tb.stop_workers()
