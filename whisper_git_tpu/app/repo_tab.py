@@ -219,11 +219,16 @@ class RepoTab:
     def trigger_state_refresh(self, proxy: Optional[EventLoopProxy] = None,
                               ) -> None:
         """Heavy refresh — idempotent while one is in flight
-        (reference: repo_tab.rs:653 state_refresh_rx.is_some())."""
+        (reference: repo_tab.rs:653 state_refresh_rx.is_some()). The
+        FIRST refresh streams a head-of-history slice so a huge repo
+        paints in tens of ms (engine/refresh.py STREAM_FIRST)."""
         if self.state_refresh_rx is not None:
             return
+        from ..engine.refresh import STREAM_FIRST
         self.state_refresh_rx = spawn_repo_state_refresh(
-            self.repo, self.tab_id, proxy, max_commits=self.commit_limit)
+            self.repo, self.tab_id, proxy, max_commits=self.commit_limit,
+            stream_first=(STREAM_FIRST if not self.initial_refresh_done
+                          else 0))
 
     def trigger_status_refresh(self, proxy: Optional[EventLoopProxy] = None,
                                ) -> None:
@@ -270,6 +275,23 @@ class RepoTab:
         """Fold a heavy refresh result (reference: repo_tab.rs:790-890)."""
         t0 = time.monotonic()
         effects = StateApplyEffects()
+        if result.partial:
+            # Streaming first-paint slice: fill ONLY the graph essentials
+            # and keep the receiver open — the full result follows. Never
+            # applied over existing content (it would momentarily shrink
+            # the graph); the full apply replaces it without flicker
+            # because it is a superset of the slice.
+            if self.commits:
+                return effects
+            self.branch_tips = result.branch_tips
+            self.current_branch = result.current_branch
+            self.head_oid = result.head_oid
+            self.repo_state = result.repo_state
+            self.commits = insert_synthetics_sorted(
+                list(result.commits), self._build_synthetics())
+            self._rebuild_layout()
+            effects.fetch_diff_stats = True  # ± chips on the first paint
+            return effects
         self.state_refresh_rx = None
         effects.toast_errors = list(result.errors)
 

@@ -48,9 +48,18 @@ class StatusResult:
 
 @dataclass
 class RepoStateResult:
-    """Heavy refresh payload (reference: git_async.rs:159)."""
+    """Heavy refresh payload (reference: git_async.rs:159).
+
+    `partial=True` marks a STREAMING FIRST-PAINT result: the worker put
+    a cheap head-of-history slice (first ~200 commits + branch tips +
+    HEAD) on the queue before starting the full walk, so a 100k-commit
+    repo paints its history in tens of ms instead of after the whole
+    metadata pass (beyond-reference: the reference defers the first
+    paint to the full walk, docs/async-engine-redesign.md:55-59). The
+    full result always follows on the same queue."""
 
     tab_id: int
+    partial: bool = False
     commits: list[CommitInfo] = field(default_factory=list)
     branch_tips: list[BranchTip] = field(default_factory=list)
     tags: list[TagInfo] = field(default_factory=list)
@@ -103,21 +112,61 @@ def spawn_status_refresh(
     return rx
 
 
+STREAM_FIRST = 200  # commits in the streaming first-paint slice
+
+
 def spawn_repo_state_refresh(
     repo: GitRepo, tab_id: int,
     proxy: Optional[EventLoopProxy] = None,
     max_commits: int = MAX_COMMITS,
     include_orphans: bool = True,
+    stream_first: int = 0,
 ) -> "queue.Queue[RepoStateResult]":
     """Heavy tier: the full repo metadata walk. Partial failures are folded
-    into `errors` without blanking the rest (invariant #10 feeds off this)."""
-    rx: queue.Queue[RepoStateResult] = queue.Queue(maxsize=1)
+    into `errors` without blanking the rest (invariant #10 feeds off this).
+
+    stream_first > 0 (the orchestrator passes STREAM_FIRST on a tab's
+    FIRST refresh only — a later partial would momentarily shrink an
+    already-painted graph) puts a cheap head-of-history slice on the
+    queue before the full walk; see RepoStateResult.partial."""
+    rx: queue.Queue[RepoStateResult] = queue.Queue(maxsize=2)
 
     def worker():
         from ..services import crash_log
 
         t0 = time.monotonic()
         crash_log.breadcrumb(f"state refresh start (tab {tab_id})")
+
+        if stream_first > 0:
+            partial = RepoStateResult(tab_id=tab_id, partial=True)
+
+            def pguard(name, fn, default):
+                try:
+                    return fn()
+                except Exception:
+                    return default  # full pass will surface the error
+
+            # No orphan recovery in the slice (reflog BFS is the slow
+            # part on big repos — exactly what streaming routes around).
+            partial.commits = pguard(
+                "commits", lambda: repo.commit_graph(stream_first), [])
+            partial.branch_tips = pguard("branch_tips", repo.branch_tips,
+                                         [])
+            partial.current_branch = pguard("current_branch",
+                                            repo.current_branch, None)
+            partial.head_oid = pguard("head_oid", repo.head_oid, None)
+            partial.repo_state = pguard("repo_state", repo.repo_state,
+                                        None)
+            partial.elapsed_ms = (time.monotonic() - t0) * 1000.0
+            if partial.commits:
+                crash_log.breadcrumb(
+                    f"state refresh first-paint slice (tab {tab_id}, "
+                    f"{len(partial.commits)} commits, "
+                    f"{partial.elapsed_ms:.0f} ms)")
+                rx.put(partial)
+                if proxy is not None:
+                    proxy.send_event()
+
         result = RepoStateResult(tab_id=tab_id)
 
         def guard(name, fn, default):
@@ -129,7 +178,8 @@ def spawn_repo_state_refresh(
 
         result.commits = guard(
             "commits",
-            (repo.commit_graph_with_orphans if include_orphans else repo.commit_graph),
+            lambda: (repo.commit_graph_with_orphans(max_commits)
+                     if include_orphans else repo.commit_graph(max_commits)),
             [])
         result.branch_tips = guard("branch_tips", repo.branch_tips, [])
         result.tags = guard("tags", repo.tags, [])
