@@ -248,6 +248,29 @@ def _scene_signatures():
         width="fill", height="fill", fill=T.background)
 
 
+def _scene_fallback():
+    """Fallback glyph bank (render/fallback.py): every line uses
+    codepoints OUTSIDE the resident atlas that DejaVu (always bundled
+    via matplotlib) covers, so the bank's chain-discovery, lazy EDT
+    rasterization, baseline alignment against the resident ascent, and
+    mixed resident+fallback runs are all pixel-pinned. CJK is absent by
+    necessity (no CJK font ships with CI) — its path is gated in
+    tests/test_fallback.py instead."""
+    lines = [
+        ("שלום עולם — hebrew commit", T.text),          # RTL script glyphs
+        ("mixed run: ∮ f(x) dx ≟ ∯ g", T.text_bright),   # math + resident
+        ("┌── box ──┐ │ drawing │ └──┘", T.text_muted),  # box drawing
+        ("αβγ mixed עם resident ascii", T.text),         # three scripts
+    ]
+    rows = [rect(text(s, font_size=13, color=c, bold=(i == 1)),
+                 width="fill", height=26, padding=(4, 8, 4, 8),
+                 fill=T.surface if i % 2 else T.background)
+            for i, (s, c) in enumerate(lines)]
+    return stack(column(*rows, width="fill", height="fill",
+                        padding=(10, 10, 10, 10)),
+                 width="fill", height="fill", fill=T.background)
+
+
 SCENES = {
     "chrome": _scene_chrome,
     "graph": _scene_graph,
@@ -257,6 +280,7 @@ SCENES = {
     "window": _scene_window,
     "unicode": _scene_unicode,
     "signatures": _scene_signatures,
+    "fallback": _scene_fallback,
 }
 
 
