@@ -52,6 +52,16 @@ def pytest_configure(config):
 
 def pytest_collection_modifyitems(config, items):
     if _TPU_TIER:
+        # TPU-tier session: ONLY tpu-marked tests may run — the CPU
+        # force and the 8-virtual-device flag are both off, so letting
+        # the normal suite through would ship every compile over the
+        # tunnel and break mesh tests (fewer than 8 devices).
+        skip = pytest.mark.skip(
+            reason="WGIT_TPU_TESTS=1 session runs only @pytest.mark.tpu "
+                   "tests (drop the env var for the normal suite)")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
         return
     skip = pytest.mark.skip(
         reason="real-TPU tier: run WGIT_TPU_TESTS=1 pytest -m tpu")

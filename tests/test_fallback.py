@@ -122,7 +122,11 @@ def test_combined_texture_grows_and_versions(renderer):
     assert tex1 is not tex0  # re-uploaded after the texture write
 
 
-def test_eviction_recycles_and_invalidates(renderer):
+def test_eviction_epoch_policy(renderer):
+    """Slot protection is epoch-based: glyphs touched since the last
+    epoch clear are NEVER recycled (cached quads may reference their
+    cells); overflow defers to '?', and the next frame fires ONE
+    voluntary epoch clear that frees stale slots."""
     import whisper_git_tpu.render.fallback as fb
 
     bank = fb.FallbackBank(capacity=12)   # one row → quick recycling
@@ -131,13 +135,43 @@ def test_eviction_recycles_and_invalidates(renderer):
     first = [0x05D0 + i for i in range(12)]   # fills exactly
     bank.ensure(first)
     assert bank.evictions == 0
-    bank.ensure([0x2560])  # 13th glyph → recycles slot 0
+    # Overflow while every slot is protected: DEFERRED, not recycled —
+    # recycling would garble quads already emitted this frame.
+    bank.ensure([0x2560])
+    assert bank.evictions == 0
+    assert 0x2560 not in bank.metrics
+    assert 0x2560 not in bank.missing         # will retry
+    assert first[0] in bank.metrics           # nothing garbled
+    # The pressure fires one voluntary epoch clear on the next frame…
+    bank.begin_frame()
     assert bank.evictions == 1
-    assert first[0] not in bank.metrics       # evicted
+    # …after which stale (untouched-since-clear) slots recycle freely,
+    # with NO further cache-clearing epochs.
+    bank.ensure([0x2560])
     assert 0x2560 in bank.metrics
-    # Re-ensuring the evicted glyph works (recycles the next slot).
-    bank.ensure([first[0]])
-    assert first[0] in bank.metrics
+    assert bank.evictions == 1
+    # Re-ensuring an evicted glyph works too.
+    evicted = next(cp for cp in first if cp not in bank.metrics)
+    bank.ensure([evicted])
+    assert evicted in bank.metrics
+
+
+def test_overflow_does_not_stampede_caches(renderer):
+    """A screen needing more unique glyphs than capacity must not clear
+    every cache every frame: voluntary epoch clears are rate-limited
+    (at most one per _CLEAR_BACKOFF frames)."""
+    import whisper_git_tpu.render.fallback as fb
+
+    bank = fb.FallbackBank(capacity=12)
+    bank.set_layout(v_base=renderer.font_tex.shape[0],
+                    primary_ascent=renderer.regular.ascent)
+    want = [0x05D0 + i for i in range(30)]    # 30 unique > 12 slots
+    for _ in range(25):                       # 25 "frames"
+        bank.begin_frame()
+        bank.ensure(want)
+        bank.touch(want)                      # all visible every frame
+    # ≤ ceil(25 / backoff) clears, not 25.
+    assert bank.evictions <= 25 // bank._CLEAR_BACKOFF + 1
 
 
 def test_run_template_revalidates_on_eviction(renderer):

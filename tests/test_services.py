@@ -303,12 +303,15 @@ def test_avatar_prefetch_shared_deadline(monkeypatch):
     hung downloads must cost ~timeout total, not 20 × timeout."""
     from whisper_git_tpu.services import avatar
 
+    import threading
+
     started = []
+    release = threading.Event()
 
     def hung_download(email, timeout=10.0):
         started.append(email)
-        time.sleep(30.0)  # never completes within the deadline
-        return None
+        release.wait(4.0)  # hangs past the deadline, but bounded so the
+        return None        # pool's atexit join can't stall pytest exit
 
     monkeypatch.setattr(avatar, "download_avatar", hung_download)
     cache = avatar.AvatarCache()
@@ -316,7 +319,8 @@ def test_avatar_prefetch_shared_deadline(monkeypatch):
     t0 = time.monotonic()
     cache.prefetch_sync(emails, timeout=0.5)
     elapsed = time.monotonic() - t0
-    assert elapsed < 5.0, f"prefetch blocked {elapsed:.1f}s (serial?)"
+    release.set()  # unblock straggler threads immediately
+    assert elapsed < 4.0, f"prefetch blocked {elapsed:.1f}s (serial?)"
     # Everything in flight at the deadline is marked failed-for-session.
     for e in started:
         assert cache.get(e) is None

@@ -590,8 +590,8 @@ class WhisperApp:
 
     def _act_branch_intent(self, arg, x, y):
         """'What is this branch FOR?' — AI summary of the branch's unique
-        commits vs the merge base (design_feedback_feb2026.md:423)."""
-        from ..gitcore.cli import run_git
+        commits vs the merge base (design_feedback_feb2026.md:423).
+        All git subprocesses (merge-base included) run on the worker."""
         from ..services import ai
 
         tab = self.current()
@@ -604,11 +604,7 @@ class WhisperApp:
                     if t.name == arg and not t.is_remote), None)
         if tip is None:
             return
-        mb = run_git(tab.repo.root, "merge-base", tab.head_oid, tip.oid,
-                     check=False)
-        base = mb.stdout.strip() if mb.ok and mb.stdout.strip() \
-            else tab.head_oid
-        rx = ai.spawn_branch_intent_async(tab.repo, base, tip.oid,
+        rx = ai.spawn_branch_intent_async(tab.repo, tab.head_oid, tip.oid,
                                           self.proxy)
         tab.intent_rx = (arg, rx)
         self.toast("info", f"Summarizing {arg}…")

@@ -109,28 +109,33 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
     renderer = None
 
     from ..ui.runner import Runner
+    from .term_display import display_enabled
 
-    if interactive:
-        from .term_display import TermDisplay, display_enabled
-        from .term_input import TerminalInput
-
-        term_ctx = TerminalInput()
-        term = term_ctx.__enter__()
-        if display_enabled():
-            display_ctx = TermDisplay((int(app.config.window_width),
-                                       int(app.config.window_height)))
-            display = display_ctx.__enter__()
-    if dump_path or display is not None:
+    want_display = interactive and display_enabled()
+    if dump_path or want_display:
+        # Create the renderer (which fires the async link warmup) BEFORE
+        # entering the alt screen, and warn on the NORMAL terminal while
+        # it is still visible — a message rendered into the first frame
+        # would only appear after the very stall it describes.
         from ..render.renderer import _LINK_WARMUP, get_renderer
 
         renderer = get_renderer()
         th = _LINK_WARMUP.get("thread")
         if th is not None and th.is_alive():
-            # The first presented frame blocks (on the present thread —
-            # input stays live) until the one-time device-link init
-            # finishes; say so instead of showing a silent black screen.
-            app.toast("info", "device link warming up — first frame can "
-                              "take a minute or two on a cold tunnel")
+            print("wgit: device link warming up — the first frame can "
+                  "take a minute or two on a cold tunnel (input works "
+                  "as soon as the UI appears)", file=sys.stderr)
+
+    if interactive:
+        from .term_display import TermDisplay
+        from .term_input import TerminalInput
+
+        term_ctx = TerminalInput()
+        term = term_ctx.__enter__()
+        if want_display:
+            display_ctx = TermDisplay((int(app.config.window_width),
+                                       int(app.config.window_height)))
+            display = display_ctx.__enter__()
 
     measurer = None
     if renderer is not None:

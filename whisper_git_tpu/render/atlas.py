@@ -108,31 +108,41 @@ class FontAtlas:
                              np.uint32).astype(np.int64)
 
     def metric_rows(self, line: str
-                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, bool,
+                               bool]:
         """Per-codepoint metric rows for one run, consulting the fallback
         bank for out-of-coverage codepoints (lazily rasterizing them).
 
-        Returns (rows (n,8), abs_v (n,) bool, cps (n,) int64, used_bank).
-        Rows with abs_v=True came from the bank: their v is ABSOLUTE in
-        the combined font texture (the emitter must not add the bold
-        v-offset)."""
+        Returns (rows (n,8), abs_v (n,) bool, cps (n,) int64, used_bank,
+        deferred). Rows with abs_v=True came from the bank: their v is
+        ABSOLUTE in the combined font texture (the emitter must not add
+        the bold v-offset). `deferred`=True means some codepoint had
+        chain coverage but no recyclable bank slot THIS frame — it
+        renders '?' now and the caller must not cache the result (the
+        glyph lands next frame)."""
         cps = self.raw_codepoints(line)
         clipped = np.where(cps < self.max_cp, cps, ord("?"))
         rows = self.lut[clipped]          # fancy index → fresh copy
         abs_v = np.zeros(len(cps), bool)
         used = False
+        deferred = False
         bank = self.fallback
         if bank is not None:
             unknown = (cps >= self.max_cp) | (rows[:, 7] == 0.0)
             if unknown.any():
-                bank.ensure(np.unique(cps[unknown]))
+                uniq = np.unique(cps[unknown])
+                bank.ensure(uniq)
+                bank.touch(uniq)
                 for i in np.nonzero(unknown)[0]:
-                    r = bank.metrics.get(int(cps[i]))
+                    cp = int(cps[i])
+                    r = bank.metrics.get(cp)
                     if r is not None:
                         rows[i] = r
                         abs_v[i] = True
                         used = True
-        return rows, abs_v, cps, used
+                    elif cp not in bank.missing:
+                        deferred = True
+        return rows, abs_v, cps, used, deferred
 
     def advance(self, ch: str) -> float:
         g = self.glyphs.get(ch) or self.glyphs.get("?")
@@ -149,27 +159,80 @@ class FontAtlas:
         cache = self._measure_cache
         total = cache.get(s)
         if total is None:
-            cps = self.codepoints(s)
-            adv = self.lut[cps, 6]
-            bank = self.fallback
-            if bank is not None:
-                raw = self.raw_codepoints(s)
-                unknown = (raw >= self.max_cp) | (self.lut[cps, 7] == 0.0)
-                if unknown.any():
-                    bank.ensure(np.unique(raw[unknown]))
-                    adv = adv.copy()
-                    for i in np.nonzero(unknown)[0]:
-                        a = bank.advance(int(raw[i]))
-                        if a is not None:
-                            adv[i] = a
-            total = float(adv.sum())
+            if self.fallback is None:
+                cps = self.codepoints(s)
+                total = float(self.lut[cps, 6].sum())
+                deferred = False
+            else:
+                # One shared resolution path with text emission
+                # (metric_rows), so measured widths and emitted quads
+                # can never disagree.
+                rows, _, _, _, deferred = self.metric_rows(s)
+                total = float(rows[:, 6].sum())
             if len(cache) > 100_000:
                 cache.clear()
-            cache[s] = total
+            if not deferred:   # deferred widths are '?'-approximate —
+                cache[s] = total  # recompute next frame
         return total * (size / self.font_px)
 
     def line_height(self, size: float) -> float:
         return (self.ascent + self.descent) * (size / self.font_px) * 1.08
+
+
+def rasterize_glyph_cell(font, ch: str, row0_of_ink_top
+                         ) -> tuple[np.ndarray, int, int, int, float]:
+    """Rasterize ONE glyph into an oversampled coverage cell — the shared
+    front half of the SDF pipeline (used by build_atlas for the resident
+    set and by render/fallback.py for the lazy bank, so placement
+    conventions cannot drift between them).
+
+    row0_of_ink_top(bbox_y0) -> oversampled cell row where the ink's top
+    lands (the resident atlas derives it from line-top + spread margin;
+    the bank aligns baselines against the resident ascent).
+    Returns (cell (os, os) f32, mask_w, mask_h, bbox_x0, advance) at the
+    oversampled scale."""
+    mask = font.getmask(ch, mode="L")
+    mw, mh = mask.size
+    bbox = font.getbbox(ch)
+    adv = font.getlength(ch)
+    os_cell = CELL * OVERSAMPLE
+    pad = int(SPREAD * OVERSAMPLE)
+    cell = np.zeros((os_cell, os_cell), np.float32)
+    if mw > 0 and mh > 0:
+        arr = np.asarray(mask, np.float32).reshape(mh, mw) / 255.0
+        row0 = int(np.clip(row0_of_ink_top(bbox[1]), 0, os_cell - 1))
+        cw = min(mw, os_cell - 2 * pad)
+        chh = min(mh, os_cell - row0)
+        if chh > 0:
+            cell[row0:row0 + chh, pad:pad + cw] = arr[:chh, :cw]
+    return cell, mw, mh, bbox[0], adv
+
+
+def encode_sdf_cells(coverages: np.ndarray) -> np.ndarray:
+    """(B, os, os) coverage → (B, CELL, CELL) encoded u8 SDF cells: ONE
+    batched exact-EDT device dispatch + stride downsample (the shared
+    back half of the pipeline)."""
+    import jax.numpy as jnp
+
+    from ..ops.sdf import sdf_to_u8, signed_distance_field_batch
+
+    sdf = signed_distance_field_batch(jnp.asarray(coverages),
+                                      max_dist=SPREAD * OVERSAMPLE)
+    enc = np.asarray(sdf_to_u8(sdf / OVERSAMPLE, spread=SPREAD))
+    return enc[:, ::OVERSAMPLE, ::OVERSAMPLE]
+
+
+def glyph_cell_metrics(mw: int, mh: int, bx0: int, adv: float
+                       ) -> tuple[int, int, float, float, float]:
+    """(mask_w, mask_h, bbox_x0, advance) at oversampled scale →
+    (w, h, bearing_x, bearing_y, advance) at atlas scale — the ONE
+    metric encoding both the resident atlas and the bank use."""
+    pad_small = int(SPREAD)
+    return (min(mw // OVERSAMPLE + 2 * pad_small, CELL),
+            min(mh // OVERSAMPLE + 2 * pad_small, CELL),
+            bx0 / OVERSAMPLE - pad_small,
+            -float(pad_small),
+            adv / OVERSAMPLE)
 
 
 def _cache_dir() -> str:
@@ -198,61 +261,37 @@ def build_atlas(bold: bool = False, use_cache: bool = True) -> FontAtlas:
 
     font = ImageFont.truetype(font_file, ATLAS_FONT_PX * OVERSAMPLE)
     ascent_o, descent_o = font.getmetrics()
-    os_cell = CELL * OVERSAMPLE
+    pad = int(SPREAD * OVERSAMPLE)
 
     coverages = []
-    records = []  # (char, w, h, bx, by, adv) at oversampled scale
+    records = []  # (char, mask_w, mask_h, bbox_x0, adv) oversampled
     for ch in _CHARS:
-        mask = font.getmask(ch, mode="L")
-        mw, mh = mask.size
-        bbox = font.getbbox(ch)  # (x0, y0, x1, y1) from pen/top origin
-        adv = font.getlength(ch)
-        cell = np.zeros((os_cell, os_cell), np.float32)
-        pad = int(SPREAD * OVERSAMPLE)
-        if mw > 0 and mh > 0:
-            arr = np.asarray(mask, np.float32).reshape(mh, mw) / 255.0
-            # Baseline-aligned placement: the ink lands at its line-top
-            # offset (bbox y0) within the cell, below the spread margin,
-            # so every glyph shares the cell-wide vertical band.
-            row0 = max(pad + bbox[1], 0)
-            cw = min(mw, os_cell - 2 * pad)
-            chh = min(mh, os_cell - row0)
-            cell[row0:row0 + chh, pad:pad + cw] = arr[:chh, :cw]
+        # Baseline-aligned placement: the ink lands at its line-top
+        # offset (bbox y0) within the cell, below the spread margin,
+        # so every glyph shares the cell-wide vertical band.
+        cell, mw, mh, bx0, adv = rasterize_glyph_cell(
+            font, ch, lambda y0: pad + y0)
         coverages.append(cell)
-        records.append((ch, mw, mh, bbox[0], bbox[1], adv))
+        records.append((ch, mw, mh, bx0, adv))
 
     # One batched EDT dispatch for every glyph cell.
-    import jax.numpy as jnp
-
-    from ..ops.sdf import sdf_to_u8, signed_distance_field_batch
-
-    batch = jnp.asarray(np.stack(coverages))
-    sdf = signed_distance_field_batch(batch, max_dist=SPREAD * OVERSAMPLE)
-    enc = np.asarray(sdf_to_u8(sdf / OVERSAMPLE, spread=SPREAD))  # distances → atlas scale
-
-    # Downsample cells to atlas scale by striding (SDF is smooth).
-    enc_small = enc[:, ::OVERSAMPLE, ::OVERSAMPLE]
+    enc_small = encode_sdf_cells(np.stack(coverages))
 
     n = len(_CHARS)
     rows = (n + GRID_COLS - 1) // GRID_COLS
     # 0 = far outside (no ink) in the 128-is-edge encoding.
     texture = np.zeros((rows * CELL, GRID_COLS * CELL), np.uint8)
     glyphs: dict[str, Glyph] = {}
-    pad_small = int(SPREAD)
-    for i, (ch, mw, mh, bx0, by0, adv) in enumerate(records):
+    for i, (ch, mw, mh, bx0, adv) in enumerate(records):
         r, c = divmod(i, GRID_COLS)
         u, v = c * CELL, r * CELL
         texture[v:v + CELL, u:u + CELL] = enc_small[i]
-        glyphs[ch] = Glyph(
-            u=u, v=v,
-            w=min(mw // OVERSAMPLE + 2 * pad_small, CELL),
-            h=min(mh // OVERSAMPLE + 2 * pad_small, CELL),
-            bearing_x=bx0 / OVERSAMPLE - pad_small,
-            # Baseline-aligned cells: row 0 of every cell is line-top
-            # minus the spread margin (the ink itself sits at bbox y0).
-            bearing_y=-float(pad_small),
-            advance=adv / OVERSAMPLE,
-        )
+        w, h, bearing_x, bearing_y, advance = glyph_cell_metrics(
+            mw, mh, bx0, adv)
+        # Baseline-aligned cells: row 0 of every cell is line-top minus
+        # the spread margin (the ink itself sits at bbox y0).
+        glyphs[ch] = Glyph(u=u, v=v, w=w, h=h, bearing_x=bearing_x,
+                           bearing_y=bearing_y, advance=advance)
     atlas = FontAtlas(texture, glyphs,
                       ascent=ascent_o / OVERSAMPLE,
                       descent=descent_o / OVERSAMPLE)

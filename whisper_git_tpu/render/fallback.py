@@ -143,6 +143,26 @@ class FallbackBank:
         self.evictions = 0    # slot recycling → compiler cache drop
         self.used = False     # any glyph resident → concat the bank rows
         self._slot_cp: list[Optional[int]] = [None] * self.capacity
+        self._cp_slot: dict[int, int] = {}
+        # Epoch-based slot protection. Invariant: a cached quad (text
+        # template, subtree chunk, device layer image) can only reference
+        # slots TOUCHED SINCE THE LAST EPOCH CLEAR, because every clear
+        # drops all those caches and the rebuild re-touches what is
+        # actually referenced. Therefore:
+        #   * a slot untouched since the last clear is recyclable at any
+        #     time with NO cache clearing;
+        #   * when nothing is recyclable (pressure), a rate-limited
+        #     VOLUNTARY epoch clear (evictions += 1 → compile drops the
+        #     caches) resets protection so stale-but-protected slots age
+        #     out after the rebuild — at most one clear per
+        #     _CLEAR_BACKOFF frames, so a frame that genuinely needs
+        #     more unique glyphs than capacity degrades to bounded '?'
+        #     overflow instead of a per-frame cache stampede.
+        self.frame_gen = 1
+        self._clear_gen = 0        # generation at the last epoch clear
+        self._last_clear_frame = -10**9
+        self._pressure = False     # some ensure() had to defer
+        self._slot_gen: list[int] = [0] * self.capacity
         self._next_slot = 0
         self._v_base: Optional[int] = None
         self._primary_ascent: Optional[float] = None  # atlas px (1×)
@@ -170,24 +190,54 @@ class FallbackBank:
             self._chain = chain
         return self._chain
 
+    # -- frame protocol ---------------------------------------------------
+
+    _CLEAR_BACKOFF = 10  # frames between voluntary epoch clears
+
+    def begin_frame(self) -> None:
+        """Advance the generation; under deferral pressure, fire a
+        rate-limited voluntary epoch clear (SceneCompiler.compile calls
+        this once per frame and reacts to the eviction counter)."""
+        if (self._pressure
+                and self.frame_gen - self._last_clear_frame
+                >= self._CLEAR_BACKOFF):
+            self.evictions += 1          # compile() drops all caches
+            self._clear_gen = self.frame_gen
+            self._last_clear_frame = self.frame_gen
+        self._pressure = False
+        self.frame_gen += 1
+
+    def touch(self, cps) -> None:
+        """Mark codepoints as referenced (called whenever metric rows
+        resolve — i.e. whenever any cacheable artifact is built)."""
+        for cp in cps:
+            slot = self._cp_slot.get(int(cp))
+            if slot is not None:
+                self._slot_gen[slot] = self.frame_gen
+
     # -- the lazy fill ----------------------------------------------------
 
     def ensure(self, cps) -> bool:
-        """Make every codepoint in `cps` either resident or known-missing.
-        Returns True when any glyph was added (texture changed)."""
+        """Make every codepoint in `cps` resident, known-missing, or
+        DEFERRED (no recyclable slot this frame — renders '?' now,
+        retried next frame). Returns True when any glyph was added."""
         todo = [cp for cp in dict.fromkeys(int(c) for c in cps)
                 if cp not in self.metrics and cp not in self.missing]
         if not todo:
             return False
         assert self._v_base is not None, "set_layout not called"
         chain = self._load_chain()
-        jobs = []  # (cp, font)
+        jobs = []  # (cp, font, slot)
         for cp in todo:
             f = next((f for f in chain if f.covers(cp)), None)
             if f is None:
                 self.missing.add(cp)
-            else:
-                jobs.append((cp, f))
+                continue
+            slot = self._take_slot()
+            if slot is None:
+                self._pressure = True  # deferred: all slots protected
+                continue
+            jobs.append((cp, f, slot))
         if not jobs:
             return False
         for start in range(0, len(jobs), _ENSURE_BATCH):
@@ -197,71 +247,66 @@ class FallbackBank:
         return True
 
     def _rasterize_batch(self, jobs: list) -> None:
-        """Rasterize ≤_ENSURE_BATCH glyphs through the resident atlas's
-        pipeline (PIL mask → one padded batched EDT → u8 cells)."""
+        """Rasterize ≤_ENSURE_BATCH glyphs through the SAME pipeline as
+        the resident atlas (shared helpers in render/atlas.py: PIL mask
+        → one padded batched EDT → u8 cells → one metric encoding).
+        jobs: (cp, chain_font, slot) with slots already taken."""
+        from .atlas import (
+            encode_sdf_cells,
+            glyph_cell_metrics,
+            rasterize_glyph_cell,
+        )
+
         os_cell = CELL * OVERSAMPLE
         pad = int(SPREAD * OVERSAMPLE)
         # Resident baseline row within a cell (oversampled): line top at
-        # the spread margin + the resident ascent.
+        # the spread margin + the resident ascent. A chain glyph's ink
+        # top is bbox.y0 below ITS OWN font's line top, i.e. y0 − ascent
+        # relative to the baseline — placing it at base_row + (y0 −
+        # ascent) makes baselines of mixed-font runs coincide.
         base_row = pad + int(round(self._primary_ascent * OVERSAMPLE))
 
         coverages = np.zeros((_ENSURE_BATCH, os_cell, os_cell), np.float32)
         recs = []
-        for bi, (cp, f) in enumerate(jobs):
-            ch = chr(cp)
-            mask = f.pil.getmask(ch, mode="L")
-            mw, mh = mask.size
-            bbox = f.pil.getbbox(ch)
-            adv = f.pil.getlength(ch)
-            if mw > 0 and mh > 0:
-                arr = np.asarray(mask, np.float32).reshape(mh, mw) / 255.0
-                # Baseline alignment across fonts: the glyph's ink top is
-                # bbox[1] below ITS font's line top, i.e. bbox[1]-ascent
-                # relative to the baseline; place it so baselines match
-                # the resident atlas's.
-                row0 = base_row + (bbox[1] - f.ascent)
-                row0 = int(np.clip(row0, 0, os_cell - 1))
-                cw = min(mw, os_cell - 2 * pad)
-                chh = min(mh, os_cell - row0)
-                coverages[bi, row0:row0 + chh, pad:pad + cw] = \
-                    arr[:chh, :cw]
-            recs.append((cp, mw, mh, bbox[0], adv))
+        for bi, (cp, f, slot) in enumerate(jobs):
+            cell, mw, mh, bx0, adv = rasterize_glyph_cell(
+                f.pil, chr(cp),
+                lambda y0, f=f: base_row + (y0 - f.ascent))
+            coverages[bi] = cell
+            recs.append((cp, slot, mw, mh, bx0, adv))
 
-        import jax.numpy as jnp
+        enc_small = encode_sdf_cells(coverages)
 
-        from ..ops.sdf import sdf_to_u8, signed_distance_field_batch
-
-        sdf = signed_distance_field_batch(jnp.asarray(coverages),
-                                          max_dist=SPREAD * OVERSAMPLE)
-        enc = np.asarray(sdf_to_u8(sdf / OVERSAMPLE, spread=SPREAD))
-        enc_small = enc[:, ::OVERSAMPLE, ::OVERSAMPLE]
-
-        pad_small = int(SPREAD)
-        for bi, (cp, mw, mh, bx0, adv) in enumerate(recs):
-            slot = self._take_slot()
+        for bi, (cp, slot, mw, mh, bx0, adv) in enumerate(recs):
             r, c = divmod(slot, self.COLS)
             u, v_rel = c * CELL, r * CELL
             self.texture[v_rel:v_rel + CELL, u:u + CELL] = enc_small[bi]
             self._slot_cp[slot] = cp
+            self._cp_slot[cp] = slot
+            self._slot_gen[slot] = self.frame_gen
+            w, h, bearing_x, bearing_y, advance = glyph_cell_metrics(
+                mw, mh, bx0, adv)
             self.metrics[cp] = np.array(
-                [u, self._v_base + v_rel,
-                 min(mw // OVERSAMPLE + 2 * pad_small, CELL),
-                 min(mh // OVERSAMPLE + 2 * pad_small, CELL),
-                 bx0 / OVERSAMPLE - pad_small,
-                 -float(pad_small),
-                 adv / OVERSAMPLE, 1.0], np.float32)
+                [u, self._v_base + v_rel, w, h, bearing_x, bearing_y,
+                 advance, 1.0], np.float32)
 
-    def _take_slot(self) -> int:
-        slot = self._next_slot % self.capacity
-        self._next_slot += 1
-        old = self._slot_cp[slot]
-        if old is not None:
-            # Recycling: quads cached anywhere may still point at this
-            # cell — the compiler drops its caches when evictions moves.
-            del self.metrics[old]
-            self._slot_cp[slot] = None
-            self.evictions += 1
-        return slot
+    def _take_slot(self) -> Optional[int]:
+        """Next free or RECYCLABLE slot (untouched since the last epoch
+        clear — provably unreferenced by any live cache, so recycling it
+        needs no cache clearing), or None when every slot is
+        protected."""
+        for _ in range(self.capacity):
+            slot = self._next_slot % self.capacity
+            self._next_slot += 1
+            old = self._slot_cp[slot]
+            if old is None:
+                return slot
+            if self._slot_gen[slot] <= self._clear_gen:
+                del self.metrics[old]
+                del self._cp_slot[old]
+                self._slot_cp[slot] = None
+                return slot
+        return None
 
     # -- queries ----------------------------------------------------------
 

@@ -515,7 +515,7 @@ class SceneCompiler:
                                  and atlas.fallback.evictions
                                  == evictions_seen):
                 return tpl
-        m, abs_v, cps, uses_bank = atlas.metric_rows(line)
+        m, abs_v, cps, uses_bank, deferred = atlas.metric_rows(line)
         adv = m[:, 6] * scale
         pens = np.concatenate(([0.0], np.cumsum(adv[:-1])))
         quads = np.empty((len(cps), 8), np.float32)
@@ -535,6 +535,10 @@ class SceneCompiler:
         # Skip spaces/control chars; out-of-coverage codepoints carry
         # either bank metrics or the resident '?' fallback.
         tpl = np.ascontiguousarray(quads[cps > 32])
+        if deferred:
+            # Some glyph had no bank slot this frame and rendered '?' —
+            # don't cache; the retry next frame picks up the real cell.
+            return tpl
         if len(self._text_cache) > 50_000:
             self._text_cache.clear()
         bank = atlas.fallback
@@ -667,6 +671,8 @@ class SceneCompiler:
     def compile(self, root: LayoutNode, viewport: tuple[int, int],
                 background: tuple) -> Scene:
         bank = self.regular.fallback
+        if bank is not None:
+            bank.begin_frame()  # advances the slot-protection window
         if bank is not None and bank.evictions != getattr(
                 self, "_bank_evictions_seen", 0):
             # A bank slot was recycled: cached quads anywhere may point at

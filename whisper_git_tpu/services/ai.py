@@ -214,19 +214,22 @@ def generate_intent_via_claude_cli(text: str, model: str = "haiku",
     return {"ok": True, "summary": summary}
 
 
-def spawn_branch_intent_async(repo: GitRepo, base: str, tip: str,
+def spawn_branch_intent_async(repo: GitRepo, head_oid: str, tip: str,
                               proxy=None) -> "queue.Queue[dict]":
-    """EVERY git subprocess (log + diff --stat) runs on the worker thread
-    — a cold `git log` on a large repo can take hundreds of ms, which
-    would hitch the frame loop if run up front. A branch with no unique
-    commits signals {ok: True, empty: True} through the queue; git
-    errors surface as {ok: False} — a failed log must not read as "no
-    commits of its own"."""
+    """EVERY git subprocess (merge-base + log + diff --stat) runs on the
+    worker thread — any of them can take hundreds of ms cold on a large
+    repo, which would hitch the frame loop if run up front. A branch
+    with no unique commits signals {ok: True, empty: True} through the
+    queue; git errors surface as {ok: False} — a failed log must not
+    read as "no commits of its own"."""
     from ..gitcore.cli import run_git
 
     rx: "queue.Queue[dict]" = queue.Queue(maxsize=1)
 
     def worker():
+        mb = run_git(repo.root, "merge-base", head_oid, tip, check=False)
+        base = (mb.stdout.strip()
+                if mb.ok and mb.stdout.strip() else head_oid)
         log = run_git(repo.root, "log", "--oneline", "--no-decorate",
                       f"{base}..{tip}", check=False)
         if not log.ok:

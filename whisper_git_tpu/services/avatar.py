@@ -170,12 +170,26 @@ class AvatarCache:
                         self._states[email] = AvatarState.LOADED
                         self._images[email] = arr
         except concurrent.futures.TimeoutError:
-            # Deadline hit: mark the stragglers failed-for-this-session
-            # and move on — the screenshot renders identicons for them.
+            # Deadline hit. A future can complete BETWEEN the timeout
+            # and this loop — harvest those results (the download
+            # succeeded; dropping it would also leave the email
+            # state-less and trigger a duplicate fetch later), then mark
+            # true stragglers failed-for-this-session (identicons).
             with self._lock:
                 for fut, email in futures.items():
-                    if not fut.done():
-                        self._states.setdefault(email, AvatarState.FAILED)
+                    if email in self._states:
+                        continue  # already folded by the main loop
+                    arr = None
+                    if fut.done():
+                        try:
+                            arr = fut.result(timeout=0)
+                        except Exception:
+                            arr = None
+                    if arr is not None:
+                        self._states[email] = AvatarState.LOADED
+                        self._images[email] = arr
+                    else:
+                        self._states[email] = AvatarState.FAILED
         finally:
             # No wait: in-flight downloads may finish in the background,
             # but the caller's pre-render stall ends at the deadline.

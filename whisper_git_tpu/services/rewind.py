@@ -116,6 +116,15 @@ class RewindLog:
         safe = "".join(c if c.isalnum() else "_" for c in repo_key)[-80:]
         digest = hashlib.sha1(repo_key.encode()).hexdigest()[:8]
         self.path = os.path.join(root, f"{safe}-{digest}.jsonl")
+        # Migration: adopt a pre-digest timeline rather than orphaning
+        # months of snapshots on upgrade (collision risk only existed
+        # between different repos, so a same-slug file is this repo's).
+        legacy = os.path.join(root, f"{safe}.jsonl")
+        if not os.path.exists(self.path) and os.path.exists(legacy):
+            try:
+                os.replace(legacy, self.path)
+            except OSError:
+                pass
         self._snaps: list[RewindSnapshot] = self._load()
 
     # -- persistence -----------------------------------------------------

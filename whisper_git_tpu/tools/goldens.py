@@ -297,16 +297,60 @@ def force_cpu_backend() -> None:
         pass  # already dispatched on cpu (tests) — fine
 
 
+def _pin_dejavu_bank(renderer):
+    """Swap in a fresh fallback bank whose chain is ONLY the bundled
+    DejaVu, so golden pixels do not depend on which system fonts happen
+    to be installed (a machine with unifont/Noto CJK would otherwise
+    rasterize the fallback scene from a different font). Returns a
+    restore callable."""
+    from ..render.atlas import _font_path
+    from ..render.fallback import FallbackBank, _ChainFont
+
+    old_bank = renderer.fallback_bank
+    bank = FallbackBank()
+    bank.set_layout(v_base=renderer.font_tex.shape[0],
+                    primary_ascent=renderer.regular.ascent)
+    bank._chain = [_ChainFont(_font_path(bold=False))]
+    renderer.fallback_bank = bank
+    renderer.regular.attach_fallback(bank)
+    renderer.bold.attach_fallback(bank)
+    renderer._font_tex_dev = None  # force re-upload with the new bank
+
+    def _drop_caches():
+        c = renderer.compiler
+        c._text_cache.clear()
+        c._subtree_cache.clear()
+        c._window_cache.clear()
+        from ..render import compose as _c, frame as _f
+        _f.clear_caches()
+        _c.clear_caches()
+
+    _drop_caches()
+
+    def restore():
+        renderer.fallback_bank = old_bank
+        renderer.regular.attach_fallback(old_bank)
+        renderer.bold.attach_fallback(old_bank)
+        renderer._font_tex_dev = None
+        _drop_caches()
+
+    return restore
+
+
 def render_scene_image(name: str) -> np.ndarray:
     from ..render.rasterizer import render_scene
     from ..render.renderer import get_renderer
 
     r = get_renderer()
-    tree = SCENES[name]()
-    root = r.layout(tree, (float(SIZE[0]), float(SIZE[1])))
-    scene = r.compile(root, SIZE, T.background)
-    return np.asarray(render_scene(scene, r.font_tex_device(),
-                                   r.image_atlas_device()))
+    restore = _pin_dejavu_bank(r)
+    try:
+        tree = SCENES[name]()
+        root = r.layout(tree, (float(SIZE[0]), float(SIZE[1])))
+        scene = r.compile(root, SIZE, T.background)
+        return np.asarray(render_scene(scene, r.font_tex_device(),
+                                       r.image_atlas_device()))
+    finally:
+        restore()
 
 
 def golden_dir() -> str:
