@@ -116,6 +116,38 @@ def test_stale_guard_preserved_after_partial(temp_repo, git):
     assert len(tab.commits) == painted
 
 
+def test_infinite_scroll_loads_more(temp_repo, git):
+    """End-to-end: scrolling to the bottom raises the walk cap AND the
+    refresh actually honors it (the cap used to be silently dropped)."""
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+
+    # >110 commits: the reflog-orphan recovery (cap 100) backfills past
+    # a capped walk, so the repo must outsize walk-cap + orphan-cap for
+    # the cap to be observable — exactly the repos infinite scroll is
+    # for.
+    _build_repo(git, temp_repo, 130)         # 131 commits incl. initial
+    tab = RepoTab.open(temp_repo)
+    tab.commit_limit = 10
+    tab.trigger_state_refresh()
+    while tab.state_refresh_rx is not None:
+        tab.apply_state_result(tab.state_refresh_rx.get(timeout=60))
+    real = [c for c in tab.commits if not c.is_synthetic]
+    assert len(real) < 131                   # capped walk (+ orphan cap)
+
+    app = WhisperApp.with_tabs([tab])
+    app.build((1280.0, 800.0))               # sets the viewport
+    tab.history_scroll = tab.graph_layout.total_height
+    app.on_scroll(100.0, app.config.sidebar_width + 50.0, 300.0)
+    assert tab.commit_limit == 1010          # cap raised
+    assert tab.state_refresh_rx is not None  # refresh spawned
+    while tab.state_refresh_rx is not None:
+        tab.apply_state_result(tab.state_refresh_rx.get(timeout=60))
+    real = [c for c in tab.commits if not c.is_synthetic]
+    assert len(real) == 131                  # the rest loaded
+    tab.stop_workers()
+
+
 def test_commit_limit_actually_caps_the_walk(temp_repo, git):
     """Regression: spawn_repo_state_refresh used to drop its max_commits
     argument (bound method passed without args), so infinite scroll's
