@@ -204,6 +204,80 @@ def test_bold_run_uses_bank_without_bold_offset(renderer):
     assert v_heb >= renderer.font_tex.shape[0]
 
 
+def _build_cjk_fixture_font(path: str) -> None:
+    """Synthesize a minimal TTF whose cmap maps 中 (U+4E2D) and 文
+    (U+6587) to simple filled outlines — the glyph SHAPES are
+    placeholders, but the font exercises the exact production path a
+    real Noto CJK would: env-var chain discovery → fontTools cmap
+    coverage → PIL rasterization → EDT bank → sampled pixels."""
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.ttGlyphPen import TTGlyphPen
+
+    upm = 1000
+    fb = FontBuilder(upm, isTTF=True)
+    glyphs = [".notdef", "uni4E2D", "uni6587"]
+    fb.setupGlyphOrder(glyphs)
+    fb.setupCharacterMap({0x4E2D: "uni4E2D", 0x6587: "uni6587"})
+
+    def boxy(inner: bool):
+        pen = TTGlyphPen(None)
+        pen.moveTo((100, 0))
+        pen.lineTo((100, 700))
+        pen.lineTo((900, 700))
+        pen.lineTo((900, 0))
+        pen.closePath()
+        if inner:  # a hole, so the two "characters" differ
+            pen.moveTo((300, 200))
+            pen.lineTo((700, 200))
+            pen.lineTo((700, 500))
+            pen.lineTo((300, 500))
+            pen.closePath()
+        return pen.glyph()
+
+    fb.setupGlyf({".notdef": TTGlyphPen(None).glyph(),
+                  "uni4E2D": boxy(True), "uni6587": boxy(False)})
+    fb.setupHorizontalMetrics({".notdef": (upm, 0),
+                               "uni4E2D": (upm, 100),
+                               "uni6587": (upm, 100)})
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupOS2(sTypoAscender=800, sTypoDescender=-200)
+    fb.setupNameTable({"familyName": "WgitCJKFixture",
+                       "styleName": "Regular"})
+    fb.setupPost()
+    fb.save(path)
+
+
+def test_cjk_chain_end_to_end_with_fixture_font(renderer, tmp_path,
+                                                monkeypatch):
+    """The FULL CJK path, hermetically: WGIT_FALLBACK_FONTS discovery →
+    cmap coverage → rasterize → bank → rendered ink — using a
+    synthesized TTF, since no real CJK font ships in CI."""
+    import whisper_git_tpu.render.fallback as fb
+
+    font_path = str(tmp_path / "cjk-fixture.ttf")
+    _build_cjk_fixture_font(font_path)
+    monkeypatch.setenv("WGIT_FALLBACK_FONTS", font_path)
+
+    bank = fb.FallbackBank()
+    bank.set_layout(v_base=renderer.font_tex.shape[0],
+                    primary_ascent=renderer.regular.ascent)
+    assert bank.ensure([0x4E2D, 0x6587])
+    assert 0x4E2D in bank.metrics and 0x6587 in bank.metrics
+    # Real ink in both cells, and the two glyphs differ (hole vs solid).
+    def cell(cp):
+        row = bank.metrics[cp]
+        u = int(row[0])
+        v_rel = int(row[1]) - renderer.font_tex.shape[0]
+        return bank.texture[v_rel:v_rel + 64, u:u + 64]
+
+    c1, c2 = cell(0x4E2D), cell(0x6587)
+    assert c1.max() > 128 and c2.max() > 128
+    assert (c1 != c2).any()
+    # Advance comes from the fixture font (1000/1000 upm ≈ font size).
+    adv = bank.advance(0x4E2D)
+    assert adv is not None and adv > 20
+
+
 def test_cjk_renders_when_font_available(renderer):
     """CJK end-to-end — runs only where a CJK-capable font exists (this
     CI image has none; documented parity delta)."""
