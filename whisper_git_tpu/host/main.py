@@ -191,6 +191,15 @@ def main(argv: list[str] | None = None) -> int:
         paths = [args.repo] + paths
 
     if args.screenshot:
+        # Fire the one-time device-link warmup before any git work so it
+        # overlaps repo refresh + avatar prefetch + atlas build too (the
+        # Renderer would start it anyway, just later). The WGIT_DEVICE
+        # override MUST apply first — the warmup's dispatch pins the
+        # platform.
+        from ..render.renderer import _apply_device_override, start_link_warmup
+
+        _apply_device_override()
+        start_link_warmup()
         app = WhisperApp.from_paths(paths, config=Config())
         for tab in app.tabs:
             tab.refresh_sync()  # sync full refresh — no event loop

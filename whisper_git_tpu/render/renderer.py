@@ -114,15 +114,21 @@ def wait_link_warmup(verbose: bool = False) -> float:
     return _LINK_WARMUP["elapsed_s"] or 0.0
 
 
+_DEVICE_OVERRIDE_DONE = [False]
+
+
 def _apply_device_override() -> None:
     """WGIT_DEVICE=cpu|tpu|… picks the accelerator backend (the analog of
     the reference's WHISPER_GPU device override, host.rs:567). Best-effort:
-    only effective before the first jax dispatch."""
+    only effective before the first jax dispatch. Idempotent (the CLI
+    applies it early so the link warmup can't pin the wrong platform;
+    Renderer.__init__ applies it again for library users)."""
     import os
 
     want = os.environ.get("WGIT_DEVICE")
-    if not want:
+    if not want or _DEVICE_OVERRIDE_DONE[0]:
         return
+    _DEVICE_OVERRIDE_DONE[0] = True
     try:
         import jax
 
