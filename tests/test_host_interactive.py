@@ -313,6 +313,34 @@ def test_decrqm_mode_report_and_pixel_mouse():
     assert abs((xc2 - xc1) - 1280 / 120) < 1e-6
 
 
+def test_banner_then_first_present_erases_it():
+    """The pre-frame status banner writes into the alt screen and the
+    first present's full repaint covers it (prev None → every row
+    dirty)."""
+    import io
+
+    import numpy as np
+
+    from whisper_git_tpu.host.term_display import TermDisplay
+
+    out = io.StringIO()
+    d = TermDisplay((64, 32), out=out)
+    d.banner("warming up the device link…")
+    s = out.getvalue()
+    assert "warming up the device link…" in s
+    assert "\x1b[2;3H" in s                       # row 2, col 3
+    # First present (sync path, no thread): all rows emitted.
+    grid = np.zeros((d.rows * 2, d.cols, 3), np.uint8)
+    d._present(grid)
+    body = out.getvalue()[len(s):]
+    assert body.count("\x1b[") >= d.rows          # every row repainted
+    # After stop, the banner is suppressed (terminal restored).
+    d._writes_stopped = True
+    before = out.getvalue()
+    d.banner("late banner")
+    assert out.getvalue() == before
+
+
 def test_async_present_latest_wins():
     """The present thread drains a single latest-wins slot: a burst of
     frames while presentation stalls drops intermediates, and the loop

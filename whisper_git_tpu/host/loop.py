@@ -136,6 +136,13 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
             display_ctx = TermDisplay((int(app.config.window_width),
                                        int(app.config.window_height)))
             display = display_ctx.__enter__()
+            names = ", ".join(t.title for t in app.tabs) or "welcome"
+            from ..render.renderer import _LINK_WARMUP
+            th = _LINK_WARMUP.get("thread")
+            warm = (" (device link warming up — can take a minute or two"
+                    " on a cold tunnel)"
+                    if th is not None and th.is_alive() else "")
+            display.banner(f"whisper-git-tpu — rendering {names}…{warm}")
 
     measurer = None
     if renderer is not None:

@@ -156,6 +156,20 @@ class TermDisplay:
         return ((col - 0.5) * w / self.cols,
                 (row - 0.5) * h / self.rows)
 
+    def banner(self, text: str) -> None:
+        """Host-side status line into the (otherwise empty) alt screen
+        before the first device frame lands — the first present paints
+        every cell (prev is None → full repaint), erasing it. Keeps the
+        screen talking during the one-time device-link warmup instead of
+        sitting black for up to minutes."""
+        with self._write_lock:
+            if self._writes_stopped:
+                return
+            self.out.write(
+                f"\x1b[2;3H\x1b[38;2;120;140;160m{text[:self.cols - 4]}"
+                "\x1b[0m")
+            self.out.flush()
+
     # -- presentation ------------------------------------------------------
 
     def _refresh_size(self) -> None:
