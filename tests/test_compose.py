@@ -200,3 +200,48 @@ def test_compose_random_walk_stays_exact(app_fixture):
         diff = int(np.abs(got.astype(np.int16)
                           - want.astype(np.int16)).max())
         assert diff <= 1, (step, off, diff)
+
+
+def test_dyn_class_appearing_under_identical_chrome():
+    """A volatile (dyn) command class APPEARING while the chrome bytes
+    stay identical must invalidate the cached plan — the ops list only
+    carries ("dyn", li, ci) entries for classes present at build time,
+    so a stale plan would silently drop the volatile (the pulsing-dot
+    situation El.volatile exists for)."""
+    from whisper_git_tpu.ui import rect, stack, text
+
+    r = get_renderer()
+    C.clear_caches()
+    F.clear_caches()
+
+    def build(with_dot: bool):
+        # The dot nests INSIDE the single layer subtree: El.volatile
+        # routes it to the layer's dyn tail, leaving the layer's static
+        # command bytes — and therefore the chrome key — identical
+        # between the two builds.
+        header_kids = [text("steady chrome header", color=DARK.text)]
+        if with_dot:
+            header_kids.append(rect(width=10, height=10, radius=5,
+                                    fill=(0.9, 0.7, 0.2, 0.8),
+                                    volatile=True))
+        from whisper_git_tpu.ui import row
+        tree = stack(
+            stack(rect(row(*header_kids, gap=8, align="center",
+                           width="fill", height="fill"),
+                       fill=DARK.surface_raised, width="fill", height=32,
+                       padding=(6, 10, 6, 10)),
+                  width="fill", height="fill"),
+            width="fill", height="fill", fill=DARK.background)
+        root = r.layout(tree, (256, 128))
+        return r.compile(root, (256, 128), DARK.background)
+
+    plain = C.render_frame_composed(build(False), r.font_tex_device(),
+                                    r.image_atlas_device())
+    with_dot = C.render_frame_composed(build(True), r.font_tex_device(),
+                                       r.image_atlas_device())
+    if plain is None or with_dot is None:
+        pytest.skip("compose path declined this scene shape")
+    a, b = np.asarray(plain), np.asarray(with_dot)
+    assert (a != b).any(), \
+        "volatile element invisible: stale plan reused for a frame " \
+        "whose dyn class appeared under identical chrome bytes"

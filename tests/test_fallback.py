@@ -156,6 +156,22 @@ def test_eviction_epoch_policy(renderer):
     assert evicted in bank.metrics
 
 
+def test_single_ensure_overflow_never_doubles_slots(renderer):
+    """One ensure() with more new codepoints than free slots must not
+    hand any slot to two codepoints (slots are reserved at take time,
+    not at rasterize time)."""
+    import whisper_git_tpu.render.fallback as fb
+
+    bank = fb.FallbackBank(capacity=12)
+    bank.set_layout(v_base=renderer.font_tex.shape[0],
+                    primary_ascent=renderer.regular.ascent)
+    bank.ensure([0x05D0 + i for i in range(30)])  # 30 new > 12 slots
+    assert len(bank.metrics) == 12                # 12 landed, rest deferred
+    cells = [(int(r[0]), int(r[1])) for r in bank.metrics.values()]
+    assert len(set(cells)) == len(cells), "two codepoints share a cell"
+    assert bank._pressure                         # deferral recorded
+
+
 def test_overflow_does_not_stampede_caches(renderer):
     """A screen needing more unique glyphs than capacity must not clear
     every cache every frame: voluntary epoch clears are rate-limited

@@ -59,26 +59,19 @@ def run_git_async(workdir: str, args: Sequence[str],
 
 
 def _chain_async(workdir: str, steps: list[list[str]],
-                 proxy: Optional[EventLoopProxy],
-                 fold_warnings: bool = False) -> "queue.Queue[RemoteOpResult]":
-    """Run several git commands sequentially in one worker; stop on first
-    failure (or fold non-fatal step failures into warnings)."""
+                 proxy: Optional[EventLoopProxy]
+                 ) -> "queue.Queue[RemoteOpResult]":
+    """Run several git commands sequentially in one worker; stop on the
+    first failure. (Chains needing non-fatal follow-up steps fold their
+    own warnings — see create_worktree_with_post_steps_async.)"""
     rx: queue.Queue[RemoteOpResult] = queue.Queue(maxsize=1)
 
     def worker():
-        warnings: list[str] = []
         result = RemoteOpResult(success=True)
-        for i, step in enumerate(steps):
+        for step in steps:
             result = _run(workdir, step)
             if not result.success:
-                if fold_warnings and i > 0:
-                    warnings.append(result.stderr.strip())
-                    result = RemoteOpResult(success=True, stderr="\n".join(warnings))
-                    continue
                 break
-        if result.success and warnings:
-            result = RemoteOpResult(success=True, stderr="\n".join(warnings),
-                                    stdout=result.stdout)
         rx.put(result)
         if proxy is not None:
             proxy.send_event()
@@ -273,8 +266,13 @@ def create_worktree_with_post_steps_async(wd, path, branch, proxy=None,
                          ["lfs", "checkout"]):
                 sub = _run(path, step)
                 if not sub.success and sub.stderr.strip():
-                    if step[0] == "lfs" and "git-lfs" in sub.stderr:
-                        continue  # lfs not installed — silently fine
+                    # lfs not installed — silently fine. git prints
+                    # "git: 'lfs' is not a git command" (no "git-lfs"!);
+                    # keep both spellings matched.
+                    if step[0] == "lfs" and (
+                            "'lfs' is not a git command" in sub.stderr
+                            or "git-lfs" in sub.stderr):
+                        continue
                     warnings.append(sub.stderr.strip())
             result = RemoteOpResult(success=True, stderr="\n".join(warnings),
                                     stdout=path)
@@ -387,13 +385,19 @@ def interactive_rebase_async(wd, onto: str, todo_lines: Sequence[str],
     replaces git's generated list with it — no terminal editor ever
     opens. core.editor=true accepts squash/fixup messages as-is.
     """
+    import shlex
     import tempfile
 
     fd, todo_path = tempfile.mkstemp(prefix="wgit-rebase-todo-",
                                      suffix=".txt")
     with os.fdopen(fd, "w") as f:
         f.write("\n".join(todo_lines) + "\n")
-    rx = run_git_async(wd, ["-c", f"sequence.editor=cp {todo_path}",
+    # git runs the sequence editor through the shell: the path MUST be
+    # quoted or a TMPDIR with spaces word-splits the command and git
+    # proceeds with its own todo list — a different rebase than the one
+    # the UI showed.
+    rx = run_git_async(wd, ["-c",
+                            f"sequence.editor=cp {shlex.quote(todo_path)}",
                             "-c", "core.editor=true",
                             "rebase", "-i", onto], proxy)
 

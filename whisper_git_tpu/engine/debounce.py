@@ -51,7 +51,12 @@ def spawn_debounce_thread(
                     if proxy is not None:
                         proxy.send_event()
             # Compute wait: nearest pending deadline, else idle poll.
-            waits = [max(0.0, deadline[l] - now) for l in (0, 1) if pending[l]]
+            # `is not None`, NOT truthiness: FsChangeKind.WORKING_TREE
+            # is IntEnum 0 — falsy — and its lane's deadline would be
+            # silently dropped from the wait (flushes would ride the
+            # 0.1 s idle poll instead of the computed lane deadline).
+            waits = [max(0.0, deadline[l] - now) for l in (0, 1)
+                     if pending[l] is not None]
             timeout = min(waits) if waits else 0.1
             try:
                 kind = raw_queue.get(timeout=max(timeout, 0.001))

@@ -28,9 +28,14 @@ class EventLoopProxy:
             self._on_wake()
 
     def wait(self, timeout: Optional[float] = None) -> bool:
-        """Host-side: block until woken (or timeout). Clears the flag."""
+        """Host-side: block until woken (or timeout). Clears the flag
+        only when it actually fired — clearing unconditionally would
+        discard a send_event() landing between the wait's timeout return
+        and the clear (lost wakeup: the finished worker's result would
+        sit unprocessed until the next timer tick)."""
         fired = self._event.wait(timeout)
-        self._event.clear()
+        if fired:
+            self._event.clear()
         return fired
 
     def pending(self) -> bool:

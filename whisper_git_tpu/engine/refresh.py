@@ -91,19 +91,22 @@ def spawn_status_refresh(
 
     def worker():
         result = StatusResult(tab_id=tab_id)
+        # Per-target isolation (the partial-failure design invariant #10
+        # rests on): a transient main-workdir failure — e.g. racing an
+        # index rewrite — must not abort the linked worktrees' scans.
         try:
             if repo.workdir:
                 result.statuses[repo.workdir] = gstatus.status(repo)
                 result.working_diff_stats = repo.working_tree_diff_stats()
-            for p in paths:
-                if p == repo.workdir or not os.path.isdir(p):
-                    continue
-                try:
-                    result.statuses[p] = gstatus.status(GitRepo.open(p))
-                except Exception as exc:
-                    result.errors.append(f"status({p}): {exc}")
         except Exception as exc:
-            result.errors.append(str(exc))
+            result.errors.append(f"status(main): {exc}")
+        for p in paths:
+            if p == repo.workdir or not os.path.isdir(p):
+                continue
+            try:
+                result.statuses[p] = gstatus.status(GitRepo.open(p))
+            except Exception as exc:
+                result.errors.append(f"status({p}): {exc}")
         rx.put(result)
         if proxy is not None:
             proxy.send_event()

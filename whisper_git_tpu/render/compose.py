@@ -495,6 +495,14 @@ def render_frame_composed(scene, font_tex, image_atlas):
                        round(float(w.dx) * 8.0),
                        tuple(round(float(c) * 4.0) for c in w.clip))
                       for gi, w in enumerate(windows)),
+                # Volatile-tail PRESENCE per (layer, class): the ops list
+                # only contains ("dyn", li, ci) entries for classes that
+                # had dyn commands at build time, so a dyn class
+                # appearing under identical chrome bytes (the exact
+                # situation El.volatile exists for) must invalidate the
+                # plan or it would never be composited.
+                tuple((lb.n_dyn_shapes > 0, lb.n_dyn_images > 0,
+                       lb.n_dyn_glyphs > 0) for lb in scene.layers),
                 height, width)
     plan = _lru_get(_PLAN_CACHE, plan_key)
     if plan is not None:

@@ -237,6 +237,13 @@ class FallbackBank:
             if slot is None:
                 self._pressure = True  # deferred: all slots protected
                 continue
+            # Reserve NOW (not at rasterize time): with more new
+            # codepoints than free slots in one ensure(), an unreserved
+            # slot would be handed out twice after the scan wraps —
+            # permanently drawing the first glyph as the second.
+            self._slot_cp[slot] = cp
+            self._cp_slot[cp] = slot
+            self._slot_gen[slot] = self.frame_gen
             jobs.append((cp, f, slot))
         if not jobs:
             return False
@@ -281,9 +288,8 @@ class FallbackBank:
             r, c = divmod(slot, self.COLS)
             u, v_rel = c * CELL, r * CELL
             self.texture[v_rel:v_rel + CELL, u:u + CELL] = enc_small[bi]
-            self._slot_cp[slot] = cp
-            self._cp_slot[cp] = slot
-            self._slot_gen[slot] = self.frame_gen
+            # Slot bookkeeping was reserved in ensure(); only the
+            # texture bytes and metrics land here.
             w, h, bearing_x, bearing_y, advance = glyph_cell_metrics(
                 mw, mh, bx0, adv)
             self.metrics[cp] = np.array(
@@ -302,8 +308,10 @@ class FallbackBank:
             if old is None:
                 return slot
             if self._slot_gen[slot] <= self._clear_gen:
-                del self.metrics[old]
-                del self._cp_slot[old]
+                # pop, not del: a slot reserved by an ensure() whose
+                # rasterize failed has bookkeeping but no metrics row.
+                self.metrics.pop(old, None)
+                self._cp_slot.pop(old, None)
                 self._slot_cp[slot] = None
                 return slot
         return None

@@ -78,20 +78,9 @@ def _quant_parts_blob(arrays: dict, used: dict, caps: dict) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("caps",))
 def _dequant_parts(blob_i16, caps: tuple):
-    """i16 blob → 7 f32 command tables (device, one-time per content)."""
-    cap_of = {"shapes": caps[0], "shape_clips": caps[0],
-              "glyphs": caps[1], "glyph_colors": caps[1],
-              "glyph_clips": caps[1], "images": caps[2],
-              "image_clips": caps[2]}
-    parts = []
-    fo = 0
-    for name, cols, scale in R._PART_SPECS:
-        cap = cap_of[name]
-        raw = blob_i16[fo:fo + cap * cols].reshape(cap, cols)
-        inv = jnp.asarray(1.0 / R._part_scale(name, cols, scale))
-        parts.append(raw.astype(jnp.float32) * inv)
-        fo += cap * cols
-    return tuple(parts)
+    """i16 blob → 7 f32 command tables (device, one-time per content).
+    Jitted wrapper over the ONE traced body (_dequant_parts_traced)."""
+    return _dequant_parts_traced(blob_i16, caps)
 
 
 def _shift_parts(parts: tuple, dx, dy, clip):
@@ -635,125 +624,25 @@ def _render_tiles_blocks_xla(layers_blocks, font_tex, image_atlas,
                 for tables, _bins, _lo, _hi in cls_lists[ci]:
                     bins_row, lo, hi = flat[fi], flat[fi + 1], flat[fi + 2]
                     fi += 3
+                    # The SAME pass bodies as the single-shot
+                    # rasterizer, with (lo, hi) z-segment bounds — one
+                    # copy of the compositing math (R._bounded_scan).
                     if ci == 0:
-                        fb = _xla_scan_shapes(fb, px, py, tables, bins_row,
-                                              lo, hi)
+                        fb = R._shapes_pass(fb, px, py, *tables,
+                                            bins_row, lo=lo, hi=hi)
                     elif ci == 1:
-                        fb = _xla_scan_glyphs(fb, px, py, tables, bins_row,
-                                              lo, hi, font_tex)
+                        g, gc, gcl = tables
+                        fb = R._glyphs_pass(fb, px, py, g, gc, gcl,
+                                            bins_row, font_tex,
+                                            lo=lo, hi=hi)
                     else:
-                        fb = _xla_scan_images(fb, px, py, tables, bins_row,
-                                              lo, hi, image_atlas)
+                        im, icl = tables
+                        fb = R._images_pass(fb, px, py, im, icl,
+                                            bins_row, image_atlas,
+                                            lo=lo, hi=hi)
         return fb
 
     return jax.vmap(tile_fn)(org_x, org_y, *per_tile)
-
-
-def _xla_scan_shapes(fb, px, py, tables, bins_row, lo, hi):
-    shapes, clips = tables
-    k_iota = jnp.arange(bins_row.shape[0], dtype=jnp.int32)
-
-    def body(fb, xs):
-        idx, k = xs
-        i = jnp.maximum(idx, 0)
-        valid = ((k >= lo) & (k < hi) & (idx >= 0)).astype(jnp.float32)
-        c = shapes[i]
-        clip = R._clip_mask(px, py, clips[i]) * valid
-        is_seg = c[0] == 1.0
-        hx, hy = c[3] * 0.5, c[4] * 0.5
-        cx, cy = c[1] + hx, c[2] + hy
-        r = jnp.minimum(c[5], jnp.minimum(hx, hy))
-        qx = jnp.abs(px - cx) - (hx - r)
-        qy = jnp.abs(py - cy) - (hy - r)
-        d_rect = (jnp.sqrt(jnp.maximum(qx, 0.0) ** 2
-                           + jnp.maximum(qy, 0.0) ** 2)
-                  + jnp.minimum(jnp.maximum(qx, qy), 0.0) - r)
-        ax, ay, bx, by = c[1], c[2], c[3], c[4]
-        abx, aby = bx - ax, by - ay
-        denom = jnp.maximum(abx * abx + aby * aby, 1e-6)
-        t = jnp.clip(((px - ax) * abx + (py - ay) * aby) / denom, 0.0, 1.0)
-        d_seg = jnp.sqrt((px - (ax + t * abx)) ** 2
-                         + (py - (ay + t * aby)) ** 2) - c[5]
-        d = jnp.where(is_seg, d_seg, d_rect)
-        fill = c[7:11]
-        cov_fill = jnp.clip(0.5 - d, 0.0, 1.0) * clip
-        fb = R._over(fb, fill[:3][None, None, :], cov_fill * fill[3])
-        bw = c[6]
-        has_border = jnp.logical_and(jnp.logical_not(is_seg), bw > 0.0)
-        cov_b = (jnp.clip(0.5 - d, 0.0, 1.0)
-                 * jnp.clip(d + bw + 0.5, 0.0, 1.0)
-                 * clip * has_border.astype(jnp.float32))
-        border = c[11:15]
-        fb = R._over(fb, border[:3][None, None, :], cov_b * border[3])
-        return fb, None
-
-    fb, _ = jax.lax.scan(body, fb, (bins_row, k_iota))
-    return fb
-
-
-def _xla_scan_glyphs(fb, px, py, tables, bins_row, lo, hi, font_tex):
-    glyphs, colors, clips = tables
-    py1 = py[:, 0]
-    px1 = px[0, :]
-    ftex = font_tex.astype(jnp.float32)
-    k_iota = jnp.arange(bins_row.shape[0], dtype=jnp.int32)
-
-    def body(fb, xs):
-        idx, k = xs
-        i = jnp.maximum(idx, 0)
-        valid = ((k >= lo) & (k < hi) & (idx >= 0)).astype(jnp.float32)
-        g = glyphs[i]
-        clip = R._clip_mask(px, py, clips[i]) * valid
-        x, y, w, h, u, v, uw, uh = (g[j] for j in range(8))
-        patch = jax.lax.dynamic_slice(
-            ftex, (v.astype(jnp.int32), u.astype(jnp.int32)),
-            (R.CELL, R.CELL))
-        wy = R._sample_weights(py1, y, h, uh)
-        wx = R._sample_weights(px1, x, w, uw)
-        enc = jnp.dot(jnp.dot(wy.astype(jnp.bfloat16),
-                              patch.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.bfloat16),
-                      wx.T.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-        sdf_atlas = (128.0 - enc) * (R.SDF_SPREAD / 128.0)
-        screen_scale = w / jnp.maximum(uw, 1e-6)
-        d = sdf_atlas * screen_scale
-        cov = jnp.clip(0.5 - d / 0.7, 0.0, 1.0) * clip
-        col = colors[i]
-        fb = R._over(fb, col[:3][None, None, :], cov * col[3])
-        return fb, None
-
-    fb, _ = jax.lax.scan(body, fb, (bins_row, k_iota))
-    return fb
-
-
-def _xla_scan_images(fb, px, py, tables, bins_row, lo, hi, image_atlas):
-    images, clips = tables
-    py1 = py[:, 0]
-    px1 = px[0, :]
-    atlas = image_atlas.astype(jnp.float32)
-    k_iota = jnp.arange(bins_row.shape[0], dtype=jnp.int32)
-
-    def body(fb, xs):
-        idx, k = xs
-        i = jnp.maximum(idx, 0)
-        valid = ((k >= lo) & (k < hi) & (idx >= 0)).astype(jnp.float32)
-        g = images[i]
-        clip = R._clip_mask(px, py, clips[i]) * valid
-        x, y, w, h, u, v, uw, uh = (g[j] for j in range(8))
-        patch = jax.lax.dynamic_slice(
-            atlas, (v.astype(jnp.int32), u.astype(jnp.int32), 0),
-            (R.CELL, R.CELL, 4))
-        wy = R._sample_weights(py1, y, h, uh)
-        wx = R._sample_weights(px1, x, w, uw)
-        rgba = jnp.einsum("pj,jkc,qk->pqc", wy, patch, wx,
-                          preferred_element_type=jnp.float32) / 255.0
-        a = rgba[..., 3] * clip
-        fb = R._over(fb, rgba[..., :3], a)
-        return fb, None
-
-    fb, _ = jax.lax.scan(body, fb, (bins_row, k_iota))
-    return fb
 
 
 # ---------------------------------------------------------------------------

@@ -117,11 +117,36 @@ def _clip_mask(px, py, clip):
             & (px <= clip[2]) & (py <= clip[3])).astype(jnp.float32)
 
 
-def _shapes_pass(fb, px, py, shapes, clips, bins):
-    def body(fb, idx):
-        i = jnp.maximum(idx, 0)
+def _bounded_scan(fb, bins, lo, hi, cmd):
+    """Scan a tile's bin row, compositing via `cmd(fb, i, valid)`. With
+    (lo, hi) bounds (the frame cache's z-segment windows) slots outside
+    [lo, hi) are masked; without, only padding (-1) is. ONE scan driver
+    for both the single-shot and the blocks paths, so the per-command
+    math cannot drift (the pallas kernels share their steps the same
+    way)."""
+    if lo is None:
+        def body(fb, idx):
+            i = jnp.maximum(idx, 0)
+            valid = (idx >= 0).astype(jnp.float32)
+            return cmd(fb, i, valid), None
+
+        fb, _ = jax.lax.scan(body, fb, bins)
+    else:
+        k_iota = jnp.arange(bins.shape[0], dtype=jnp.int32)
+
+        def body(fb, xs):
+            idx, k = xs
+            i = jnp.maximum(idx, 0)
+            valid = ((k >= lo) & (k < hi) & (idx >= 0)).astype(jnp.float32)
+            return cmd(fb, i, valid), None
+
+        fb, _ = jax.lax.scan(body, fb, (bins, k_iota))
+    return fb
+
+
+def _shapes_pass(fb, px, py, shapes, clips, bins, lo=None, hi=None):
+    def cmd(fb, i, valid):
         c = shapes[i]
-        valid = (idx >= 0).astype(jnp.float32)
         clip = _clip_mask(px, py, clips[i]) * valid
         is_seg = c[0] == 1.0
         # Rounded rect SDF.
@@ -150,11 +175,9 @@ def _shapes_pass(fb, px, py, shapes, clips, bins):
                  * jnp.clip(d + bw + 0.5, 0.0, 1.0)
                  * clip * has_border.astype(jnp.float32))
         border = c[11:15]
-        fb = _over(fb, border[:3][None, None, :], cov_b * border[3])
-        return fb, None
+        return _over(fb, border[:3][None, None, :], cov_b * border[3])
 
-    fb, _ = jax.lax.scan(body, fb, bins)
-    return fb
+    return _bounded_scan(fb, bins, lo, hi, cmd)
 
 
 CELL = 64  # atlas cell extent (matches atlas.CELL / scene image tile)
@@ -175,19 +198,17 @@ def _sample_weights(pix, origin, extent, atlas_extent):
     return w * inside[:, None]
 
 
-def _glyphs_pass(fb, px, py, glyphs, colors, clips, bins, font_tex):
+def _glyphs_pass(fb, px, py, glyphs, colors, clips, bins, font_tex,
+                 lo=None, hi=None):
     """SDF glyph compositing. Per glyph: dynamic_slice its atlas cell
     (contiguous → fast), then two small matmuls resample it onto the
     tile's pixel grid. No gathers anywhere."""
-    th, tw = px.shape
     py1 = py[:, 0]
     px1 = px[0, :]
     ftex = font_tex.astype(jnp.float32)
 
-    def body(fb, idx):
-        i = jnp.maximum(idx, 0)
+    def cmd(fb, i, valid):
         g = glyphs[i]
-        valid = (idx >= 0).astype(jnp.float32)
         clip = _clip_mask(px, py, clips[i]) * valid
         x, y, w, h, u, v, uw, uh = (g[j] for j in range(8))
         patch = jax.lax.dynamic_slice(
@@ -209,24 +230,21 @@ def _glyphs_pass(fb, px, py, glyphs, colors, clips, bins, font_tex):
         # outside the quad got zero weights → enc 0 → d = +spread → cov 0.
         cov = jnp.clip(0.5 - d / 0.7, 0.0, 1.0) * clip
         col = colors[i]
-        fb = _over(fb, col[:3][None, None, :], cov * col[3])
-        return fb, None
+        return _over(fb, col[:3][None, None, :], cov * col[3])
 
-    fb, _ = jax.lax.scan(body, fb, bins)
-    return fb
+    return _bounded_scan(fb, bins, lo, hi, cmd)
 
 
-def _images_pass(fb, px, py, images, clips, bins, image_atlas):
+def _images_pass(fb, px, py, images, clips, bins, image_atlas,
+                 lo=None, hi=None):
     """Image-quad compositing via the same matmul-resampling trick,
     per RGBA channel."""
     py1 = py[:, 0]
     px1 = px[0, :]
     atlas = image_atlas.astype(jnp.float32)
 
-    def body(fb, idx):
-        i = jnp.maximum(idx, 0)
+    def cmd(fb, i, valid):
         g = images[i]
-        valid = (idx >= 0).astype(jnp.float32)
         clip = _clip_mask(px, py, clips[i]) * valid
         x, y, w, h, u, v, uw, uh = (g[j] for j in range(8))
         patch = jax.lax.dynamic_slice(
@@ -237,11 +255,9 @@ def _images_pass(fb, px, py, images, clips, bins, image_atlas):
         rgba = jnp.einsum("pj,jkc,qk->pqc", wy, patch, wx,
                           preferred_element_type=jnp.float32) / 255.0
         a = rgba[..., 3] * clip
-        fb = _over(fb, rgba[..., :3], a)
-        return fb, None
+        return _over(fb, rgba[..., :3], a)
 
-    fb, _ = jax.lax.scan(body, fb, bins)
-    return fb
+    return _bounded_scan(fb, bins, lo, hi, cmd)
 
 
 @functools.partial(

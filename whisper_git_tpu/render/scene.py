@@ -424,6 +424,12 @@ class SceneCompiler:
         n = self.IMG_GRID * self.IMG_TILE
         self.image_atlas = np.zeros((n, n, 4), np.uint8)
         self._image_slots: dict[int, int] = {}  # id(array) -> slot
+        # slot -> (key, strong ref). The ref (a) lets recycling evict the
+        # DISPLACED image's mapping (else two arrays map to one tile and
+        # the older renders as the newer), and (b) pins the array so a
+        # GC'd array's id() can't be reused by a different image that
+        # would then silently inherit a stale slot.
+        self._slot_owner: dict[int, tuple[int, object]] = {}
         self._next_slot = 0
         self.atlas_version = 0  # bumped on writes so device copies refresh
         self._text_cache: dict = {}  # (line, scale, v_off) -> quad template
@@ -443,7 +449,11 @@ class SceneCompiler:
         if slot is None:
             slot = self._next_slot % (self.IMG_GRID * self.IMG_GRID)
             self._next_slot += 1
+            displaced = self._slot_owner.get(slot)
+            if displaced is not None:
+                self._image_slots.pop(displaced[0], None)
             self._image_slots[key] = slot
+            self._slot_owner[slot] = (key, data)
             tile = np.asarray(data)
             if tile.shape[:2] != (self.IMG_TILE, self.IMG_TILE):
                 from ..ops.image import resize_lanczos
