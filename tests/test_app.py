@@ -937,3 +937,70 @@ def test_failed_checkout_no_false_success_toast(temp_repo, git):
     assert tab.current_branch == "main"
     for tb in app.tabs:
         tb.stop_workers()
+
+
+def test_escape_closes_modal_and_releases_typing(temp_repo):
+    """Escape on a modal with a focused input must also clear
+    focused_input — a stale one keeps _typing() true with no modal and
+    silently swallows every printable key (j/k nav, '/', Ctrl+S)."""
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync()
+    app = WhisperApp.with_tabs([tab])
+    app.handle_action("open-branch-dialog:")
+    assert app.modal is not None and app.focused_input
+    app.on_key("Escape")
+    assert app.modal is None
+    assert app.focused_input == ""
+    # j/k reach navigation again.
+    app.focus = "graph"
+    before = tab.selected_oid
+    app.on_key("j")
+    assert tab.selected_oid != before or tab.commits == []
+    tab.stop_workers()
+
+
+def test_push_dialog_seeds_remote_from_repo(temp_repo, git):
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+
+    git(temp_repo, "remote", "add", "upstream",
+        "https://example.com/r.git")
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync()
+    app = WhisperApp.with_tabs([tab])
+    app.handle_action("open-push-dialog:")
+    # Single remote named 'upstream': the form must not default to the
+    # nonexistent 'origin' (the radios only render with >1 remotes).
+    assert app.modal[1].remote == "upstream"
+    tab.stop_workers()
+
+
+def test_modal_card_absorbs_clicks(temp_repo):
+    """A click on non-interactive modal-card area (message text,
+    padding) must NOT fall through to the scrim's close-modal."""
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+    from whisper_git_tpu.render.renderer import get_renderer
+    from whisper_git_tpu.ui.runner import Runner
+
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync()
+    app = WhisperApp.with_tabs([tab])
+    r = get_renderer()
+    runner = Runner(app, measurer=r.measurer)
+    app.handle_action("open-token-dialog:")
+    assert app.modal is not None
+    runner.prepare((1280.0, 800.0))
+    # Center of the screen = center of the modal card (align center):
+    # inside the card, on its padding/text, not on a field or button.
+    runner.pointer_down(640.0, 400.0, button="left")
+    runner.pointer_up()
+    assert app.modal is not None, "card click fell through to the scrim"
+    # A click OUTSIDE the card still closes (scrim behavior preserved).
+    runner.pointer_down(30.0, 780.0, button="left")
+    runner.pointer_up()
+    assert app.modal is None
+    tab.stop_workers()

@@ -536,3 +536,43 @@ def test_hunk_ops_on_file_without_trailing_newline(temp_repo, git):
     assert discard_hunk(repo, "no_nl.txt", files[0].hunks[0]).success
     with open(os.path.join(d, "no_nl.txt")) as f:
         assert f.read() == "line1\nline2"
+
+
+def test_rename_numstat_counts(temp_repo, git):
+    """A renamed-and-edited file must carry its real ± counts — numstat
+    prints 'old => new' (or brace-compressed) for renames, which must
+    key by the NEW path to join with name-status."""
+    import os
+
+    from whisper_git_tpu.gitcore.diff import (
+        _parse_numstat_z,
+        parse_name_status,
+    )
+    from whisper_git_tpu.gitcore.repo import GitRepo
+    from whisper_git_tpu.gitcore.types import FileStatus
+
+    repo = GitRepo.open(temp_repo)
+    p = os.path.join(temp_repo, "original.txt")
+    with open(p, "w") as f:
+        f.write("".join(f"line {i}\n" for i in range(50)))
+    git(temp_repo, "add", ".")
+    git(temp_repo, "commit", "-m", "add original")
+    git(temp_repo, "mv", "original.txt", "renamed.txt")
+    with open(os.path.join(temp_repo, "renamed.txt"), "a") as f:
+        f.write("new tail line\n")
+    git(temp_repo, "add", ".")
+    git(temp_repo, "commit", "-m", "rename and edit")
+    files = parse_name_status(repo, repo.head_oid())
+    renamed = next(f for f in files if f.path == "renamed.txt")
+    assert renamed.status is FileStatus.RENAMED
+    assert renamed.old_path == "original.txt"
+    assert (renamed.additions, renamed.deletions) == (1, 0)
+
+    # -z wire format: renames carry an EMPTY path field then old\0new;
+    # plain entries keep their path inline — including ones literally
+    # containing " => " (the arrow spelling could not disambiguate).
+    out = "3\t1\tplain.txt\x002\t0\t\x00old.txt\x00new.txt\x00" \
+          "1\t0\ta => b.txt\x00"
+    counts = _parse_numstat_z(out)
+    assert counts == {"plain.txt": (3, 1), "new.txt": (2, 0),
+                      "a => b.txt": (1, 0)}

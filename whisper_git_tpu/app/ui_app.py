@@ -656,9 +656,19 @@ class WhisperApp:
         for cmds in targets:
             for cmd in cmds:
                 try:
-                    subprocess.run(cmd, input=text_val.encode(), timeout=2,
-                                   capture_output=True)
-                    break
+                    # DEVNULL, not capture: a successful clipboard tool
+                    # daemonizes to serve the selection and its child
+                    # would hold captured pipes open — run() would then
+                    # block the full timeout and misread success as
+                    # TimeoutExpired.
+                    r = subprocess.run(cmd, input=text_val.encode(),
+                                       timeout=2,
+                                       stdout=subprocess.DEVNULL,
+                                       stderr=subprocess.DEVNULL)
+                    if r.returncode == 0:
+                        break
+                    # e.g. wl-copy installed but no Wayland server (X11
+                    # session): fall through to xclip.
                 except (OSError, subprocess.TimeoutExpired):
                     continue
 
@@ -994,7 +1004,15 @@ class WhisperApp:
 
     # push options dialog
     def _act_open_push_dialog(self, arg, x, y):
-        self.modal = ("push", dialogs.PushForm())
+        # Seed the remote from the repo: the form's 'origin' default
+        # would push to a nonexistent remote in a single-remote repo
+        # named anything else (and the radios only render with >1).
+        tab = self.current()
+        remote = "origin"
+        if tab is not None and tab.remotes:
+            remote = ("origin" if "origin" in tab.remotes
+                      else tab.remotes[0])
+        self.modal = ("push", dialogs.PushForm(remote=remote))
 
     def _act_push_remote(self, arg, x, y):
         if self.modal and self.modal[0] == "push":
@@ -2467,6 +2485,10 @@ class WhisperApp:
                 self.context_menu = None
             elif self.modal is not None:
                 self.modal = None
+                # Same as _act_close_modal: a stale focused_input would
+                # keep _typing() true with no modal — every printable
+                # key (j/k, '/', Ctrl+S) silently swallowed after.
+                self.focused_input = ""
             elif self.worktree_picker_open:
                 self.worktree_picker_open = False
             elif tab is not None and tab.search_active:
@@ -2792,6 +2814,12 @@ class WhisperApp:
             near_bottom = (tab.history_scroll
                            > tab.graph_layout.total_height - 2000)
             real = sum(1 for c in tab.commits if not c.is_synthetic)
-            if near_bottom and real >= tab.commit_limit:
+            # Only bump when the trigger can actually spawn: raising the
+            # limit while a refresh is in flight would drop the trigger
+            # (idempotence) but keep the raised limit — `real >= limit`
+            # then never fires again and loading stalls permanently. A
+            # later scroll event at the (clamped) bottom retries.
+            if (near_bottom and real >= tab.commit_limit
+                    and tab.state_refresh_rx is None):
                 tab.commit_limit += 1000
                 tab.trigger_state_refresh(self.proxy)

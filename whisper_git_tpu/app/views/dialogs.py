@@ -114,10 +114,19 @@ def _modal_frame(title: str, body: list[El], width: float = 420,
                       route="close-modal", radius=3, padding=(0, 6, 0, 6),
                       hover_fill=T.surface_hover),
                  align="center", width="fill")
+    # The card must ABSORB every pointer gesture — hit-testing returns
+    # the topmost node carrying the looked-up attribute, and each
+    # gesture (click, double, right, drag) is looked up independently:
+    # without all four, a click on the dialog's message text falls
+    # through to the scrim's close-modal, and a double/right/drag on
+    # the card reaches staging rows / commit menus / scrollbars BEHIND
+    # the open modal.
     card = rect(column(header, *body, gap=10, width="fill",
                        padding=(14, 16, 14, 16)),
                 fill=T.surface_raised, border=T.border_light, border_width=1,
-                radius=10, width=width, shadow=True, key=key)
+                radius=10, width=width, shadow=True, key=key,
+                route="noop", route_double="noop", route_right="noop",
+                route_drag="noop")
     return rect(card, width="fill", height="fill", align="center",
                 fill=(0, 0, 0, 0.45), route="close-modal",
                 key="modal-scrim")

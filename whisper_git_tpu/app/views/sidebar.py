@@ -213,6 +213,8 @@ def _sidebar_impl(tab) -> El:
                 wt.name + (" (main)" if wt.is_main else ""),
                 f"select-worktree:{wt.path}",
                 current=wt.path == tab.active_worktree,
+                selected=tab.selected_sidebar_key
+                == f"worktree:{wt.path}",
                 dirty=bool(view and view.dirty),
                 badge=wt.branch or "detached",
                 route_right=f"menu-worktree:{wt.path}"))
@@ -221,6 +223,8 @@ def _sidebar_impl(tab) -> El:
     if not tab.sidebar_collapsed.get("stashes", False):
         for st in tab.stashes:
             rows.append(_item(st.summary[:30], f"apply-stash:{st.ref_name}",
+                              selected=tab.selected_sidebar_key
+                              == f"stash:{st.ref_name}",
                               route_right=f"menu-stash:{st.ref_name}"))
 
     # Virtualized + scrollable with a proportional thumb (reference README:

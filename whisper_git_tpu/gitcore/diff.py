@@ -302,21 +302,48 @@ def working_file_diff(repo: GitRepo, path: str, staged: bool) -> list[DiffFile]:
     return []
 
 
+def _parse_numstat_z(out: str) -> dict[str, tuple[int, int]]:
+    """`--numstat -z` → {post-change path: (adds, dels)}. Renames emit
+    "a\\td\\t\\0old\\0new\\0" (empty path field, then two NUL-separated
+    paths) — keying by the NEW path makes the name-status join exact
+    for EVERY path, including ones literally containing " => " (which
+    the non-z arrow spelling cannot disambiguate)."""
+    counts: dict[str, tuple[int, int]] = {}
+    toks = out.split("\x00")
+    i = 0
+    while i < len(toks):
+        entry = toks[i]
+        if not entry:
+            i += 1
+            continue
+        m = re.match(r"^(\d+|-)\t(\d+|-)\t(.*)$", entry, re.S)
+        if not m:
+            i += 1
+            continue
+        a = int(m.group(1)) if m.group(1) != "-" else 0
+        d = int(m.group(2)) if m.group(2) != "-" else 0
+        path = m.group(3)
+        if path == "":  # rename/copy: next two tokens are old, new
+            new = toks[i + 2] if i + 2 < len(toks) else ""
+            if new:
+                counts[new] = (a, d)
+            i += 3
+        else:
+            counts[path] = (a, d)
+            i += 1  # the NUL terminator was the split separator
+    return counts
+
+
 def parse_name_status(repo: GitRepo, oid: str) -> list[DiffFile]:
     """Per-file status + ± counts for a commit, no hunks (details pane;
     reference computes these alongside full_commit_info, refs.rs:403)."""
     ns = run_git(repo.root, "show", "--format=", "--name-status", "-z", "-m",
                  "--first-parent", oid, "--", check=False)
-    stats = run_git(repo.root, "show", "--format=", "--numstat", "-m",
-                    "--first-parent", oid, "--", check=False)
+    stats = run_git(repo.root, "show", "--format=", "--numstat", "-z",
+                    "-m", "--first-parent", oid, "--", check=False)
     counts: dict[str, tuple[int, int]] = {}
     if stats.ok:
-        for line in stats.stdout.splitlines():
-            m = re.match(r"^(\d+|-)\t(\d+|-)\t(.*)$", line)
-            if m:
-                a = int(m.group(1)) if m.group(1) != "-" else 0
-                d = int(m.group(2)) if m.group(2) != "-" else 0
-                counts[m.group(3)] = (a, d)
+        counts = _parse_numstat_z(stats.stdout)
     files: list[DiffFile] = []
     if ns.ok:
         toks = [t for t in ns.stdout.split("\x00")]
