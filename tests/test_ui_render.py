@@ -379,3 +379,31 @@ def test_long_line_glyphs_culled_against_clip():
     scene = r.compile(root, (400, 40), DARK.background)
     total = sum(lb.n_glyphs for lb in scene.layers)
     assert total < 200, f"{total} glyphs for a 400px-wide clipped panel"
+
+
+def test_text_ellipsis_elides_to_clip():
+    """El.ellipsis: a subject wider than its clipping row emits an
+    elided run ending in '…' that FITS, instead of clipping mid-glyph
+    (the TextOverflow lint rule exempts ellipsis texts because of
+    this)."""
+    from whisper_git_tpu.render.renderer import get_renderer
+    from whisper_git_tpu.ui import rect, row, stack, text
+    from whisper_git_tpu.ui.theme import DARK
+
+    r = get_renderer()
+    long = "a very long commit subject that cannot possibly fit here"
+    tree = stack(
+        rect(row(text(long, font_size=13.0, color=DARK.text,
+                      ellipsis=True),
+                 width="fill", height="fill", clip=True),
+             width=220, height=24, fill=DARK.surface),
+        width="fill", height="fill", fill=DARK.background)
+    root = r.layout(tree, (320.0, 48.0))
+    scene = r.compile(root, (320, 48), DARK.background)
+    glyphs = scene.layers[0].glyphs[:scene.layers[0].n_glyphs]
+    assert glyphs.shape[0] > 0
+    # Every glyph's quad right edge stays inside the 220px clip (+1px AA)
+    assert float((glyphs[:, 0] + glyphs[:, 2]).max()) <= 221.0
+    # And the atlas-level elide produces the ellipsis.
+    assert r.regular.elide(long, 13.0, 200.0).endswith("…")
+    assert r.regular.elide("short", 13.0, 200.0) == "short"

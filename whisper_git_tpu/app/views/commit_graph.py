@@ -308,11 +308,12 @@ def build_row(tab, index: int, segments_by_row: dict,
             text(commit.summary[:head_len], color=cat_color,
                  font_size=T.font_size, opacity=opacity, bold=True),
             text(commit.summary[head_len:90], color=summary_color,
-                 font_size=T.font_size, opacity=opacity),
+                 font_size=T.font_size, opacity=opacity, ellipsis=True),
             gap=0, align="center"))
     else:
         mid.append(text(commit.summary[:90], color=summary_color,
-                        font_size=T.font_size, opacity=opacity))
+                        font_size=T.font_size, opacity=opacity,
+                        ellipsis=True))
     cells.append(row(*mid, gap=6, align="center", flex=1, clip=True))
 
     right: list[El] = []

@@ -178,6 +178,38 @@ class FontAtlas:
     def line_height(self, size: float) -> float:
         return (self.ascent + self.descent) * (size / self.font_px) * 1.08
 
+    def elide(self, s: str, size: float, max_w: float) -> str:
+        """Cut `s` to fit `max_w` px with a trailing '…' (El.ellipsis —
+        views elide instead of clipping mid-glyph). Memoized per
+        (string, size, width-bucket): visible rows recur every frame."""
+        if not s:
+            return s
+        key = (s, size, round(max_w * 4.0))
+        cache = getattr(self, "_elide_cache", None)
+        if cache is None:
+            cache = self._elide_cache = {}
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        if self.measure(s, size) <= max_w + 0.5:
+            out = s
+        else:
+            scale = size / self.font_px
+            if self.fallback is None:
+                adv = self.lut[self.codepoints(s), 6] * scale
+            else:
+                rows, _, _, _, _ = self.metric_rows(s)
+                adv = rows[:, 6] * scale
+            ell_w = self.measure("…", size)
+            cum = np.cumsum(adv)
+            fit = int(np.searchsorted(cum, max(max_w - ell_w, 0.0),
+                                      side="right"))
+            out = s[:max(fit, 1)].rstrip() + "…"
+        if len(cache) > 20_000:
+            cache.clear()
+        cache[key] = out
+        return out
+
 
 def rasterize_glyph_cell(font, ch: str, row0_of_ink_top
                          ) -> tuple[np.ndarray, int, int, int, float]:

@@ -479,13 +479,20 @@ class SceneCompiler:
         v_off = self.bold_v_offset if el.bold else 0
         scale = el.font_size / atlas.font_px
         lh = atlas.line_height(el.font_size)
+        cx0, cy0, cx1, cy1 = clip
+        finite_clip = (cx1 - cx0) < 1e5  # cached subtrees use _NOCLIP
         if el.wrap:
             lines = _wrap_lines(el.text, node.w, el.font_size, el.bold,
                                 _AtlasShim(atlas))
         else:
             lines = el.text.split("\n")
-        cx0, cy0, cx1, cy1 = clip
-        finite_clip = (cx1 - cx0) < 1e5  # cached subtrees use _NOCLIP
+            if el.ellipsis and finite_clip:
+                # Elide to the CLIP edge, not node.w — a flex child's
+                # node.w is its intrinsic (possibly overflowing) width;
+                # the clip is what actually cuts pixels.
+                avail = cx1 - node.x
+                lines = [atlas.elide(line, el.font_size, avail)
+                         for line in lines]
         y = node.y
         for line in lines:
             if line:

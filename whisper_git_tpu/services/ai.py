@@ -46,7 +46,9 @@ def split_subject_body(text: str) -> tuple[str, str]:
     body = (rest + ("\n\n" if rest and len(parts) > 1 else "")
             + (parts[1].strip() if len(parts) > 1 else "")).strip()
     if len(subject) > SUBJECT_CLAMP:
-        cut = subject[:SUBJECT_CLAMP]
+        # Reserve a column for the ellipsis: '…' appended to a full
+        # 72-char cut would yield 73 and break the documented clamp.
+        cut = subject[:SUBJECT_CLAMP - 1]
         if " " in cut[40:]:
             cut = cut[:cut.rfind(" ")]
         body = (subject[len(cut):].strip() + ("\n" + body if body else "")).strip()
@@ -64,12 +66,17 @@ def _invoke_claude(prompt: str, model: str, timeout: float,
     if binary is None:
         return {"ok": False, "error": "claude CLI not found in PATH"}
     try:
+        # Prompt via STDIN, not argv: Linux caps a single argv string at
+        # 128 KiB (MAX_ARG_STRLEN) and diffs run up to MAX_DIFF_BYTES —
+        # an oversized arg raises E2BIG and would kill the worker.
         proc = subprocess.run(
-            [binary, "-p", prompt, "--model", model,
-             "--output-format", "json"],
+            [binary, "-p", "--model", model, "--output-format", "json"],
+            input=prompt.encode("utf-8"),
             capture_output=True, timeout=timeout)
     except subprocess.TimeoutExpired:
         return {"ok": False, "error": f"{err_label} timed out"}
+    except OSError as exc:
+        return {"ok": False, "error": f"{err_label} failed: {exc}"}
     if proc.returncode != 0:
         return {"ok": False,
                 "error": proc.stderr.decode("utf-8", "replace")[:200]

@@ -98,6 +98,15 @@ def per_commit_rollups(status: CiStatus,
     return out
 
 
+def http_error_message(code: int) -> str:
+    """ONE GitLab HTTP-error phrasebook (CI pipelines AND the PR/MR
+    client use this — keeps the copies from drifting)."""
+    return {401: "GitLab token rejected (401).",
+            403: "GitLab access forbidden (403).",
+            404: "Project not found (404) — private projects need a "
+                 "token."}.get(code, f"GitLab API error (HTTP {code})")
+
+
 def fetch_pipelines(host: str, project_path: str, token: Optional[str],
                     branch: str, head_sha: str,
                     timeout: float = 15.0) -> CiStatus:
@@ -111,12 +120,8 @@ def fetch_pipelines(host: str, project_path: str, token: Optional[str],
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             payload = json.loads(resp.read().decode("utf-8", "replace"))
     except urllib.error.HTTPError as e:
-        msg = {401: "GitLab token rejected (401).",
-               403: "GitLab access forbidden (403).",
-               404: "Project not found (404) — private projects need a "
-                    "token."}.get(e.code, f"GitLab API error (HTTP {e.code})")
         return CiStatus(provider=CiProvider.GITLAB, branch=branch,
-                        head_sha=head_sha, error=msg)
+                        head_sha=head_sha, error=http_error_message(e.code))
     except (urllib.error.URLError, OSError, TimeoutError) as e:
         return CiStatus(provider=CiProvider.GITLAB, branch=branch,
                         head_sha=head_sha, error=f"Network error: {e}")

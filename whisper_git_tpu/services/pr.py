@@ -157,11 +157,8 @@ def fetch_gitlab_mrs(host: str, project_path: str, token: Optional[str],
     try:
         payload = _http_json(url, headers, timeout)
     except urllib.error.HTTPError as e:
-        msg = {401: "GitLab token rejected (401).",
-               403: "GitLab access forbidden (403).",
-               404: "Project not found (404) — private projects need a "
-                    "token."}.get(e.code, f"GitLab API error (HTTP {e.code})")
-        return PrResult("gitlab", error=msg)
+        from .gitlab import http_error_message
+        return PrResult("gitlab", error=http_error_message(e.code))
     except (urllib.error.URLError, OSError, TimeoutError) as e:
         return PrResult("gitlab", error=f"Network error: {e}")
     return PrResult("gitlab", prs=parse_gitlab_mrs(payload))
@@ -204,6 +201,7 @@ def drain_receivers(tab) -> bool:
                       if pr.provider != result.provider}
             merged.update(by_branch(result.prs))
             tab.pr_by_branch = merged
+            tab.pr_error = None  # recovered — stale errors must not stick
         else:
             tab.pr_error = result.error
     tab.pr_receivers = still

@@ -30,19 +30,6 @@ def _secret_tool() -> Optional[str]:
     return shutil.which("secret-tool")
 
 
-def keychain_available() -> bool:
-    """Availability probe (reference: token_store.rs probe)."""
-    tool = _secret_tool()
-    if tool is None:
-        return False
-    try:
-        proc = subprocess.run([tool, "search", "service", _SERVICE],
-                              capture_output=True, timeout=3)
-        return proc.returncode in (0, 1)
-    except (OSError, subprocess.TimeoutExpired):
-        return False
-
-
 def _file_path() -> str:
     base = os.environ.get("XDG_CONFIG_HOME", os.path.expanduser("~/.config"))
     return os.path.join(base, "whisper-git", "tokens.json")

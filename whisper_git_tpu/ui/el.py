@@ -45,6 +45,10 @@ class El:
     font_size: float = 13.0
     bold: bool = False
     wrap: bool = False
+    # Elide-to-fit: at emit time the run is cut to the laid-out width
+    # with a trailing '…' instead of clipping mid-glyph (the aetna-lint
+    # TextOverflow rule treats ellipsis texts as self-clamping).
+    ellipsis: bool = False
     # Path (vector geometry in local coords): list of primitives
     #   ("vline", x, y0, y1, width, color) | ("cubic", p0..p3, width, color)
     #   | ("circle", cx, cy, r, color)

@@ -55,7 +55,7 @@ class LayoutNode:
         self.y = y
         self.w = w
         self.h = h
-        self.clip = clip  # (x0, y0, x1, y1) inherited clip rect
+        self.clip = clip  # (x, y, w, h) inherited clip rect
         self._children: Optional[list] = children
         self._lazy: Optional[tuple] = None  # (template, dx, dy, clip)
 
@@ -220,12 +220,18 @@ def _shift_tree(tpl: LayoutNode, dx: float, dy: float,
     if tpl.clip is None:
         new_clip = clip
     else:
-        cx0, cy0, cx1, cy1 = (tpl.clip[0] + dx, tpl.clip[1] + dy,
-                              tpl.clip[2] + dx, tpl.clip[3] + dy)
+        # LayoutNode.clip is (x, y, w, h) everywhere (producers:
+        # _layout_impl/_layout_scroll; consumers: find_route_at, lint).
+        # Shifting/intersecting it as corner coordinates corrupted
+        # replayed subtrees' clips — hit-testing then reached invisible
+        # overscan rows below memoized panels.
+        nx0, ny0 = tpl.clip[0] + dx, tpl.clip[1] + dy
+        nx1, ny1 = nx0 + tpl.clip[2], ny0 + tpl.clip[3]
         if clip is not None:
-            cx0, cy0 = max(cx0, clip[0]), max(cy0, clip[1])
-            cx1, cy1 = min(cx1, clip[2]), min(cy1, clip[3])
-        new_clip = (cx0, cy0, cx1, cy1)
+            nx0, ny0 = max(nx0, clip[0]), max(ny0, clip[1])
+            nx1 = min(nx1, clip[0] + clip[2])
+            ny1 = min(ny1, clip[1] + clip[3])
+        new_clip = (nx0, ny0, max(nx1 - nx0, 0.0), max(ny1 - ny0, 0.0))
     node = LayoutNode(tpl.el, tpl.x + dx, tpl.y + dy, tpl.w, tpl.h,
                       clip=new_clip)
     node._lazy = (tpl, dx, dy, clip)
@@ -419,18 +425,3 @@ def _layout_scroll(el: El, ix, iy, iw, ih, clip, m: TextMeasurer
             cy = iy + top - el.scroll_offset
             out.append(_layout(child, ix, cy, iw, hh, clip or (ix, iy, iw, ih), m))
     return out
-
-
-def content_height(el: El, width: float,
-                   measurer: Optional[TextMeasurer] = None) -> float:
-    """Scrollable content height of a virtual list (for scrollbar thumbs)."""
-    m = measurer or _DEFAULT_MEASURER
-    if el.kind == "scroll":
-        if el.virtual_row_heights is not None:
-            return float(sum(el.virtual_row_heights))
-        if el.virtual_row_count and el.virtual_build is not None:
-            probe = el.virtual_build(0)
-            rh = _measure(probe, width, 1e9, m)[1]
-            return rh * el.virtual_row_count
-        return 0.0
-    return _measure(el, width, 1e9, m)[1]

@@ -95,8 +95,9 @@ def _text_overflow(root: LayoutNode) -> list[LintFinding]:
     bug the view should be clamping/eliding itself."""
     out: list[LintFinding] = []
     for node in root.walk():
-        if node.el.kind != "text" or node.el.wrap or node.clip is None:
-            continue
+        if (node.el.kind != "text" or node.el.wrap or node.el.ellipsis
+                or node.clip is None):
+            continue  # ellipsis texts elide themselves at emit time
         cx, cy, cw, ch = node.clip
         if node.x + node.w > cx + cw + 8:
             out.append(LintFinding(

@@ -55,6 +55,17 @@ class Runner:
             if route:
                 self.app.handle_action(route, x, y)
             return route
+        if button == "middle":
+            # Middle-click is the PRIMARY-selection paste gesture
+            # (host/loop.py; reference src/host.rs:874-897): it may only
+            # move focus to an input under the pointer — dispatching
+            # arbitrary click routes would fire Push/Discard/confirm
+            # buttons on an accidental paste.
+            route = self.root.find_route_at(x, y)
+            if route and route.startswith("focus-input:"):
+                self.app.handle_action(route, x, y)
+                return route
+            return None
         drag = self.root.find_route_at(x, y, attr="route_drag")
         self._drag = (drag, x, y) if drag else None
         route = self.root.find_route_at(x, y)
