@@ -348,7 +348,10 @@ bool zlib_inflate_all(const unsigned char* src, size_t n, std::string* out) {
     rc = inflate(&zs, Z_NO_FLUSH);
     if (rc != Z_OK && rc != Z_STREAM_END) { inflateEnd(&zs); return false; }
     out->append(buf, sizeof buf - zs.avail_out);
-  } while (rc != Z_STREAM_END && zs.avail_in > 0);
+    // Keep looping while the output buffer filled, even at avail_in==0:
+    // zlib can hold pending output in its bit buffer after consuming
+    // all input (large loose objects would otherwise fail to inflate).
+  } while (rc != Z_STREAM_END && (zs.avail_in > 0 || zs.avail_out == 0));
   inflateEnd(&zs);
   return rc == Z_STREAM_END;
 }
@@ -759,9 +762,15 @@ void scan_config_file(const std::string& path, ConfigFacts* facts,
       section_conditional = section.rfind("includeif", 0) == 0;
     } else if (!line.empty() && line[0] != '#' && line[0] != ';') {
       size_t eq = line.find('=');
-      if (eq != std::string::npos) {
-        std::string key = lower(trim(line.substr(0, eq)));
-        std::string raw = trim(line.substr(eq + 1));
+      // Git grammar: a bare key with no '=' means boolean TRUE — a
+      // valueless `autocrlf` line must register as dangerous, not be
+      // silently skipped (certainty contract).
+      {
+        std::string key = lower(trim(
+            eq == std::string::npos ? line : line.substr(0, eq)));
+        std::string raw = eq == std::string::npos
+                              ? std::string("true")
+                              : trim(line.substr(eq + 1));
         std::string val = lower(raw);
         bool cond = conditional || section_conditional;
         if (section == "include" || section_conditional) {
@@ -1063,6 +1072,9 @@ char classify_entry(ScanCtx* ctx, const IndexEntry* ep, std::string_view path,
                     const struct stat& st, AttrCache* attr_cache) {
   bool want_link = (ep->mode & 0170000) == 0120000;
   bool is_link = S_ISLNK(st.st_mode);
+  if (S_ISDIR(st.st_mode))
+    return 'D';  // porcelain: a tracked file replaced by a directory is
+                 // " D" (deleted) — its contents surface as untracked
   if (want_link != is_link || (!is_link && !S_ISREG(st.st_mode)))
     return 'T';  // typechange
   std::string abs;
@@ -1132,7 +1144,14 @@ void process_dir(ScanCtx* ctx, const std::string& rel,
   std::string abs = rel.empty() ? ctx->workdir : ctx->workdir + "/" + rel;
   int dirfd = ::open(abs.c_str(), O_RDONLY | O_DIRECTORY | O_NOFOLLOW |
                                       O_CLOEXEC);
-  if (dirfd < 0) return;
+  if (dirfd < 0) {
+    // A vanished directory (TOCTOU during the walk) is a benign race;
+    // anything else (EACCES, EMFILE, …) means this subtree was NOT
+    // scanned — certifying "clean" without seeing it would violate the
+    // certain-or-refuse contract.
+    if (errno != ENOENT && errno != ENOTDIR) ctx->uncertain = true;
+    return;
+  }
   std::shared_ptr<const IgnoreNode> ign = parent_ign;
   {
     int gfd = ::openat(dirfd, ".gitignore", O_RDONLY | O_CLOEXEC);
@@ -1151,6 +1170,7 @@ void process_dir(ScanCtx* ctx, const std::string& rel,
   DIR* d = ::fdopendir(dirfd);
   if (!d) {
     ::close(dirfd);
+    ctx->uncertain = true;  // unscanned subtree: refuse, don't certify
     return;
   }
   std::string child_rel, probe;
@@ -1328,6 +1348,14 @@ int scan_impl(const char* workdir_c, const char* git_dir_c,
   ConfigFacts facts;
   const char* home = std::getenv("HOME");
   const char* xdg = std::getenv("XDG_CONFIG_HOME");
+  // System tier first (git's own precedence order): a machine-wide
+  // core.autocrlf in /etc/gitconfig changes blob hashing exactly like
+  // the user tiers do — invisible settings would certify wrong verdicts.
+  const char* sys = std::getenv("GIT_CONFIG_SYSTEM");
+  if (std::getenv("GIT_CONFIG_NOSYSTEM") == nullptr) {
+    scan_config_file(sys ? sys : "/etc/gitconfig", &facts);
+    scan_config_file("/usr/local/etc/gitconfig", &facts);
+  }
   if (xdg) scan_config_file(std::string(xdg) + "/git/config", &facts);
   else if (home) scan_config_file(std::string(home) + "/.config/git/config",
                                   &facts);

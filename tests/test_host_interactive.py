@@ -423,3 +423,60 @@ def test_pulse_period_and_wake(temp_repo, git):
            if n.el.kind == "rect" and n.el.volatile and n.el.width == 7]
     assert vol, "pulsing dirty dot missing from the header"
     tab.stop_workers()
+
+
+def _feed_input(data: bytes):
+    """TerminalInput over a pipe pre-loaded with `data`."""
+    import os as _os
+
+    from whisper_git_tpu.host.term_input import TerminalInput
+
+    r, w = _os.pipe()
+    _os.write(w, data)
+    term = TerminalInput(fd=r)
+    return term, w
+
+
+def test_escape_then_buffered_text_survives():
+    """ESC followed by buffered keystrokes (slow frame): the Escape is
+    delivered AND the keystrokes survive (the collector used to consume
+    up to 14 bytes and drop everything)."""
+    import os as _os
+
+    term, w = _feed_input(b"\x1babc")
+    evs = []
+    for _ in range(8):
+        ev = term.poll(timeout=0.05)
+        if ev is None:
+            break
+        evs.append(ev)
+    _os.close(w)
+    names = [e.key for e in evs]
+    assert names == ["Escape", "a", "b", "c"], names
+
+
+def test_ss3_application_cursor_arrows():
+    """DECCKM application-cursor mode sends ESC O A..D — arrows must
+    keep working (a crashed TUI can leave the terminal in this mode)."""
+    import os as _os
+
+    term, w = _feed_input(b"\x1bOA\x1bOD\x1bOF")
+    keys = [term.poll(timeout=0.05).key for _ in range(3)]
+    _os.close(w)
+    assert keys == ["Up", "Left", "End"]
+
+
+def test_eof_does_not_busy_spin():
+    """After stdin EOF, poll(timeout) must consume its timeout instead
+    of returning instantly forever (100% CPU in the drain loop)."""
+    import os as _os
+    import time as _time
+
+    term, w = _feed_input(b"x")
+    assert term.poll(timeout=0.05).key == "x"
+    _os.close(w)  # EOF
+    assert term.poll(timeout=0.05) is None  # observes EOF
+    t0 = _time.monotonic()
+    for _ in range(5):
+        assert term.poll(timeout=0.02) is None
+    assert _time.monotonic() - t0 >= 0.08  # timeouts actually honored

@@ -757,3 +757,57 @@ def test_scan_stats_count_fallbacks(temp_repo, git):
     s = native.scan_stats()
     assert s["quick_certain"] == 1 and s["quick_fallback"] == 1
     assert s["quick_fallback_rate"] == 0.5
+
+
+def test_tracked_file_replaced_by_directory(temp_repo, git):
+    """Porcelain reports a tracked file replaced by a directory as
+    deleted (' D') with its contents untracked — full-status mode must
+    agree (the walk used to classify it 'T')."""
+    os.remove(os.path.join(temp_repo, "README.md"))
+    os.makedirs(os.path.join(temp_repo, "README.md"))
+    with open(os.path.join(temp_repo, "README.md", "inner.txt"), "w") as f:
+        f.write("x\n")
+    repo = GitRepo.open(temp_repo)
+    truth = porcelain_status(repo)
+    os.environ["WGIT_NATIVE_STATUS"] = "1"
+    try:
+        got = gstatus.status(repo, exclude_submodules=True)
+    finally:
+        del os.environ["WGIT_NATIVE_STATUS"]
+    assert sorted(e.path for e in got.unstaged) == \
+        sorted(e.path for e in truth.unstaged)
+    assert [e.status.name for e in got.unstaged] == \
+        [e.status.name for e in truth.unstaged]
+    assert sorted(e.path for e in got.untracked) == \
+        sorted(e.path for e in truth.untracked)
+
+
+def test_bare_boolean_config_key_forces_fallback(temp_repo, git):
+    """Git grammar: a valueless `autocrlf` line means TRUE — the scanner
+    must refuse (fallback), not skip the key and certify."""
+    cfg = os.path.join(temp_repo, ".git", "config")
+    with open(cfg, "a") as f:
+        f.write("[core]\n\tautocrlf\n")
+    repo = GitRepo.open(temp_repo)
+    assert native.quick_dirty(repo.workdir, repo.git_dir,
+                              repo.common_dir) is None
+
+
+def test_unreadable_subtree_refuses(temp_repo, git):
+    """A subtree the walk cannot open means the scan saw an incomplete
+    tree: refuse rather than certify 'clean' (certainty contract)."""
+    import stat as _stat
+
+    locked = os.path.join(temp_repo, "locked")
+    os.makedirs(locked)
+    with open(os.path.join(locked, "hidden.txt"), "w") as f:
+        f.write("u\n")
+    os.chmod(locked, _stat.S_IWUSR | _stat.S_IXUSR)  # no read permission
+    try:
+        if os.geteuid() == 0:
+            pytest.skip("root bypasses directory permissions")
+        repo = GitRepo.open(temp_repo)
+        assert native.quick_dirty(repo.workdir, repo.git_dir,
+                                  repo.common_dir) is None
+    finally:
+        os.chmod(locked, 0o755)

@@ -7,8 +7,15 @@ dir + each linked worktree root and its parent dir; 3-tier `FsChangeKind`
 classifier; hot-swappable submodule exclusion; watch-set diffing; watcher
 errors synthesize a GitMetadata full refresh (reference: watcher.rs:179-183).
 
-Backend: raw inotify via ctypes on libc (Linux). A polling fallback scans
-mtimes when inotify is unavailable.
+Backend: raw inotify via ctypes on libc (Linux). When inotify is
+unavailable (non-Linux, seccomp-restricted container), spawn_init
+delivers an error result and NO events flow — the app then runs on its
+timer safety nets alone (30 s status re-query + 5 s ref-fingerprint
+reconciliation, docs/async-engine.md invariants #8/#9), the same
+degraded mode a watcher error at runtime produces. There is
+deliberately no mtime-polling backend: a shallow scan cheap enough to
+run continuously would miss deep edits anyway, making it a less honest
+version of the nets that already exist.
 """
 
 from __future__ import annotations
@@ -92,10 +99,30 @@ class WatchConfig:
     submodule_paths: tuple[str, ...] = ()  # absolute paths to exclude
 
 
+def _norm_cfg(cfg: WatchConfig) -> tuple:
+    """Per-config normalized (git_dir, common_dir, workdir) — static for
+    the config's lifetime; normalizing them per EVENT wasted hot-path
+    work during thousand-event bursts (checkout, branch switch)."""
+    cached = _NORM_CACHE.get(id(cfg))
+    if cached is None or cached[0] is not cfg:
+        cached = (cfg,
+                  os.path.abspath(cfg.git_dir),
+                  os.path.abspath(cfg.common_dir),
+                  os.path.abspath(cfg.workdir) if cfg.workdir else None)
+        if len(_NORM_CACHE) > 64:
+            _NORM_CACHE.clear()
+        _NORM_CACHE[id(cfg)] = cached
+    return cached
+
+
+_NORM_CACHE: dict = {}
+
+
 def classify_event(path: str, cfg: WatchConfig,
                    is_create_or_delete: bool = False) -> Optional[FsChangeKind]:
     """Classify an absolute event path (reference: watcher.rs:384-462)."""
     path = os.path.abspath(path)
+    _, norm_git_dir, norm_common_dir, norm_workdir = _norm_cfg(cfg)
     # Worktree root create/delete is structural; an edit *inside* a linked
     # worktree is a working-tree change for that worktree.
     for root in cfg.worktree_roots:
@@ -109,8 +136,7 @@ def classify_event(path: str, cfg: WatchConfig,
                 return classify_git_path(rel) if rel else FsChangeKind.GIT_METADATA
             return FsChangeKind.WORKING_TREE
     # Inside the git dir / common dir?
-    for gd in (cfg.git_dir, cfg.common_dir):
-        gd = os.path.abspath(gd)
+    for gd in (norm_git_dir, norm_common_dir):
         if path == gd:
             return FsChangeKind.GIT_METADATA
         if path.startswith(gd + os.sep):
@@ -120,8 +146,8 @@ def classify_event(path: str, cfg: WatchConfig,
     for sub in cfg.submodule_paths:
         if path == sub or path.startswith(sub + os.sep):
             return None
-    if cfg.workdir:
-        wd = os.path.abspath(cfg.workdir)
+    if norm_workdir:
+        wd = norm_workdir
         if path.startswith(wd + os.sep) or path == wd:
             inner = path[len(wd):].lstrip(os.sep)
             if inner == ".git" or inner.startswith(".git" + os.sep):

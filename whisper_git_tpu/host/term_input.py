@@ -63,6 +63,10 @@ _ESC_MAP = {
     "[5~": "PageUp", "[6~": "PageDown",
     "[H": "Home", "[F": "End", "[3~": "Delete",
     "[Z": "ShiftTab",
+    # SS3 variants (DECCKM application cursor mode — e.g. a prior TUI
+    # crashed without resetting it): arrows/Home/End must keep working.
+    "OA": "Up", "OB": "Down", "OC": "Right", "OD": "Left",
+    "OH": "Home", "OF": "End",
 }
 
 
@@ -97,6 +101,8 @@ class TerminalInput:
     def __init__(self, fd: Optional[int] = None):
         self.fd = fd if fd is not None else sys.stdin.fileno()
         self._saved = None
+        self._pushback: list[bytes] = []  # bytes returned to the stream
+        self._eof = False
 
     def __enter__(self):
         try:
@@ -114,14 +120,26 @@ class TerminalInput:
                 pass
 
     def _read_byte(self, timeout: float) -> Optional[bytes]:
+        if self._pushback:
+            return self._pushback.pop(0)
         ready, _, _ = select.select([self.fd], [], [], timeout)
         if not ready:
             return None
         data = os.read(self.fd, 1)
-        return data or None
+        if not data:
+            # EOF: select reports the fd ready FOREVER — without this
+            # flag the host input-drain loop would busy-spin at 100% CPU.
+            self._eof = True
+            return None
+        return data
 
     def poll(self, timeout: float = 0.0):
         """→ KeyEvent | MouseEvent | None."""
+        if self._eof:
+            if timeout > 0:
+                import time as _time
+                _time.sleep(timeout)  # honor the caller's frame budget
+            return None
         b = self._read_byte(timeout)
         if b is None:
             return None
@@ -133,6 +151,13 @@ class TerminalInput:
                 if nxt is None:
                     break
                 seq += nxt
+                if len(seq) == 1 and seq not in (b"[", b"O"):
+                    # Not a sequence introducer: this is Escape followed
+                    # by buffered input (or Alt+key). Put the byte back
+                    # and deliver the Escape — consuming up to 14 bytes
+                    # of typed text here used to swallow both.
+                    self._pushback.append(nxt)
+                    return KeyEvent("Escape")
                 if seq == b"[<":  # SGR mouse: read until M/m
                     body = b""
                     while len(body) < 16:
