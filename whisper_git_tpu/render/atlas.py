@@ -98,6 +98,7 @@ class FontAtlas:
     def attach_fallback(self, bank) -> None:
         self.fallback = bank
         self._measure_cache.clear()
+        getattr(self, "_elide_cache", {}).clear()
 
     def codepoints(self, s: str) -> np.ndarray:
         cps = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
@@ -191,6 +192,7 @@ class FontAtlas:
         hit = cache.get(key)
         if hit is not None:
             return hit
+        deferred = False
         if self.measure(s, size) <= max_w + 0.5:
             out = s
         else:
@@ -198,16 +200,17 @@ class FontAtlas:
             if self.fallback is None:
                 adv = self.lut[self.codepoints(s), 6] * scale
             else:
-                rows, _, _, _, _ = self.metric_rows(s)
+                rows, _, _, _, deferred = self.metric_rows(s)
                 adv = rows[:, 6] * scale
             ell_w = self.measure("…", size)
             cum = np.cumsum(adv)
             fit = int(np.searchsorted(cum, max(max_w - ell_w, 0.0),
                                       side="right"))
             out = s[:max(fit, 1)].rstrip() + "…"
-        if len(cache) > 20_000:
-            cache.clear()
-        cache[key] = out
+        if not deferred:  # '?'-approximate widths: recompute next frame
+            if len(cache) > 20_000:
+                cache.clear()
+            cache[key] = out
         return out
 
 

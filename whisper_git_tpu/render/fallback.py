@@ -64,21 +64,26 @@ _KNOWN_FALLBACK_GLOBS = (
 # jitted SDF kernel compiles once, not once per distinct batch size.
 _ENSURE_BATCH = 16
 
+_UNLOADED = object()  # sentinel: font path discovered but not yet loaded
+
 
 def _fontconfig_candidates() -> list[str]:
     """Ask fontconfig for CJK-capable fonts (best-effort; absent or
-    broken fc-list just skips this tier of the chain)."""
+    broken fc-list just skips this tier of the chain). All three CJK
+    lang tags are queried — a machine with only NotoSansJP installed
+    would be invisible to :lang=zh alone."""
     fc = shutil.which("fc-list")
     if fc is None:
         return []
     out: list[str] = []
-    try:
-        r = subprocess.run(
-            [fc, "--format", "%{file}\n", ":lang=zh"],
-            capture_output=True, text=True, timeout=5.0)
-        out += [p for p in r.stdout.splitlines() if p.strip()]
-    except (OSError, subprocess.SubprocessError):
-        pass
+    for lang in ("zh", "ja", "ko"):
+        try:
+            r = subprocess.run(
+                [fc, "--format", "%{file}\n", f":lang={lang}"],
+                capture_output=True, text=True, timeout=2.0)
+            out += [p for p in r.stdout.splitlines() if p.strip()]
+        except (OSError, subprocess.SubprocessError):
+            break  # fc-list broken: don't pay the timeout 3×
     return out
 
 
@@ -166,7 +171,8 @@ class FallbackBank:
         self._next_slot = 0
         self._v_base: Optional[int] = None
         self._primary_ascent: Optional[float] = None  # atlas px (1×)
-        self._chain: Optional[list[_ChainFont]] = None
+        self._chain_paths: Optional[list[str]] = None
+        self._loaded_fonts: dict = {}  # path -> _ChainFont | None
 
     # -- wiring -----------------------------------------------------------
 
@@ -179,16 +185,26 @@ class FallbackBank:
         self._v_base = v_base
         self._primary_ascent = primary_ascent
 
-    def _load_chain(self) -> list[_ChainFont]:
-        if self._chain is None:
-            chain = []
-            for p in discover_chain_paths():
+    def _font_for(self, cp: int) -> Optional[_ChainFont]:
+        """First chain font covering `cp`, loading fonts LAZILY in chain
+        order: discovery lists paths cheaply, but a _ChainFont load is a
+        multi-MB cmap parse — eagerly loading every candidate (dozens of
+        Noto weights on a CJK system) would hitch the frame loop for
+        hundreds of ms at the first out-of-coverage glyph. Typically only
+        the first covering font ever loads."""
+        if self._chain_paths is None:
+            self._chain_paths = discover_chain_paths()
+        for p in self._chain_paths:
+            f = self._loaded_fonts.get(p, _UNLOADED)
+            if f is _UNLOADED:
                 try:
-                    chain.append(_ChainFont(p))
+                    f = _ChainFont(p)
                 except Exception:
-                    continue  # unreadable/corrupt font: skip the tier
-            self._chain = chain
-        return self._chain
+                    f = None  # unreadable/corrupt font: skip the tier
+                self._loaded_fonts[p] = f
+            if f is not None and f.covers(cp):
+                return f
+        return None
 
     # -- frame protocol ---------------------------------------------------
 
@@ -226,10 +242,9 @@ class FallbackBank:
         if not todo:
             return False
         assert self._v_base is not None, "set_layout not called"
-        chain = self._load_chain()
         jobs = []  # (cp, font, slot)
         for cp in todo:
-            f = next((f for f in chain if f.covers(cp)), None)
+            f = self._font_for(cp)
             if f is None:
                 self.missing.add(cp)
                 continue
@@ -247,11 +262,30 @@ class FallbackBank:
             jobs.append((cp, f, slot))
         if not jobs:
             return False
+        added = False
         for start in range(0, len(jobs), _ENSURE_BATCH):
-            self._rasterize_batch(jobs[start:start + _ENSURE_BATCH])
-        self.version += 1
-        self.used = True
-        return True
+            batch = jobs[start:start + _ENSURE_BATCH]
+            try:
+                added |= self._rasterize_batch(batch) > 0
+            except Exception:
+                # One broken glyph/batch (corrupt outline, failed EDT
+                # dispatch) must not crash the frame loop — and must not
+                # leave slot-reserved-but-metric-less codepoints that
+                # would retry-and-crash every subsequent frame.
+                for cp, _f, slot in batch:
+                    self._release_slot(cp, slot)
+                    self.missing.add(cp)
+        if added:
+            self.version += 1
+            self.used = True
+        return added
+
+    def _release_slot(self, cp: int, slot: int) -> None:
+        if self._slot_cp[slot] == cp:
+            self._slot_cp[slot] = None
+            self._slot_gen[slot] = 0
+        self._cp_slot.pop(cp, None)
+        self.metrics.pop(cp, None)
 
     def _rasterize_batch(self, jobs: list) -> None:
         """Rasterize ≤_ENSURE_BATCH glyphs through the SAME pipeline as
@@ -275,12 +309,21 @@ class FallbackBank:
 
         coverages = np.zeros((_ENSURE_BATCH, os_cell, os_cell), np.float32)
         recs = []
-        for bi, (cp, f, slot) in enumerate(jobs):
-            cell, mw, mh, bx0, adv = rasterize_glyph_cell(
-                f.pil, chr(cp),
-                lambda y0, f=f: base_row + (y0 - f.ascent))
-            coverages[bi] = cell
+        for cp, f, slot in jobs:
+            try:
+                cell, mw, mh, bx0, adv = rasterize_glyph_cell(
+                    f.pil, chr(cp),
+                    lambda y0, f=f: base_row + (y0 - f.ascent))
+            except Exception:
+                # One corrupt glyph outline: release its slot and mark
+                # missing (renders '?'), keep the rest of the batch.
+                self._release_slot(cp, slot)
+                self.missing.add(cp)
+                continue
+            coverages[len(recs)] = cell
             recs.append((cp, slot, mw, mh, bx0, adv))
+        if not recs:
+            return 0
 
         enc_small = encode_sdf_cells(coverages)
 
@@ -295,6 +338,7 @@ class FallbackBank:
             self.metrics[cp] = np.array(
                 [u, self._v_base + v_rel, w, h, bearing_x, bearing_y,
                  advance, 1.0], np.float32)
+        return len(recs)
 
     def _take_slot(self) -> Optional[int]:
         """Next free or RECYCLABLE slot (untouched since the last epoch

@@ -90,13 +90,18 @@ def drain_receivers(tab) -> bool:
 
 def poll(app, tab, now: float) -> None:
     drain_receivers(tab)
-    if pr.drain_receivers(tab) and tab.pr_error:
-        # PR fetch failures have no pill surface to render on (unlike CI
-        # errors, which land in ci_results and draw) — surface each
-        # DISTINCT error once as a toast instead of dead state.
-        if tab.pr_error != getattr(tab, "_pr_error_toasted", None):
-            tab._pr_error_toasted = tab.pr_error
-            app.toast("error", f"PR fetch: {tab.pr_error[:110]}")
+    if pr.drain_receivers(tab):
+        if tab.pr_error:
+            # PR fetch failures have no pill surface to render on (unlike
+            # CI errors, which land in ci_results and draw) — surface
+            # each DISTINCT error once as a toast instead of dead state.
+            if tab.pr_error != getattr(tab, "_pr_error_toasted", None):
+                tab._pr_error_toasted = tab.pr_error
+                app.toast("error", f"PR fetch: {tab.pr_error[:110]}")
+        else:
+            # Recovered: forget the last-toasted message, so the SAME
+            # error recurring later (token expired again) toasts again.
+            tab._pr_error_toasted = None
     if not tab.remote_urls or not tab.initial_refresh_done:
         return
     if tab.ci_receivers or tab.pr_receivers:

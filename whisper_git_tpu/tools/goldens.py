@@ -310,7 +310,9 @@ def _pin_dejavu_bank(renderer):
     bank = FallbackBank()
     bank.set_layout(v_base=renderer.font_tex.shape[0],
                     primary_ascent=renderer.regular.ascent)
-    bank._chain = [_ChainFont(_font_path(bold=False))]
+    dejavu = _font_path(bold=False)
+    bank._chain_paths = [dejavu]
+    bank._loaded_fonts = {dejavu: _ChainFont(dejavu)}
     renderer.fallback_bank = bank
     renderer.regular.attach_fallback(bank)
     renderer.bold.attach_fallback(bank)
