@@ -30,9 +30,11 @@ rendering), and bank glyphs render at regular weight even in bold runs.
 CJK — the load-bearing case (each codepoint is one glyph, no shaping) —
 renders correctly whenever any CJK-capable font exists on the system.
 
-Eviction: slots recycle round-robin past capacity; `evictions` bumps so
-the scene compiler drops quad caches that may reference recycled cells
-(SceneCompiler.compile checks it), while `version` bumps on every
+Eviction is EPOCH-BASED (see FallbackBank.__init__): slots untouched
+since the last epoch clear are provably unreferenced by any cache and
+recycle freely; protected slots defer overflow glyphs to '?' and a
+rate-limited voluntary clear (`evictions` bump → SceneCompiler.compile
+drops quad + device caches) frees stale slots. `version` bumps on every
 texture write so the renderer re-uploads the device copy.
 """
 
