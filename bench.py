@@ -103,17 +103,18 @@ def main() -> int:
           f"({device.device_kind}) | {len(tab.commits)} commits",
           file=sys.stderr)
 
-    font_dev = renderer.font_tex_device()
-
     def frame():
         """One full frame: state → El tree → layout → scene compile →
         device rasterization to the presented u8 framebuffer. Like the
         reference's swapchain present, the frame stays device-resident —
-        readback is a screenshot concern, not a frame cost."""
+        readback is a screenshot concern, not a frame cost.
+        font_tex_device() is fetched per frame (cached + version-checked)
+        so a fallback-bank glyph appearing mid-run can never sample a
+        stale texture missing the bank rows."""
         tree = app.build((float(VIEWPORT[0]), float(VIEWPORT[1])))
         root = renderer.layout(tree, VIEWPORT)
         scene = renderer.compile(root, VIEWPORT, DARK.background)
-        img = render_scene_device(scene, font_dev,
+        img = render_scene_device(scene, renderer.font_tex_device(),
                                   renderer.image_atlas_device())
         return img
 

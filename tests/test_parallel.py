@@ -1,11 +1,15 @@
 """Mesh-sharded rendering tests on the 8-virtual-device CPU mesh.
 
-Single-frame sharding (`render_scene_sharded`) routes through the
-PRODUCTION frame-cache/compose path (install mesh → render → restore)
-and is held to that path's ≤1 u8 bound — one numerics story. Only the
-batched dp-axis sweep (`render_batch_sharded`) keeps the ±4/255
-tolerance: its glyph/image samplers run bf16 MXU matmuls that XLA fuses
-and orders differently under shard_map than under plain vmap."""
+ONE honest numerics story for sharding: every sharded render — the
+production frame/compose paths under set_render_mesh, the
+render_scene_sharded convenience, and the batched dp-axis sweep — is
+held to ±4/255 vs single-chip: the glyph/image samplers run bf16 MXU
+matmuls that XLA fuses and orders differently under shard_map (and per
+shard SHAPE — a 1-tile-per-device program fuses differently than a
+6-tile vmap). Measured: typically ≤1, worst observed 3 (small-T pad).
+These comparisons CLEAR the compose/frame caches between passes — the
+caches key without the mesh, and an interleaved comparison would reuse
+single-chip-rendered images, certifying nothing."""
 
 import numpy as np
 import pytest
@@ -51,8 +55,8 @@ def test_sharded_matches_single_chip(renderer):
     sharded = render_scene_sharded(scene, renderer.font_tex, mesh)
     assert sharded.shape == single.shape
     diff = np.abs(sharded.astype(int) - single.astype(int))
-    # ≤1 u8: render_scene_sharded rides the production frame path now.
-    assert diff.max() <= 1
+    # ±4/255: bf16 sampler re-association under shard_map (docstring).
+    assert diff.max() <= 4
 
 
 def test_sharded_2d_mesh(renderer):
@@ -62,7 +66,7 @@ def test_sharded_2d_mesh(renderer):
     mesh = make_mesh(8, dp=2)  # (2, 4) mesh used jointly for tiles
     sharded = render_scene_sharded(scene, renderer.font_tex, mesh)
     diff = np.abs(sharded.astype(int) - single.astype(int))
-    assert diff.max() <= 1  # production-path bound (see module docstring)
+    assert diff.max() <= 4  # bf16 re-association bound (see docstring)
 
 
 # ---------------------------------------------------------------------------
@@ -82,31 +86,42 @@ def _steady_scene(renderer, off: float, w=384, h=256):
 
 @pytest.mark.parametrize("compose", [True, False])
 def test_production_frame_path_sharded(renderer, compose, monkeypatch):
-    """Three consecutive scroll frames (warm caches: chrome hit, slab
-    crop, volatile tail re-render) through render_scene_device with the
-    mesh installed must match single-chip within ≤1 u8."""
+    """Three consecutive scroll frames through render_scene_device with
+    the mesh installed must match single-chip within ±4/255 (see module
+    docstring — caches cleared between passes so the sharded kernels
+    actually run)."""
     from whisper_git_tpu.render import compose as C
     from whisper_git_tpu.render import frame as F
     from whisper_git_tpu.render import rasterizer as R
 
     monkeypatch.setenv("WGIT_FRAME_COMPOSE", "1" if compose else "0")
-    C.clear_caches()
-    F.clear_caches()
     mesh = make_mesh(8, dp=2)
+    # Two passes with a cache clear between: compose/frame caches hold
+    # rendered device images keyed WITHOUT the mesh, so interleaving
+    # ref/sharded renders would let the sharded pass reuse single-chip
+    # images and never run the sharded kernels (vacuous certification).
     try:
-        for off in (0.0, 16.0, 32.0):
-            scene = _steady_scene(renderer, off)
-            assert scene.windows, "no scroll window recorded"
-            set_render_mesh(None)
-            ref = np.asarray(R.render_scene_device(
-                scene, renderer.font_tex_device(),
-                renderer.image_atlas_device()))
-            set_render_mesh(mesh)
-            got = np.asarray(R.render_scene_device(
-                scene, renderer.font_tex_device(),
-                renderer.image_atlas_device()))
+        def render_all():
+            out = []
+            for off in (0.0, 16.0, 32.0):
+                scene = _steady_scene(renderer, off)
+                assert scene.windows, "no scroll window recorded"
+                out.append(np.asarray(R.render_scene_device(
+                    scene, renderer.font_tex_device(),
+                    renderer.image_atlas_device())))
+            return out
+
+        set_render_mesh(None)
+        C.clear_caches()
+        F.clear_caches()
+        refs = render_all()
+        set_render_mesh(mesh)
+        C.clear_caches()
+        F.clear_caches()
+        gots = render_all()
+        for off, ref, got in zip((0.0, 16.0, 32.0), refs, gots):
             diff = np.abs(ref.astype(np.int16) - got.astype(np.int16))
-            assert diff.max() <= 1, (off, diff.max())
+            assert diff.max() <= 4, (off, diff.max())
     finally:
         set_render_mesh(None)
 
@@ -117,19 +132,25 @@ def test_sharded_tile_axis_not_divisible(renderer):
     from whisper_git_tpu.render import rasterizer as R
 
     # 256×192 → 2×3 = 6 tiles < 8 devices (T_pad = 8, two padded tiles).
+    from whisper_git_tpu.render import compose as C, frame as F
+
     mesh = make_mesh(8, dp=1)
     try:
         scene = _steady_scene(renderer, 16.0, w=256, h=192)
         set_render_mesh(None)
+        C.clear_caches()
+        F.clear_caches()
         ref = np.asarray(R.render_scene_device(
             scene, renderer.font_tex_device(),
             renderer.image_atlas_device()))
         set_render_mesh(mesh)
+        C.clear_caches()  # force the sharded kernels to actually run
+        F.clear_caches()
         got = np.asarray(R.render_scene_device(
             scene, renderer.font_tex_device(),
             renderer.image_atlas_device()))
         assert np.abs(ref.astype(np.int16)
-                      - got.astype(np.int16)).max() <= 1
+                      - got.astype(np.int16)).max() <= 4
     finally:
         set_render_mesh(None)
 
@@ -146,18 +167,25 @@ def test_wgit_mesh_env_activation(monkeypatch, renderer):
         assert mesh is not None and get_render_mesh() is mesh
         assert mesh.shape == {"dp": 1, "sp": 8}
 
-        # The production frame path actually renders under it.
-        scene = _steady_scene(renderer, 16.0)
+        # The production frame path actually renders under it (cache
+        # clears so the mesh render cannot reuse single-chip images).
+        from whisper_git_tpu.render import compose as C, frame as F
         from whisper_git_tpu.render.rasterizer import render_scene_device
+
+        scene = _steady_scene(renderer, 16.0)
+        C.clear_caches()
+        F.clear_caches()
         img_mesh = np.asarray(render_scene_device(
             scene, renderer.font_tex_device(),
             renderer.image_atlas_device()))
         set_render_mesh(None)
+        C.clear_caches()
+        F.clear_caches()
         img_single = np.asarray(render_scene_device(
             scene, renderer.font_tex_device(),
             renderer.image_atlas_device()))
         assert np.abs(img_mesh.astype(int)
-                      - img_single.astype(int)).max() <= 1
+                      - img_single.astype(int)).max() <= 4
 
         monkeypatch.setenv("WGIT_MESH", "0")
         assert maybe_auto_mesh() is None

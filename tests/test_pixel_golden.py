@@ -1,4 +1,4 @@
-"""Pixel-golden regression suite: six deterministic scenes rendered
+"""Pixel-golden regression suite: nine deterministic scenes rendered
 through the real pipeline must match the checked-in PNGs within
 ±TOLERANCE u8 — a shader-math regression that keeps layout intact fails
 here even though every tree/lint dump still passes. (Beyond-reference:

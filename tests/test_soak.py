@@ -68,10 +68,17 @@ def test_render_soak_random_interaction(temp_repo, git):
     for atlas in (renderer.regular, renderer.bold):
         assert len(atlas._measure_cache) <= 100_000
 
-    # Determinism: quiesce interaction state, render the same app state
-    # twice → byte-identical frames (no hidden per-frame mutation).
+    # Determinism: quiesce EVERY time-dependent surface — focused-input
+    # caret blink and toast fade are wall-clock driven, so a frame pair
+    # straddling a blink/fade boundary would differ legitimately — then
+    # render the same app state twice → byte-identical frames (no hidden
+    # per-frame mutation).
     app.handle_action("escape")
     app.handle_action("escape")
+    app.focused_input = ""
+    app.toasts.clear()
+    app.context_menu = None
+    app.modal = None
     runner.pointer_move(-100.0, -100.0)  # hover nothing
     a = np.asarray(frame())
     b = np.asarray(frame())

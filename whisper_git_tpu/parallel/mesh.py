@@ -20,16 +20,18 @@ Two consumers:
     row-sharding constraint. The app installs this automatically when
     more than one chip is visible (render/meshstate.maybe_auto_mesh,
     called from Renderer.__init__). `render_scene_sharded` is a thin
-    convenience over this path (install mesh → render → restore), so
-    single-frame sharding has ONE numerics story: ≤1 u8 vs single-chip.
+    convenience over this path (install mesh → render → restore).
   * `render_batch_sharded` below exists for the
     BATCHED dp-axis sweep only (B frames data-parallel × tiles spatial —
     golden-dump sweeps, animation batches; the production frame paths
-    have no frame-batch axis). Their per-tile body is the single-chip
-    rasterizer's, so they cannot drift structurally, but their numerics
-    are held to ±4/255: the glyph/image samplers run bf16 MXU matmuls
-    that XLA fuses and orders differently under shard_map than under
-    plain vmap (tests/test_parallel.py asserts the bound).
+    have no frame-batch axis).
+
+Numerics: the per-tile bodies are the single-chip kernels, so the paths
+cannot drift structurally; EVERY sharded render is held to ±4/255 vs
+single-chip (bf16 MXU sampler re-association under shard_map and per
+shard shape — typically ≤1 u8 in practice; tests/test_parallel.py
+asserts the bound with the device caches cleared so the sharded
+kernels provably run).
 """
 
 from __future__ import annotations
@@ -68,10 +70,9 @@ def render_scene_sharded(scene, font_tex: np.ndarray, mesh: Mesh
     Installs `mesh` via set_render_mesh and renders with
     `render_scene_device` — the same frame-cache/compose pipeline the
     interactive app and bench run — then restores the previous mesh.
-    Sharded output therefore inherits the production ≤1 u8 bound instead
-    of the ±4/255 the old bespoke shard_map-over-the-single-shot-raster
-    carried (one numerics story for single-frame sharding). Batched
-    multi-frame sweeps keep `render_batch_sharded` below.
+    One code path, one numerics story (module docstring: ±4/255 vs
+    single-chip from bf16 sampler re-association, typically ≤1).
+    Batched multi-frame sweeps keep `render_batch_sharded` below.
 
     Note: with WGIT_FRAME_CACHE=0 the device path falls back to the
     single-shot packed raster, which renders single-chip (the frame

@@ -91,8 +91,13 @@ def build_scenes(repo_path: str) -> dict[str, WhisperApp]:
 
     app = fresh()
     tab = app.current()
-    if tab.commits:
-        app._act_select_commit(tab.commits[0].oid, 0, 0)
+    # First NON-synthetic commit: the dirty fixture's 'Uncommitted
+    # changes' row sorts first and select_commit rejects synthetics —
+    # selecting it silently dumped plain history with no details pane.
+    oid = next((c.oid for c in tab.commits if not c.is_synthetic), None)
+    if oid:
+        app._act_select_commit(oid, 0, 0)
+    assert app.current().selected_oid, "commit-details scene: no selection"
     scenes["commit-details"] = app
 
     app = fresh()
@@ -187,30 +192,38 @@ def build_scenes(repo_path: str) -> dict[str, WhisperApp]:
 
 
 def dump_all(out_dir: str, repo_path: str | None = None) -> int:
+    from ..app.views import widgets
     from ..app.views.widgets import freeze_pulse
 
+    prev_freeze = widgets._PULSE_FREEZE
     freeze_pulse(0.0)  # golden dumps must be byte-deterministic
-    os.makedirs(out_dir, exist_ok=True)
-    tmp = None
-    if repo_path is None:
-        tmp = tempfile.mkdtemp(prefix="wgit-dump-")
-        repo_path = make_fixture_repo(tmp)
-    scenes = build_scenes(repo_path)
-    for name, app in scenes.items():
-        tree = app.build(VIEWPORT)
-        root = layout_tree(tree, VIEWPORT)
-        with open(os.path.join(out_dir, f"{name}.svg"), "w") as f:
-            f.write(to_svg(root, *VIEWPORT))
-        with open(os.path.join(out_dir, f"{name}.tree.txt"), "w") as f:
-            f.write(to_tree_text(root))
-        findings = run_lints(root)
-        with open(os.path.join(out_dir, f"{name}.lint.txt"), "w") as f:
-            for finding in findings:
-                f.write(f"{finding.rule}: {finding.message} "
-                        f"@({finding.x:.0f},{finding.y:.0f})\n")
-        for tab in app.tabs:
-            tab.stop_workers()
-    return len(scenes)
+    try:
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = None
+        if repo_path is None:
+            tmp = tempfile.mkdtemp(prefix="wgit-dump-")
+            repo_path = make_fixture_repo(tmp)
+        scenes = build_scenes(repo_path)
+        for name, app in scenes.items():
+            tree = app.build(VIEWPORT)
+            root = layout_tree(tree, VIEWPORT)
+            with open(os.path.join(out_dir, f"{name}.svg"), "w") as f:
+                f.write(to_svg(root, *VIEWPORT))
+            with open(os.path.join(out_dir, f"{name}.tree.txt"), "w") as f:
+                f.write(to_tree_text(root))
+            findings = run_lints(root)
+            with open(os.path.join(out_dir, f"{name}.lint.txt"), "w") as f:
+                for finding in findings:
+                    f.write(f"{finding.rule}: {finding.message} "
+                            f"@({finding.x:.0f},{finding.y:.0f})\n")
+            for tab in app.tabs:
+                tab.stop_workers()
+        return len(scenes)
+    finally:
+        # Restore the CALLER's pulse clock (pytest pins it in conftest;
+        # leaving our 0.0 behind would mask animation behavior for the
+        # rest of an in-process session).
+        freeze_pulse(prev_freeze)
 
 
 if __name__ == "__main__":

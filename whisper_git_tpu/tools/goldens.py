@@ -1,6 +1,6 @@
 """Pixel-golden regression scenes.
 
-Seven small, fully deterministic scenes (no git, no wall clock, no network)
+Nine small, fully deterministic scenes (no git, no wall clock, no network)
 rendered through the real pipeline (layout → scene compile → rasterizer)
 on the CPU backend, checked into `tests/goldens/*.png`. A shader-math
 regression that keeps layout intact — SDF coverage, compositing order,
@@ -294,7 +294,12 @@ def force_cpu_backend() -> None:
     try:
         jax.config.update("jax_platforms", "cpu")
     except Exception:
-        pass  # already dispatched on cpu (tests) — fine
+        pass
+    # LOUD check: if the process already dispatched on the accelerator,
+    # regeneration would silently bake TPU bf16 numerics into the
+    # checked-in CPU baselines.
+    assert jax.default_backend() == "cpu", \
+        "goldens must regenerate on the CPU backend (fresh process)"
 
 
 def _pin_dejavu_bank(renderer):

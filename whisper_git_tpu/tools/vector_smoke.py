@@ -65,7 +65,7 @@ def run(out_path: str = "out/vector_smoke.png") -> dict:
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     save_png(img, out_path)
 
-    # Compare the vline column of each variant: extract a 6px-wide strip
+    # Compare the vline column of each variant: extract a 30px-wide strip
     # around each lane x and diff per-row vs single.
     strips = []
     for i in range(3):
@@ -93,6 +93,9 @@ if __name__ == "__main__":
             pass
     result = run(sys.argv[1] if len(sys.argv) > 1 else "out/vector_smoke.png")
     print(result)
-    ok = result["max_diff_per_row_vs_single"] <= 2
-    print("PASS" if ok else "FAIL: per-row tiling introduced seams")
+    ok = (result["max_diff_per_row_vs_single"] <= 2
+          and result["max_diff_overlap_vs_single"] <= 2)
+    print("PASS" if ok else "FAIL: tiling introduced seams "
+          f"(per-row {result['max_diff_per_row_vs_single']}, "
+          f"overlap {result['max_diff_overlap_vs_single']})")
     sys.exit(0 if ok else 1)
