@@ -140,6 +140,41 @@ def test_fallback_bank_under_vmem_on_hw(tpu_renderer):
     assert (img[..., :3].max(axis=-1) > 128).sum() > 50
 
 
+def test_cjk_fixture_chain_on_hw(tpu_renderer, tmp_path, monkeypatch):
+    """The WGIT_FALLBACK_FONTS → cmap → rasterize → bank path with REAL
+    CJK codepoints, sampled by the compiled Mosaic kernel (the fixture
+    TTF stands in for a system CJK font, which CI lacks)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_fallback import _build_cjk_fixture_font
+
+    import whisper_git_tpu.render.fallback as fb
+
+    font_path = str(tmp_path / "cjk-fixture.ttf")
+    _build_cjk_fixture_font(font_path)
+    monkeypatch.setenv("WGIT_FALLBACK_FONTS", font_path)
+    bank = fb.FallbackBank()
+    bank.set_layout(v_base=tpu_renderer.font_tex.shape[0],
+                    primary_ascent=tpu_renderer.regular.ascent)
+    assert bank.ensure([0x4E2D, 0x6587])
+    old = tpu_renderer.fallback_bank
+    try:
+        tpu_renderer.fallback_bank = bank
+        tpu_renderer.regular.attach_fallback(bank)
+        tpu_renderer._font_tex_dev = None
+        from whisper_git_tpu.ui.el import El
+        tree = El("stack", children=[
+            El("text", text="中文 on hw", font_size=18.0,
+               color=(1.0, 1.0, 1.0, 1.0))])
+        img = np.asarray(tpu_renderer.render(tree, (256, 64)))
+        assert (img[..., :3].max(axis=-1) > 128).sum() > 80
+    finally:
+        tpu_renderer.fallback_bank = old
+        tpu_renderer.regular.attach_fallback(old)
+        tpu_renderer._font_tex_dev = None
+
+
 def test_screenshot_frame_on_hw(tpu_renderer, temp_repo):
     """A full app frame (repo open → state refresh → build → layout →
     compile → TPU raster → readback) — the screenshot surface end to
