@@ -3,9 +3,6 @@ stream_first): a partial head-of-history result lands before the full
 walk, and the full apply replaces it without flicker."""
 
 import queue
-import time
-
-import numpy as np
 
 
 def _build_repo(git, path, n=30):

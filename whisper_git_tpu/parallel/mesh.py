@@ -41,7 +41,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..render import rasterizer as R
 from ..render.meshstate import (  # noqa: F401  (public re-exports)

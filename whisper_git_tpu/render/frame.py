@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import rasterizer as R
-from .scene import Scene, _bucket
+from .scene import Scene
 
 TILE_H = R.TILE_H
 TILE_W = R.TILE_W
