@@ -576,3 +576,77 @@ def test_rename_numstat_counts(temp_repo, git):
     counts = _parse_numstat_z(out)
     assert counts == {"plain.txt": (3, 1), "new.txt": (2, 0),
                       "a => b.txt": (1, 0)}
+
+
+def test_merge_commit_diff_stats(temp_repo, git):
+    """Merges must carry real ± counts vs their first parent — without
+    --diff-merges=first-parent, git emits NO numstat for merges and
+    every merge showed +0 −0 in the graph."""
+    import os
+
+    from whisper_git_tpu.gitcore.repo import GitRepo
+
+    git(temp_repo, "checkout", "-qb", "side")
+    with open(os.path.join(temp_repo, "side.txt"), "w") as f:
+        f.write("a\nb\nc\n")
+    git(temp_repo, "add", ".")
+    git(temp_repo, "commit", "-qm", "side work")
+    git(temp_repo, "checkout", "-q", "main")
+    git(temp_repo, "merge", "-q", "--no-ff", "-m", "merge side", "side")
+    repo = GitRepo.open(temp_repo)
+    merge_oid = repo.head_oid()
+    stats = repo.diff_stats_for_commits([merge_oid])
+    assert stats[merge_oid] == (3, 0)
+
+
+def test_subject_with_field_separator_survives(temp_repo, git):
+    """A 0x1f byte in a commit subject is legal; the record parser must
+    bound its split or the commit silently vanishes from the graph."""
+    from whisper_git_tpu.gitcore.repo import GitRepo
+
+    git(temp_repo, "commit", "--allow-empty", "-m",
+        "weird\x1fsubject with separator")
+    repo = GitRepo.open(temp_repo)
+    commits = repo.commit_graph()
+    assert commits[0].summary == "weird\x1fsubject with separator"
+    # Full message path too (%B is the last field).
+    from whisper_git_tpu.gitcore.refs import full_commit_info
+    info = full_commit_info(repo, commits[0].oid)
+    assert "weird\x1fsubject" in info.message
+
+
+def test_submodule_pin_changed_on_merge(temp_repo, git, tmp_path):
+    """Pin changes carried by a MERGE commit must register (plain
+    diff-tree prints nothing for merges)."""
+    import subprocess
+
+    from whisper_git_tpu.gitcore.refs import submodule_pin_changed
+    from whisper_git_tpu.gitcore.repo import GitRepo
+
+    sub = str(tmp_path / "subrepo")
+    subprocess.run(["git", "init", "-q", "-b", "main", sub], check=True)
+    for cmd in (["config", "user.email", "s@s.s"],
+                ["config", "user.name", "S"],
+                ["commit", "--allow-empty", "-qm", "s1"]):
+        subprocess.run(["git", "-C", sub, *cmd], check=True,
+                       capture_output=True)
+    env_c = ["-c", "protocol.file.allow=always"]
+    subprocess.run(["git", *env_c, "-C", temp_repo, "submodule", "add",
+                    sub, "thesub"], check=True, capture_output=True)
+    git(temp_repo, "commit", "-qm", "add submodule")
+    # Advance the sub on a branch, then merge the pin bump into main.
+    subprocess.run(["git", "-C", sub, "commit", "--allow-empty", "-qm",
+                    "s2"], check=True, capture_output=True)
+    git(temp_repo, "checkout", "-qb", "bump")
+    subprocess.run(["git", "-C", f"{temp_repo}/thesub", "pull", "-q",
+                    "origin" if False else sub, "main"],
+                   check=True, capture_output=True)
+    git(temp_repo, "add", "thesub")
+    git(temp_repo, "commit", "-qm", "bump pin")
+    git(temp_repo, "checkout", "-q", "main")
+    git(temp_repo, "merge", "-q", "--no-ff", "-m", "merge bump", "bump")
+    repo = GitRepo.open(temp_repo)
+    assert submodule_pin_changed(repo, repo.head_oid(), "thesub")
+    # The root commit path must not crash either.
+    root = repo.commit_graph()[-1].oid
+    submodule_pin_changed(repo, root, "thesub")  # no exception

@@ -14,10 +14,12 @@ from .repo import GitRepo
 from .types import DiffHunk, RemoteOpResult
 
 
-def build_hunk_patch(path: str, hunk: DiffHunk, old_path: str | None = None) -> str:
-    """Minimal unified patch containing exactly one hunk."""
-    a = old_path or path
-    lines = [f"--- a/{a}", f"+++ b/{path}",
+def build_hunk_patch(path: str, hunk: DiffHunk) -> str:
+    """Minimal unified patch containing exactly one hunk. (Renamed files
+    are not hunk-staged through this path: a rename-form header without
+    'rename from/to' lines is rejected by `git apply --cached`, and no
+    caller ever supplied one — the UI stages renames whole-file.)"""
+    lines = [f"--- a/{path}", f"+++ b/{path}",
              f"@@ -{hunk.old_start},{hunk.old_lines} +{hunk.new_start},{hunk.new_lines} @@"]
     for dl in hunk.lines:
         lines.append(f"{dl.origin}{dl.content}")

@@ -109,7 +109,9 @@ def full_commit_info(repo: GitRepo, oid: str) -> Optional[FullCommitInfo]:
     if not out.ok or not out.stdout:
         return None
     rec = out.stdout.split("\x00")[0]
-    parts = rec.split(_FIELD_SEP)
+    # maxsplit=8: %B is last and may contain 0x1f — an unbounded split
+    # would silently truncate the message at the first separator byte.
+    parts = rec.split(_FIELD_SEP, 8)
     if len(parts) < 9:
         return None
     h, parents, an, ae, cn, ce, at, ct, message = parts[:9]
@@ -163,10 +165,15 @@ def submodules_at_commit(repo: GitRepo, oid: str) -> list[SubmoduleInfo]:
 
 
 def submodule_pin_changed(repo: GitRepo, oid: str, sub_path: str) -> bool:
-    """Whether a commit changed the pin of `sub_path` vs its first parent."""
+    """Whether a commit changed the pin of `sub_path` vs its first parent.
+
+    -m + --first-parent: a plain diff-tree prints NOTHING for merge
+    commits (false negative); --root covers root commits; -z + exact
+    per-record compare handles paths containing whitespace."""
     out = run_git(repo.root, "diff-tree", "--no-commit-id", "--name-only",
-                  "-r", oid, "--", sub_path, check=False)
-    return out.ok and sub_path in out.stdout.split()
+                  "-r", "-z", "-m", "--first-parent", "--root", oid,
+                  "--", sub_path, check=False)
+    return out.ok and sub_path in out.stdout.split("\x00")
 
 
 def local_branches_with_submodule_pin(repo: GitRepo, sub_path: str, pin: str) -> list[str]:

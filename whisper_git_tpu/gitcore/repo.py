@@ -142,7 +142,10 @@ class GitRepo:
         for rec in blob.split("\x00"):
             if not rec:
                 continue
-            parts = rec.split(_FIELD_SEP)
+            # maxsplit=6: the SUBJECT is the last field and may itself
+            # contain the 0x1f separator (legal in git) — an unbounded
+            # split would make the commit silently vanish from the graph.
+            parts = rec.split(_FIELD_SEP, 6)
             if len(parts) != 7:
                 continue
             oid, short, parents, an, ae, at, subject = parts
@@ -253,7 +256,11 @@ class GitRepo:
         stats: dict[str, tuple[int, int]] = {}
         for i in range(0, len(oids), DIFF_STATS_CHUNK):
             chunk = oids[i:i + DIFF_STATS_CHUNK]
+            # --diff-merges=first-parent: without it git emits NO
+            # numstat for merge commits, so every merge showed +0 −0
+            # (the documented contract is "vs its first parent").
             out = run_git(self.root, "log", "--no-walk=unsorted", "--numstat",
+                          "--diff-merges=first-parent",
                           "--format=\x01%H", *chunk, "--", check=False)
             if not out.ok:
                 continue

@@ -50,19 +50,34 @@ def batched_highlights(old_lines: list[str], new_lines: list[str]
     gitcore.diff.intra_line_highlight, including UTF-8 boundary snapping."""
     from ..gitcore.diff import _snap_utf8
 
-    if not old_lines:
+    if not old_lines or not new_lines:
         return []
+    assert len(old_lines) == len(new_lines), "pairs must align"
     olds = [s.encode() for s in old_lines]
     news = [s.encode() for s in new_lines]
-    L = max(1, max(max(len(b) for b in olds), max(len(b) for b in news)))
+    # Pad BOTH axes to power-of-two buckets: the kernel is jitted on
+    # dynamic shapes, so raw (B, longest-line) would recompile for
+    # essentially every distinct diff — seconds of XLA time over the
+    # tunnel, dwarfing the loop this fast path replaces.
+    def _bucket(n: int) -> int:
+        b = 64
+        while b < n:
+            b *= 2
+        return b
+
     B = len(olds)
-    old_arr = np.zeros((B, L), np.uint8)
-    new_arr = np.zeros((B, L), np.uint8)
+    L = _bucket(max(1, max(max(len(b) for b in olds),
+                           max(len(b) for b in news))))
+    Bp = _bucket(B)
+    old_arr = np.zeros((Bp, L), np.uint8)
+    new_arr = np.zeros((Bp, L), np.uint8)
     for i, (o, n) in enumerate(zip(olds, news)):
         old_arr[i, :len(o)] = np.frombuffer(o, np.uint8)
         new_arr[i, :len(n)] = np.frombuffer(n, np.uint8)
-    old_len = np.array([len(o) for o in olds], np.int32)
-    new_len = np.array([len(n) for n in news], np.int32)
+    old_len = np.zeros(Bp, np.int32)
+    new_len = np.zeros(Bp, np.int32)
+    old_len[:B] = [len(o) for o in olds]
+    new_len[:B] = [len(n) for n in news]
     prefix, suffix = prefix_suffix_lengths(
         jnp.asarray(old_arr), jnp.asarray(new_arr),
         jnp.asarray(old_len), jnp.asarray(new_len))

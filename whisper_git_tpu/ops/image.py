@@ -62,5 +62,7 @@ def resize_lanczos(imgs, h_out: int, w_out: int) -> np.ndarray:
     B, H, W, C = imgs.shape
     rows, cols = _matrices(H, W, h_out, w_out)
     out = _resize(jnp.asarray(imgs), rows, cols, h_out, w_out)
-    out = np.asarray(jnp.clip(out, 0, 255)).astype(np.uint8)
+    # round, don't truncate: plain u8 cast floors, biasing every
+    # non-exact value ~0.5 levels dark across avatars/tiles.
+    out = np.asarray(jnp.clip(jnp.round(out), 0, 255)).astype(np.uint8)
     return out[0] if squeeze else out

@@ -13,10 +13,13 @@ reference, which rebuilds layout on refresh, not per frame. The *geometry*
 (bezier subdivision) is batched through ops.bezier (JAX).
 
 Edge model: every child→parent connection occupies one *travel lane* for
-its vertical run; it curves away from the child's node at the top (when the
-travel lane differs from the child's lane — a merge parent forking out) or
-into the parent's node at the bottom (when the parent lands in a different
-lane — a branch line merging back), never both.
+its vertical run; it curves away from the child's node at the top when the
+travel lane differs from the child's lane (a merge parent forking out).
+Under the current allocator the parent always lands IN the travel lane
+(a second child joins the existing waiting lane, so exactly one lane
+waits per parent OID — fuzz-verified over random DAGs), so the bottom
+always terminates straight into the parent's node; the bottom-curve
+emission below is retained defensively for future allocator changes.
 """
 
 from __future__ import annotations
@@ -202,6 +205,9 @@ def decompose_edges(layout: GraphLayout) -> list[RowSegment]:
         else:
             v_start = layout.row_center_y(e.child_row)
         # Bottom: from the travel lane into the parent's node.
+        # (Currently unreachable — see module docstring — kept so a
+        # future allocator that parks parents off the travel lane still
+        # renders correctly instead of silently drawing a gap.)
         if e.parent_lane != t:
             y1 = layout.row_center_y(e.parent_row)
             y0 = layout.row_tops[e.parent_row]
