@@ -37,9 +37,13 @@ os.environ["XDG_STATE_HOME"] = tempfile.mkdtemp(prefix="wgit-test-state-")
 
 # Deterministic pixels: pin the dirty-indicator pulse clock so two renders
 # of the same state compare byte-for-byte (pixel-exactness tests).
-from whisper_git_tpu.app.views.widgets import freeze_pulse  # noqa: E402
+from whisper_git_tpu.app.views.widgets import (  # noqa: E402
+    freeze_cursor,
+    freeze_pulse,
+)
 
 freeze_pulse(0.0)
+freeze_cursor(True)
 
 import pytest  # noqa: E402
 

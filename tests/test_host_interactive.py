@@ -247,9 +247,17 @@ def test_idle_focused_input_blinks_in_loop(temp_repo, monkeypatch):
 
     from whisper_git_tpu.app.repo_tab import RepoTab
     from whisper_git_tpu.app.ui_app import WhisperApp
-    from whisper_git_tpu.app.views.widgets import cursor_visible
+    from whisper_git_tpu.app.views import widgets
+    from whisper_git_tpu.app.views.widgets import (
+        cursor_visible,
+        freeze_cursor,
+    )
     from whisper_git_tpu.host.loop import run_loop
 
+    # This test needs the REAL wall-clock blink; conftest pins it for
+    # pixel determinism everywhere else.
+    prev = widgets._CURSOR_FREEZE
+    freeze_cursor(None)
     monkeypatch.setenv("WGIT_NO_INPUT", "1")
     tab = RepoTab.open(temp_repo)
     tab.refresh_sync(include_orphans=False)
@@ -266,7 +274,10 @@ def test_idle_focused_input_blinks_in_loop(temp_repo, monkeypatch):
 
     app.build = spy_build
     t0 = _time.monotonic()
-    run_loop(app, max_frames=7)
+    try:
+        run_loop(app, max_frames=7)
+    finally:
+        freeze_cursor(prev)
     elapsed = _time.monotonic() - t0
     assert len(set(phases)) == 2, (phases, elapsed)
     # 6 waited frames at the 0.25 s blink cadence ≈ 1.5 s, not the 6 s a

@@ -56,10 +56,6 @@ def fuzzy_score(query: str, target: str) -> Optional[Tuple[float, List[int]]]:
         found = t.find(qc, ti)
         if found < 0:
             return None
-        # Greedy first match; then try to improve run continuity by
-        # preferring a match adjacent to the previous character.
-        if prev >= 0 and t[prev + 1:prev + 2] == qc:
-            found = prev + 1
         positions.append(found)
         if found == prev + 1:
             score += 3.0          # consecutive run

@@ -228,7 +228,8 @@ class WhisperApp:
                 width="fill", height="fill", align="center",
                 route="close-picker", key="picker-scrim"))
         if self.context_menu is not None:
-            layers.append(context_menu(self.context_menu))
+            layers.append(context_menu(self.context_menu,
+                                       viewport=self._last_viewport))
         if self.modal is not None:
             layers.append(self._modal_layer())
         if self.palette is not None:
@@ -299,12 +300,27 @@ class WhisperApp:
         return column(*rows, width="fill", height="fill")
 
     def _detail_pins(self, tab: RepoTab):
+        """Memoized per (tab, oid): build() runs on every frame wake
+        (pulse: ~7/s) and submodules_at_commit spawns a recursive
+        ls-tree + git show — unmemoized, an open details pane churned
+        subprocesses continuously. A commit's tree is immutable, so the
+        oid fully keys the result."""
         if tab.selected_oid is None or not tab.submodules:
             return None
+        key = (tab.tab_id, tab.selected_oid)
+        cache = getattr(self, "_detail_pins_cache", None)
+        if cache is None:
+            cache = self._detail_pins_cache = {}
+        if key in cache:
+            return cache[key]
         try:
-            return grefs.submodules_at_commit(tab.repo, tab.selected_oid)
+            pins = grefs.submodules_at_commit(tab.repo, tab.selected_oid)
         except Exception:
-            return None
+            pins = None
+        if len(cache) > 64:
+            cache.clear()
+        cache[key] = pins
+        return pins
 
     def _modal_layer(self) -> El:
         kind, form = self.modal

@@ -422,8 +422,11 @@ def history_view(tab, show_avatars: bool = True,
             from .widgets import input_text_el
 
             shown = None
+            # Same size as the other branches' text() default — a
+            # selection must not visibly shrink the query line.
             search_el = input_text_el(q, search_cursor, search_anchor,
-                                      cursor_visible(), T.text, 12)
+                                      cursor_visible(), T.text,
+                                      T.font_size)
         elif search_focused and cursor_visible():
             shown = insert_caret(q, search_cursor) if q \
                 else "▏type to filter…"

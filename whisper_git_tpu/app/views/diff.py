@@ -204,19 +204,48 @@ def _split_cell(line: Optional[DiffLine], kind: str,
                 width="fill", height="fill", fill=wash, clip=True)
 
 
+_ROW_MODEL_MEMO: dict = {}
+
+
+def _row_models(files: list, mode: str):
+    """(rows, heights) memoized by the files list's identity — build()
+    runs on every frame wake and wheel event, and rebuilding the full
+    row model of a 50k-line diff in Python before virtualization kicks
+    in is visible scroll jank (same pattern as the history view's
+    segment memo)."""
+    key = (id(files), mode)
+    hit = _ROW_MODEL_MEMO.get(key)
+    if hit is not None and hit[0] is files:
+        return hit[1], hit[2]
+    rows = build_split_rows(files) if mode == "split" \
+        else build_diff_rows(files)
+    heights = [ROW_H + 8 if m.kind == "file"
+               else ROW_H + 4 if m.kind == "hunk" else ROW_H for m in rows]
+    if len(_ROW_MODEL_MEMO) > 8:
+        _ROW_MODEL_MEMO.clear()
+    _ROW_MODEL_MEMO[key] = (files, rows, heights)
+    return rows, heights
+
+
 def diff_view(files: list[DiffFile], scroll_offset: float = 0.0,
               hscroll: float = 0.0, source: str = "commit",
               title: str = "", mode: str = "unified") -> El:
     """The diff pane. source: "commit" | "staged" | "unstaged";
     mode: "unified" | "split"."""
     if not files:
-        return rect(text("No changes", color=T.text_muted),
-                    fill=T.background, width="fill", height="fill",
-                    align="center", key="diff")
+        # Keep the header: without it the ✕ close and mode toggle vanish
+        # and a mouse-only user has no way to dismiss the empty pane.
+        return rect(
+            column(_diff_header(title, mode),
+                   rect(text("No changes", color=T.text_muted),
+                        fill=T.background, width="fill", flex=1,
+                        align="center"),
+                   width="fill", height="fill"),
+            fill=T.background, width="fill", height="fill", key="diff")
     if mode == "split":
         return _split_diff_view(files, scroll_offset, source, title,
                                 hscroll)
-    rows = build_diff_rows(files)
+    rows, heights = _row_models(files, "unified")
 
     def build(i: int) -> El:
         model = rows[i]
@@ -235,11 +264,6 @@ def diff_view(files: list[DiffFile], scroll_offset: float = 0.0,
             return _hunk_header_el(model, model.file_index, model.hunk_index,
                                    source)
         return _line_el(model, hscroll)
-
-    heights = []
-    for m in rows:
-        heights.append(ROW_H + 8 if m.kind == "file"
-                       else ROW_H + 4 if m.kind == "hunk" else ROW_H)
 
     header = _diff_header(title, "unified")
     return rect(
@@ -271,7 +295,7 @@ def _diff_header(title: str, mode: str) -> El:
 def _split_diff_view(files: list[DiffFile], scroll_offset: float,
                      source: str, title: str,
                      hscroll: float = 0.0) -> El:
-    rows = build_split_rows(files)
+    rows, heights = _row_models(files, "split")
 
     def build(i: int) -> El:
         model = rows[i]
@@ -296,8 +320,6 @@ def _split_diff_view(files: list[DiffFile], scroll_offset: float,
                 width="fill", height="fill"),
             width="fill", height=ROW_H)
 
-    heights = [ROW_H + 8 if m.kind == "file"
-               else ROW_H + 4 if m.kind == "hunk" else ROW_H for m in rows]
     return rect(
         column(_diff_header(title, "split"),
                scroll(len(rows), build, offset=scroll_offset,

@@ -153,6 +153,26 @@ def _file_section(title: str, entries: list, bucket: str,
     return rows
 
 
+def _selected_tuple(view, status):
+    """(bucket, path) of the selected file, with the REAL bucket — the
+    view model only stores a staged/unstaged bool, so untracked and
+    conflicted selections used to compare against the wrong bucket name
+    and never rendered the highlight (worst exactly in the
+    merge-conflict flow)."""
+    if not (view and view.selected_file):
+        return None
+    p = view.selected_file
+    if view.selected_staged:
+        return ("staged", p)
+    if status is not None:
+        for bucket, entries in (("conflicted", status.conflicted),
+                                ("unstaged", status.unstaged),
+                                ("untracked", status.untracked)):
+            if any(e.path == p for e in entries):
+                return (bucket, p)
+    return ("unstaged", p)
+
+
 def _staging_key(tab, focused_input: str, ai_busy: bool,
                  cursor=None, anchor=None) -> tuple:
     """Every pixel-affecting input of the staging panel. The cursor-blink
@@ -162,7 +182,11 @@ def _staging_key(tab, focused_input: str, ai_busy: bool,
     status = view.status if view else None
 
     def bucket(entries):
-        return tuple((e.path, e.status) for e in entries[:200])
+        # len() included: the key truncates at 200 entries, but badges
+        # render len(entries) — a change past the 200th file must still
+        # invalidate the memo.
+        return (len(entries),) + tuple(
+            (e.path, e.status) for e in entries[:200])
 
     return (
         "staging", tab.tab_id,
@@ -178,8 +202,7 @@ def _staging_key(tab, focused_input: str, ai_busy: bool,
         (bucket(status.staged), bucket(status.unstaged),
          bucket(status.untracked), bucket(status.conflicted))
         if status is not None else None,
-        (("staged" if view.selected_staged else "unstaged"),
-         view.selected_file) if view and view.selected_file else None,
+        _selected_tuple(view, status),
         tuple((w.name, w.path, w.branch,
                bool(tab.worktree_views.get(w.path)
                     and tab.worktree_views[w.path].dirty))
@@ -239,8 +262,7 @@ def _staging_impl(tab, focused_input: str = "", ai_busy: bool = False,
         route="commit" if can_commit else None, key="commit-button"))
 
     status = view.status if view else None
-    selected = ((("staged" if view.selected_staged else "unstaged"),
-                 view.selected_file) if view and view.selected_file else None)
+    selected = _selected_tuple(view, view.status if view else None)
     if status is not None:
         rs = getattr(tab, "row_scale", 1.0)
         file_rows: list[El] = []

@@ -38,7 +38,8 @@ class ContextMenuState:
     selected_index: int = 0
 
 
-def context_menu(state: ContextMenuState) -> El:
+def context_menu(state: ContextMenuState,
+                 viewport: tuple | None = None) -> El:
     rows: list[El] = []
     for i, item in enumerate(state.items):
         if item.separator_before:
@@ -53,9 +54,17 @@ def context_menu(state: ContextMenuState) -> El:
     menu = rect(column(*rows, gap=1, width=230, padding=(5, 5, 5, 5)),
                 fill=T.surface_raised, border=T.border_light, border_width=1,
                 radius=8, shadow=True, key="context-menu")
+    # Clamp into the viewport: a right-click near the bottom/right edge
+    # must not park most items offscreen (unclickable, scrim-only exit).
+    x, y = state.x, state.y
+    if viewport is not None:
+        est_h = (sum(25 for it in state.items)
+                 + sum(2 for it in state.items if it.separator_before) + 12)
+        x = max(0.0, min(x, viewport[0] - 252.0))
+        y = max(0.0, min(y, viewport[1] - est_h))
     # Position wrapper: scrim catches outside clicks.
     return rect(
-        rect(menu, padding=(state.y, 0, 0, state.x)),
+        rect(menu, padding=(y, 0, 0, x)),
         width="fill", height="fill", route="close-menu", key="menu-scrim")
 
 
@@ -160,9 +169,21 @@ def palette_overlay(state) -> El:
         key="palette-scrim")
 
 
+_CURSOR_FREEZE: bool | None = None
+
+
+def freeze_cursor(visible: bool | None) -> None:
+    """Pin the caret blink (goldens/screenshot tests need byte-for-byte
+    determinism — same rationale as freeze_pulse)."""
+    global _CURSOR_FREEZE
+    _CURSOR_FREEZE = visible
+
+
 def cursor_visible() -> bool:
     """~1 Hz caret blink shared by every text input (reference README:
     "Cursor blinking in text inputs at approximately 1Hz")."""
+    if _CURSOR_FREEZE is not None:
+        return _CURSOR_FREEZE
     return int(time.time() * 2) % 2 == 0
 
 

@@ -193,10 +193,12 @@ def build_scenes(repo_path: str) -> dict[str, WhisperApp]:
 
 def dump_all(out_dir: str, repo_path: str | None = None) -> int:
     from ..app.views import widgets
-    from ..app.views.widgets import freeze_pulse
+    from ..app.views.widgets import freeze_cursor, freeze_pulse
 
     prev_freeze = widgets._PULSE_FREEZE
-    freeze_pulse(0.0)  # golden dumps must be byte-deterministic
+    prev_cursor = widgets._CURSOR_FREEZE
+    freeze_pulse(0.0)   # golden dumps must be byte-deterministic
+    freeze_cursor(True)  # the caret blink is wall-clock-driven too
     try:
         os.makedirs(out_dir, exist_ok=True)
         tmp = None
@@ -220,10 +222,11 @@ def dump_all(out_dir: str, repo_path: str | None = None) -> int:
                 tab.stop_workers()
         return len(scenes)
     finally:
-        # Restore the CALLER's pulse clock (pytest pins it in conftest;
-        # leaving our 0.0 behind would mask animation behavior for the
+        # Restore the CALLER's clocks (pytest pins them in conftest;
+        # leaving ours behind would mask animation behavior for the
         # rest of an in-process session).
         freeze_pulse(prev_freeze)
+        freeze_cursor(prev_cursor)
 
 
 if __name__ == "__main__":
