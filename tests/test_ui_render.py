@@ -407,3 +407,33 @@ def test_text_ellipsis_elides_to_clip():
     # And the atlas-level elide produces the ellipsis.
     assert r.regular.elide(long, 13.0, 200.0).endswith("…")
     assert r.regular.elide("short", 13.0, 200.0) == "short"
+
+
+def test_context_menu_clamps_into_viewport():
+    """A right-click near the bottom/right edge must not park the menu
+    offscreen (items unclickable, scrim-only exit)."""
+    from whisper_git_tpu.app.ui_app import ContextMenuState, MenuItem
+    from whisper_git_tpu.app.views.widgets import context_menu
+    from whisper_git_tpu.render.renderer import get_renderer
+
+    items = [MenuItem(f"Item {i}", f"noop:{i}") for i in range(10)]
+    state = ContextMenuState(items=items, x=1250.0, y=780.0)
+    r = get_renderer()
+    root = r.layout(context_menu(state, viewport=(1280.0, 800.0)),
+                    (1280.0, 800.0))
+
+    def find_menu(node):
+        if node.el.key == "context-menu":
+            return node
+        for c in node.children:
+            got = find_menu(c)
+            if got is not None:
+                return got
+        return None
+
+    menu = find_menu(root)
+    assert menu is not None
+    assert menu.x + menu.w <= 1280.0 + 1.0
+    assert menu.y + menu.h <= 800.0 + 1.0
+    # And an interior click target is hit-testable.
+    assert root.find_route_at(menu.x + 10, menu.y + 10) is not None

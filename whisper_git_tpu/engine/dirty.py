@@ -38,7 +38,8 @@ def check_dirty(repo: GitRepo) -> bool:
     what makes the per-refresh fanout over dozens of submodules/worktrees
     cheap. Falls back to `git status` whenever the scanner declines to
     certify the repo (filters, sha256, v4 index, …)."""
-    if repo.workdir is not None:
+    if repo.workdir is not None and os.environ.get(
+            "WGIT_NATIVE_STATUS") != "0":  # same kill switch as status()
         bits = gnative.quick_dirty(repo.workdir, repo.git_dir, repo.common_dir)
         if bits is not None:
             return bits != 0

@@ -70,13 +70,24 @@ def run_git(
     # hook) can hold index.lock for a moment; retry briefly rather than
     # surfacing a spurious failure to the user.
     for attempt in range(4):
-        proc = subprocess.run(
-            cmd,
-            capture_output=True,
-            env=git_env(),
-            input=(input_text.encode() if input_text is not None else None),
-            timeout=timeout,
-        )
+        try:
+            proc = subprocess.run(
+                cmd,
+                capture_output=True,
+                env=git_env(),
+                input=(input_text.encode() if input_text is not None
+                       else None),
+                timeout=timeout,
+            )
+        except (subprocess.TimeoutExpired, FileNotFoundError, OSError) as exc:
+            # check=False promises "never raises": a hung NFS mount
+            # (timeout) or git missing from PATH must degrade like any
+            # failed command, not crash no-raise-style call sites.
+            if check:
+                raise GitError(str(exc)) from exc
+            return GitOutput(returncode=-1,
+                             stdout=(b"" if binary else ""),
+                             stderr=f"git did not run: {exc}")
         if proc.returncode == 0:
             break
         err_snippet = proc.stderr.decode("utf-8", "replace")

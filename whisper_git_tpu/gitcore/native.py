@@ -47,7 +47,9 @@ def _lib():
                     lib.wgit_status_scan.restype = ctypes.c_void_p
                 _LIB = lib
                 break
-            except OSError:
+            except (OSError, AttributeError):
+                # AttributeError: a loadable but stale .so missing the
+                # symbol must fall back to pure Python, same as no .so.
                 continue
     return _LIB
 

@@ -66,7 +66,14 @@ def working_dir_status_from_porcelain(records: list[str]) -> WorkingDirStatus:
             if x != ".":
                 st.staged.append(StatusEntry(path, FileStatus.RENAMED, orig_path=orig))
             if y != ".":
-                st.unstaged.append(StatusEntry(path, _STATUS_MAP.get(y, FileStatus.MODIFIED)))
+                # Worktree-side renames carry orig too (the native
+                # scanner attaches it to every bucket — the two paths
+                # must produce identically-shaped entries).
+                st.unstaged.append(StatusEntry(
+                    path,
+                    FileStatus.RENAMED if y == "R"
+                    else _STATUS_MAP.get(y, FileStatus.MODIFIED),
+                    orig_path=orig if y == "R" else None))
     return st
 
 
@@ -118,7 +125,12 @@ def status(repo: GitRepo, exclude_submodules: bool = True,
         args.append("--ignore-submodules=all")
     out = run_git(repo.root, *args, check=False)
     if not out.ok:
-        return WorkingDirStatus()
+        # A failed `git status` (index corruption, repo vanished, hung
+        # mount) must SURFACE, not read as "clean tree" — the refresh
+        # workers fold the raise into their errors list (invariant #10)
+        # instead of silently blanking the staging well.
+        from .cli import GitError
+        raise GitError(out.stderr.strip() or "git status failed")
     return working_dir_status_from_porcelain(out.stdout.split("\x00"))
 
 

@@ -183,6 +183,9 @@ def apply_screenshot_state(app: WhisperApp, state: str) -> None:
 def main(argv: list[str] | None = None) -> int:
     """reference: main.rs:67."""
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    # BEFORE init() — init would unlink the clean-exit marker the check
+    # compares against (reference: crash_log.rs:288 surfaces this).
+    crashed = crash_log.has_crash_since_last_exit()
     crash_log.init()
     crash_log.install_panic_hook()
 
@@ -236,6 +239,9 @@ def main(argv: list[str] | None = None) -> int:
     from .loop import run_loop
 
     app = WhisperApp.from_paths(paths)
+    if crashed:
+        app.toast("error",
+                  f"Previous session crashed — report saved: {crashed}")
     code = run_loop(app)
     crash_log.mark_clean_exit()
     return code

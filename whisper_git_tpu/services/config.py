@@ -105,9 +105,13 @@ def normalize_recents(entries: list[dict]) -> list[dict]:
     out: list[dict] = []
     for e in entries:
         path = e.get("path", "")
-        if not path or path in seen:
+        if not path or not os.path.isdir(path):
             continue
-        if not os.path.isdir(path):
+        # Canonicalize PERSISTED entries too: an old worktree-path entry
+        # plus its later-canonicalized repo path must dedupe to one row
+        # (reference recent.rs dedupes by repo identity).
+        path = canonical_repo_path(path)
+        if not path or path in seen or not os.path.isdir(path):
             continue
         seen.add(path)
         out.append({"path": path,

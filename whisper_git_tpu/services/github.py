@@ -146,7 +146,11 @@ def fetch_runs(owner: str, repo: str, token: Optional[str],
         return CiStatus(provider=CiProvider.GITHUB, branch=branch,
                         head_sha=head_sha,
                         error=classify_http_error(e.code, body))
-    except (urllib.error.URLError, OSError, TimeoutError) as e:
+    except (urllib.error.URLError, OSError, TimeoutError, ValueError) as e:
+        # ValueError covers JSONDecodeError: a captive portal / proxy
+        # returning 200 with an HTML body must not kill the worker (a
+        # dead worker never rx.put()s, and ci_poll's in-flight guard
+        # would wedge ALL future CI/PR fetches for the tab).
         return CiStatus(provider=CiProvider.GITHUB, branch=branch,
                         head_sha=head_sha,
                         error=f"Network error: {e}")
@@ -160,7 +164,13 @@ def fetch_ci_status_async(owner: str, repo: str, token: Optional[str],
     rx: "queue.Queue[CiStatus]" = queue.Queue(maxsize=1)
 
     def worker():
-        rx.put(fetch_runs(owner, repo, token, branch, head_sha))
+        try:
+            status = fetch_runs(owner, repo, token, branch, head_sha)
+        except Exception as exc:  # last-ditch: a dead worker wedges polling
+            status = CiStatus(provider=CiProvider.GITHUB, branch=branch,
+                              head_sha=head_sha,
+                              error=f"CI fetch failed: {exc}")
+        rx.put(status)
         if proxy is not None:
             proxy.send_event()
 

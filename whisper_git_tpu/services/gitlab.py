@@ -122,7 +122,8 @@ def fetch_pipelines(host: str, project_path: str, token: Optional[str],
     except urllib.error.HTTPError as e:
         return CiStatus(provider=CiProvider.GITLAB, branch=branch,
                         head_sha=head_sha, error=http_error_message(e.code))
-    except (urllib.error.URLError, OSError, TimeoutError) as e:
+    except (urllib.error.URLError, OSError, TimeoutError, ValueError) as e:
+        # ValueError covers JSONDecodeError (see github.fetch_runs).
         return CiStatus(provider=CiProvider.GITLAB, branch=branch,
                         head_sha=head_sha, error=f"Network error: {e}")
     if not isinstance(payload, list):
@@ -136,7 +137,14 @@ def fetch_ci_status_async(host: str, project_path: str,
     rx: "queue.Queue[CiStatus]" = queue.Queue(maxsize=1)
 
     def worker():
-        rx.put(fetch_pipelines(host, project_path, token, branch, head_sha))
+        try:
+            status = fetch_pipelines(host, project_path, token, branch,
+                                     head_sha)
+        except Exception as exc:  # a dead worker wedges polling
+            status = CiStatus(provider=CiProvider.GITLAB, branch=branch,
+                              head_sha=head_sha,
+                              error=f"CI fetch failed: {exc}")
+        rx.put(status)
         if proxy is not None:
             proxy.send_event()
 

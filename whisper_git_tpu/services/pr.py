@@ -143,7 +143,7 @@ def fetch_github_prs(owner: str, repo: str, token: Optional[str],
         except Exception:
             pass
         return PrResult("github", error=classify_http_error(e.code, body))
-    except (urllib.error.URLError, OSError, TimeoutError) as e:
+    except (urllib.error.URLError, OSError, TimeoutError, ValueError) as e:
         return PrResult("github", error=f"Network error: {e}")
     return PrResult("github", prs=parse_github_prs(payload))
 
@@ -159,7 +159,7 @@ def fetch_gitlab_mrs(host: str, project_path: str, token: Optional[str],
     except urllib.error.HTTPError as e:
         from .gitlab import http_error_message
         return PrResult("gitlab", error=http_error_message(e.code))
-    except (urllib.error.URLError, OSError, TimeoutError) as e:
+    except (urllib.error.URLError, OSError, TimeoutError, ValueError) as e:
         return PrResult("gitlab", error=f"Network error: {e}")
     return PrResult("gitlab", prs=parse_gitlab_mrs(payload))
 
@@ -170,10 +170,12 @@ def fetch_prs_async(kind: str, a: str, b: str, token: Optional[str],
     rx: "queue.Queue[PrResult]" = queue.Queue(maxsize=1)
 
     def worker():
-        if kind == "github":
-            rx.put(fetch_github_prs(a, b, token))
-        else:
-            rx.put(fetch_gitlab_mrs(a, b, token))
+        try:
+            result = (fetch_github_prs(a, b, token) if kind == "github"
+                      else fetch_gitlab_mrs(a, b, token))
+        except Exception as exc:  # a dead worker wedges polling
+            result = PrResult(kind, error=f"PR fetch failed: {exc}")
+        rx.put(result)
         if proxy is not None:
             proxy.send_event()
 

@@ -61,6 +61,7 @@ def get_token(provider: str, host: str) -> Optional[str]:
         if key in _cache:  # includes negative entries
             return _cache[key]
     token: Optional[str] = None
+    keychain_definitive = True  # rc 1 = "not stored" (a real answer)
     tool = _secret_tool()
     if tool is not None:
         try:
@@ -70,11 +71,15 @@ def get_token(provider: str, host: str) -> Optional[str]:
             if proc.returncode == 0:
                 token = proc.stdout.decode().strip() or None
         except (OSError, subprocess.TimeoutExpired):
-            pass
+            # Transient (locked/slow Secret Service): must NOT become a
+            # session-long negative cache entry — the next poll should
+            # retry the now-healthy keychain.
+            keychain_definitive = False
     if token is None:
         token = _file_load().get(key)
     with _cache_lock:
-        _cache[key] = token
+        if token is not None or keychain_definitive:
+            _cache[key] = token
     return token
 
 

@@ -21,14 +21,20 @@ _MAX_ENTRIES = 4096
 
 def memo_el(key: tuple, builder: Callable[[], El]) -> El:
     """Return the cached El for `key`, building (and tagging it with
-    cache_key=key so layout/scene caches also hit) on miss."""
-    el = _EL_MEMO.get(key)
+    cache_key=key so layout/scene caches also hit) on miss.
+
+    LRU, not wipe-at-cap: keys embed per-keystroke inputs (the staging
+    panel keys on the message cursor), so dead entries accumulate; a
+    wholesale clear() at the cap also evicted the HOT sidebar/header
+    entries, forcing a full rebuild burst. Python dicts iterate in
+    insertion order, so hit-re-insert + pop-oldest is an LRU."""
+    el = _EL_MEMO.pop(key, None)
     if el is None:
         el = builder()
         el.cache_key = key
-        if len(_EL_MEMO) > _MAX_ENTRIES:
-            _EL_MEMO.clear()
-        _EL_MEMO[key] = el
+        while len(_EL_MEMO) >= _MAX_ENTRIES:
+            _EL_MEMO.pop(next(iter(_EL_MEMO)))
+    _EL_MEMO[key] = el
     return el
 
 
