@@ -316,7 +316,7 @@ class WhisperApp:
         try:
             pins = grefs.submodules_at_commit(tab.repo, tab.selected_oid)
         except Exception:
-            pins = None
+            return None  # transient failure: retry next frame, never cache
         if len(cache) > 64:
             cache.clear()
         cache[key] = pins

@@ -214,15 +214,19 @@ def _row_models(files: list, mode: str):
     in is visible scroll jank (same pattern as the history view's
     segment memo)."""
     key = (id(files), mode)
-    hit = _ROW_MODEL_MEMO.get(key)
+    hit = _ROW_MODEL_MEMO.pop(key, None)
     if hit is not None and hit[0] is files:
+        _ROW_MODEL_MEMO[key] = hit  # LRU re-insert
         return hit[1], hit[2]
     rows = build_split_rows(files) if mode == "split" \
         else build_diff_rows(files)
     heights = [ROW_H + 8 if m.kind == "file"
                else ROW_H + 4 if m.kind == "hunk" else ROW_H for m in rows]
-    if len(_ROW_MODEL_MEMO) > 8:
-        _ROW_MODEL_MEMO.clear()
+    # Small LRU: entries strongly reference full DiffFile lists + row
+    # models (tens of MB for giant diffs) — closed diffs must not pin
+    # memory for the session.
+    while len(_ROW_MODEL_MEMO) >= 4:
+        _ROW_MODEL_MEMO.pop(next(iter(_ROW_MODEL_MEMO)))
     _ROW_MODEL_MEMO[key] = (files, rows, heights)
     return rows, heights
 

@@ -38,29 +38,43 @@ class ContextMenuState:
     selected_index: int = 0
 
 
+_MENU_ROW_H = 24.0
+_MENU_GAP = 1.0
+_MENU_PAD = 5.0
+_MENU_W = 230.0
+_MENU_SEP_H = 1.0
+
+
 def context_menu(state: ContextMenuState,
                  viewport: tuple | None = None) -> El:
     rows: list[El] = []
     for i, item in enumerate(state.items):
         if item.separator_before:
-            rows.append(rect(width="fill", height=1, fill=T.border))
+            rows.append(rect(width="fill", height=_MENU_SEP_H,
+                             fill=T.border))
         color = T.danger if item.destructive else T.text
         rows.append(rect(
             text(item.label, font_size=T.font_size, color=color),
-            width="fill", height=24, radius=4, padding=(3, 10, 3, 10),
+            width="fill", height=_MENU_ROW_H, radius=4,
+            padding=(3, 10, 3, 10),
             fill=T.surface_hover if i == state.selected_index else None,
             hover_fill=T.surface_hover, route=item.route,
             key=f"menu-item:{item.route}"))
-    menu = rect(column(*rows, gap=1, width=230, padding=(5, 5, 5, 5)),
+    menu = rect(column(*rows, gap=_MENU_GAP, width=_MENU_W,
+                       padding=(_MENU_PAD,) * 4),
                 fill=T.surface_raised, border=T.border_light, border_width=1,
                 radius=8, shadow=True, key="context-menu")
     # Clamp into the viewport: a right-click near the bottom/right edge
     # must not park most items offscreen (unclickable, scrim-only exit).
+    # The estimate derives from the SAME constants the construction
+    # uses, so a styling change cannot silently break the clamp.
     x, y = state.x, state.y
     if viewport is not None:
-        est_h = (sum(25 for it in state.items)
-                 + sum(2 for it in state.items if it.separator_before) + 12)
-        x = max(0.0, min(x, viewport[0] - 252.0))
+        n = len(state.items)
+        n_sep = sum(1 for it in state.items if it.separator_before)
+        est_h = (n * _MENU_ROW_H + n_sep * (_MENU_SEP_H + _MENU_GAP)
+                 + max(n - 1, 0) * _MENU_GAP + 2 * _MENU_PAD + 2.0)
+        x = max(0.0, min(x, viewport[0] - _MENU_W - 22.0))
         y = max(0.0, min(y, viewport[1] - est_h))
     # Position wrapper: scrim catches outside clicks.
     return rect(

@@ -84,7 +84,7 @@ def run_git(
             # (timeout) or git missing from PATH must degrade like any
             # failed command, not crash no-raise-style call sites.
             if check:
-                raise GitError(str(exc)) from exc
+                raise GitError(list(args), -1, str(exc)) from exc
             return GitOutput(returncode=-1,
                              stdout=(b"" if binary else ""),
                              stderr=f"git did not run: {exc}")

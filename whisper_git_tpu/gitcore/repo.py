@@ -256,11 +256,14 @@ class GitRepo:
         stats: dict[str, tuple[int, int]] = {}
         for i in range(0, len(oids), DIFF_STATS_CHUNK):
             chunk = oids[i:i + DIFF_STATS_CHUNK]
-            # --diff-merges=first-parent: without it git emits NO
-            # numstat for merge commits, so every merge showed +0 −0
-            # (the documented contract is "vs its first parent").
+            # -m --first-parent: without it git emits NO numstat for
+            # merge commits, so every merge showed +0 −0 (the documented
+            # contract is "vs its first parent"). This spelling — unlike
+            # --diff-merges=first-parent — also works on git < 2.31,
+            # where the newer flag would fail the whole chunk and drop
+            # stats for EVERY commit.
             out = run_git(self.root, "log", "--no-walk=unsorted", "--numstat",
-                          "--diff-merges=first-parent",
+                          "-m", "--first-parent",
                           "--format=\x01%H", *chunk, "--", check=False)
             if not out.ok:
                 continue

@@ -130,7 +130,8 @@ def status(repo: GitRepo, exclude_submodules: bool = True,
         # workers fold the raise into their errors list (invariant #10)
         # instead of silently blanking the staging well.
         from .cli import GitError
-        raise GitError(out.stderr.strip() or "git status failed")
+        raise GitError(args, out.returncode,
+                       out.stderr.strip() or "git status failed")
     return working_dir_status_from_porcelain(out.stdout.split("\x00"))
 
 

@@ -98,6 +98,9 @@ def canonical_repo_path(path: str) -> str:
     return path
 
 
+_canonical_memo: dict = {}
+
+
 def normalize_recents(entries: list[dict]) -> list[dict]:
     """Dedupe by canonical path, drop nonexistent, cap at 10
     (reference: recent.rs:26-60)."""
@@ -109,8 +112,11 @@ def normalize_recents(entries: list[dict]) -> list[dict]:
             continue
         # Canonicalize PERSISTED entries too: an old worktree-path entry
         # plus its later-canonicalized repo path must dedupe to one row
-        # (reference recent.rs dedupes by repo identity).
-        path = canonical_repo_path(path)
+        # (reference recent.rs dedupes by repo identity). Memoized — the
+        # resolve spawns a git subprocess and normalize runs on the UI
+        # thread on every add.
+        path = _canonical_memo.get(path) or _canonical_memo.setdefault(
+            path, canonical_repo_path(path))
         if not path or path in seen or not os.path.isdir(path):
             continue
         seen.add(path)
