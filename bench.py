@@ -130,13 +130,22 @@ def main() -> int:
 
     img = frame()
     grid = _downsample(img, 78, 120)
-    warmup_s = wait_link_warmup()
+    # Bounded wait: a pathological tunnel day (link init beyond 6 min)
+    # must not starve the primary throughput metrics — skip the present
+    # measurements and report nulls instead (docs/performance.md).
+    warmup_s = wait_link_warmup(timeout=360.0)
     import numpy as _np
 
-    _np.asarray(grid)
-    first_frame_present_s = time.time() - t_proc
-    print(f"# first frame presented at +{first_frame_present_s:.1f}s "
-          f"(link warmup {warmup_s:.1f}s, overlapped)", file=sys.stderr)
+    if warmup_s is None:
+        first_frame_present_s = None
+        print("# link init exceeded 360s — skipping present metrics "
+              "(throughput batches are unaffected; they never read back)",
+              file=sys.stderr)
+    else:
+        _np.asarray(grid)
+        first_frame_present_s = time.time() - t_proc
+        print(f"# first frame presented at +{first_frame_present_s:.1f}s "
+              f"(link warmup {warmup_s:.1f}s, overlapped)", file=sys.stderr)
 
     # Warmup sweeps the whole scroll range the timed batches will touch,
     # so every jit signature (overscan window buckets, bin-K high-water
@@ -187,21 +196,24 @@ def main() -> int:
     # terminal presenter's on-device downsample AND the device→host
     # readback of the cell grid — the user-felt number, including the
     # final hop the device-complete metric above deliberately excludes.
-    plat_ms = []
-    for i in range(40):
-        tab.history_scroll = float((i * 31) % 400)
-        t0 = time.perf_counter()
-        _np.asarray(_downsample(frame(), 78, 120))
-        plat_ms.append((time.perf_counter() - t0) * 1e3)
-    plat_ms.sort()
-    present_latency = plat_ms[len(plat_ms) // 2]
+    present_latency = None
+    if warmup_s is not None:  # readbacks are safe (link initialized)
+        plat_ms = []
+        for i in range(40):
+            tab.history_scroll = float((i * 31) % 400)
+            t0 = time.perf_counter()
+            _np.asarray(_downsample(frame(), 78, 120))
+            plat_ms.append((time.perf_counter() - t0) * 1e3)
+        plat_ms.sort()
+        present_latency = plat_ms[len(plat_ms) // 2]
 
     assert img.shape == (VIEWPORT[1], VIEWPORT[0], 4)
     setup_s = round(t_setup_done - t_setup, 2)
     print(f"# frame throughput best {fps:.1f} fps ({1000.0 / fps:.2f} "
           f"ms/frame) | median {median_fps:.1f} fps | "
           f"device latency p50 {latency:.2f} ms | presented p50 "
-          f"{present_latency:.2f} ms | setup {setup_s}s",
+          f"{present_latency if present_latency is None else round(present_latency, 2)} ms"
+          f" | setup {setup_s}s",
           file=sys.stderr)
 
     for tb in app.tabs:
@@ -214,8 +226,10 @@ def main() -> int:
         "vs_baseline": round(fps / TARGET_FPS, 3),
         "median_fps": round(median_fps, 2),
         "latency_p50_ms": round(latency, 2),
-        "present_latency_p50_ms": round(present_latency, 2),
-        "first_frame_present_s": round(first_frame_present_s, 2),
+        "present_latency_p50_ms": (None if present_latency is None
+                                   else round(present_latency, 2)),
+        "first_frame_present_s": (None if first_frame_present_s is None
+                                  else round(first_frame_present_s, 2)),
         "setup_s": setup_s,
         # Full batch distribution: lets the judge/driver separate a
         # congested-tunnel window (wide spread, high best) from a code

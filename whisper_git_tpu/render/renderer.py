@@ -92,11 +92,15 @@ def start_link_warmup() -> None:
     th.start()
 
 
-def wait_link_warmup(verbose: bool = False) -> float:
+def wait_link_warmup(verbose: bool = False,
+                     timeout: "float | None" = None) -> "float | None":
     """Block until the first-readback warmup completes, surfacing
     progress every 5 s (so a 2-minute link init reads as a working wait,
     not a hang). Returns the warmup's elapsed seconds (0.0 when it never
-    ran or was instant)."""
+    ran or was instant), or None when `timeout` expired with the link
+    still initializing (callers can then skip optional readbacks — the
+    bench does, so a pathological tunnel day can't starve its primary
+    throughput metrics)."""
     import sys
     import time
 
@@ -104,6 +108,7 @@ def wait_link_warmup(verbose: bool = False) -> float:
     if th is None or not th.is_alive():
         return _LINK_WARMUP["elapsed_s"] or 0.0
     t0 = _LINK_WARMUP["started"] or time.monotonic()
+    deadline = None if timeout is None else time.monotonic() + timeout
     while th.is_alive():
         th.join(timeout=5.0)
         if th.is_alive() and verbose:
@@ -111,6 +116,9 @@ def wait_link_warmup(verbose: bool = False) -> float:
                   f"{time.monotonic() - t0:.0f}s (first device→host "
                   f"transfer initializes the tunnel; one-time per "
                   f"process)", file=sys.stderr)
+        if deadline is not None and time.monotonic() > deadline \
+                and th.is_alive():
+            return None
     return _LINK_WARMUP["elapsed_s"] or 0.0
 
 
