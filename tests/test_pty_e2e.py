@@ -172,3 +172,77 @@ def test_pty_session_end_to_end(tmp_path):
             proc.kill()   # exact PID we spawned
             proc.wait(timeout=10)
         os.close(master)
+
+
+def test_pty_live_watcher_end_to_end(tmp_path):
+    """The full inotify → debounce → refresh → reducer → repaint path in
+    ONE real process: mutate the repo externally (file edit, commit,
+    branch) and assert the live UI repaints after each."""
+    repo = _mk_repo(tmp_path)
+
+    def g(*args):
+        subprocess.run(["git", "-C", repo, *args], check=True,
+                       capture_output=True)
+
+    import pty as _pty
+
+    master, slave = _pty.openpty()
+    fcntl.ioctl(slave, termios.TIOCSWINSZ,
+                struct.pack("HHHH", 40, 130, 0, 0))
+    env = dict(os.environ, TERM="xterm-256color", WGIT_SKIP_AVATARS="1",
+               WGIT_DEVICE="cpu")
+    # Don't hand the child the suite's 8-virtual-device flag: the app
+    # would auto-install a render mesh over virtual devices and XLA's
+    # teardown can SIGABRT at exit under that config — the production
+    # process runs single-device here.
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "whisper_git_tpu", repo],
+        stdin=slave, stdout=slave, stderr=subprocess.PIPE,
+        cwd=REPO_ROOT, env=env, close_fds=True)
+    os.close(slave)
+    buf = bytearray()
+    try:
+        assert _wait_for(master, buf, ALT_ENTER, 60), "no alt screen"
+        assert _wait_for(master, buf, HALF_BLOCK, 120), "no first frame"
+        _drain(master, buf, 2.0)
+
+        # Working-tree lane (500 ms debounce): external edit → repaint.
+        with open(os.path.join(repo, "f0.txt"), "a") as f:
+            f.write("external edit\n")
+        assert _wait_growth(master, buf, 20), "no repaint after edit"
+        _drain(master, buf, 2.0)
+
+        # Metadata lane (150 ms): external commit → graph repaint.
+        g("add", "-A")
+        g("commit", "-qm", "external commit while app runs")
+        assert _wait_growth(master, buf, 20), "no repaint after commit"
+        _drain(master, buf, 2.0)
+
+        # Refs: external branch creation → sidebar repaint.
+        g("branch", "watchbranch")
+        assert _wait_growth(master, buf, 20), "no repaint after branch"
+    finally:
+        # Teardown only — this test asserts the WATCHER path above; the
+        # quit-ladder/terminal-restore contract is the FIRST pty test's
+        # job. Try the polite exit, then terminate.
+        for _ in range(6):
+            try:
+                os.write(master, b"\x1b")
+            except OSError:
+                break
+            time.sleep(0.4)
+            if proc.poll() is not None:
+                break
+        for _ in range(10):
+            if proc.poll() is not None:
+                break
+            time.sleep(0.5)
+        if proc.poll() is None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+        proc.stderr.close()
+        os.close(master)
