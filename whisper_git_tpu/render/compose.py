@@ -204,7 +204,7 @@ def _chrome_group_image(members, chrome_entries, font_tex, image_atlas,
         layers.append(_single_class_blocks(ci, block)[0])
     img = _render_blocks_image(tuple(layers), font_tex, image_atlas,
                                tiles_y, tiles_x, height, width)
-    while len(_GROUP_CACHE) > 12:
+    while len(_GROUP_CACHE) > _img_cache_cap(12):
         _GROUP_CACHE.pop(next(iter(_GROUP_CACHE)))
     _GROUP_CACHE[key] = img
     return img
@@ -255,7 +255,7 @@ def _window_slab(w, gi, ci, art, caps, font_tex, image_atlas, tiles_x,
     img = _render_blocks_image(_single_class_blocks(ci, block), font_tex,
                                image_atlas, tiles_y_slab, tiles_x,
                                slab_h, width)
-    while len(_SLAB_CACHE) > 24:
+    while len(_SLAB_CACHE) > _img_cache_cap(24):
         _SLAB_CACHE.pop(next(iter(_SLAB_CACHE)))
     _SLAB_CACHE[key] = {"img": img, "y0s": y0s}
     return img, y0s, key
@@ -391,6 +391,17 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
 # the slab crop starts, and issues the single _compose_frame dispatch with
 # pre-stacked device args — no flatten/group/slab rebuilding, no per-image
 # dispatch overhead.
+def _img_cache_cap(hbm_cap: int) -> int:
+    """Image-cache capacity, scaled down on the CPU backend: these
+    caches hold full-frame f32 images that live in HBM on TPU (16 GB/
+    chip) but in process RSS on CPU — the HBM-tuned caps plateau a
+    CPU-backend session at ~3 GB (measured, 4-min mutation soak)."""
+    import jax
+
+    return hbm_cap if jax.default_backend() != "cpu" \
+        else max(2, hbm_cap // 4)
+
+
 _PLAN_CACHE: dict = {}
 _BLOB_DEV_CACHE: dict = {}
 _STACK_CACHE: dict = {}   # (kind, member keys, dims) -> stacked device array
@@ -410,7 +421,7 @@ def _memo_stack(kind: str, keys: tuple, arrays, empty_shape):
         return hit
     out = (jnp.stack(arrays) if arrays
            else jnp.zeros(empty_shape, jnp.float32))
-    while len(_STACK_CACHE) > 8:
+    while len(_STACK_CACHE) > _img_cache_cap(8):
         _STACK_CACHE.pop(next(iter(_STACK_CACHE)))
     _STACK_CACHE[key] = out
     return out
@@ -520,7 +531,7 @@ def render_frame_composed(scene, font_tex, image_atlas):
         # stack is ~20 MB at 1280×800), so the cap bounds the HBM
         # high-water mark — keep it tight; the stack memo makes plan
         # REBUILDS cheap, which is what scroll-and-back actually hits.
-        while len(_PLAN_CACHE) > 4:
+        while len(_PLAN_CACHE) > _img_cache_cap(4):
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[plan_key] = plan
 
