@@ -82,32 +82,52 @@ def compose_enabled() -> bool:
 
 
 def _render_blocks_image(layers_blocks, font_tex, image_atlas, tiles_y: int,
-                         tiles_x: int, height: int, width: int):
+                         tiles_x: int, height: int, width: int,
+                         out_spec: str = "rows"):
     """Render a block list over a TRANSPARENT canvas → (H, W, 4) f32
     premultiplied layer image (pallas on TPU, XLA scan fallback on CPU;
-    tile axis sharded when a render mesh is installed)."""
+    tile axis sharded when a render mesh is installed). `out_spec`
+    (mesh only): "rows" = even row sharding over all mesh axes (what the
+    compose blend consumes with zero per-frame comms); "replicated" =
+    full copy per device (what the slab dynamic-slice crop needs — a
+    data-dependent slice of a row-sharded dim would force a per-frame
+    all-gather)."""
     from .meshstate import get_render_mesh
 
     return _render_blocks_image_jit(
         layers_blocks, jnp.asarray(font_tex), jnp.asarray(image_atlas),
         tiles_y=tiles_y, tiles_x=tiles_x, height=height, width=width,
-        use_pallas=R._use_pallas(), mesh=get_render_mesh())
+        use_pallas=R._use_pallas(), mesh=get_render_mesh(),
+        out_spec=out_spec)
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "height",
-                                             "width", "use_pallas", "mesh"))
+                                             "width", "use_pallas", "mesh",
+                                             "out_spec"))
 def _render_blocks_image_jit(layers_blocks, font_tex, image_atlas,
                              tiles_y: int, tiles_x: int, height: int,
-                             width: int, use_pallas: bool, mesh=None):
+                             width: int, use_pallas: bool, mesh=None,
+                             out_spec: str = "rows"):
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from . import pallas_raster as PR
 
-        T = tiles_y * tiles_x
         tiles_planar = F._render_tiles_blocks_sharded(
             layers_blocks, font_tex, image_atlas, None, tiles_y, tiles_x,
             use_pallas, mesh)
-        return PR.assemble_f32(tiles_planar[:T], tiles_y, tiles_x,
-                               height, width)
+        _, ty_pad = F._sharded_tile_rows(tiles_y, tiles_x, mesh)
+        img = PR.assemble_f32(tiles_planar, ty_pad, tiles_x,
+                              height, width)
+        # Pin the output sharding explicitly: the tile-row-aligned
+        # producer keeps the assemble reshapes GSPMD-clean, and this
+        # constraint makes the final layout a deliberate collective
+        # (boundary permute for "rows", all-gather for "replicated")
+        # instead of whatever propagation infers downstream.
+        spec = (P() if out_spec == "replicated"
+                else P(tuple(mesh.axis_names)))
+        return jax.lax.with_sharding_constraint(
+            img, NamedSharding(mesh, spec))
     if use_pallas:
         from . import pallas_raster as PR
 
@@ -254,7 +274,7 @@ def _window_slab(w, gi, ci, art, caps, font_tex, image_atlas, tiles_x,
     block = (tables, jnp.asarray(bins), None, jnp.asarray(counts))
     img = _render_blocks_image(_single_class_blocks(ci, block), font_tex,
                                image_atlas, tiles_y_slab, tiles_x,
-                               slab_h, width)
+                               slab_h, width, out_spec="replicated")
     while len(_SLAB_CACHE) > _img_cache_cap(24):
         _SLAB_CACHE.pop(next(iter(_SLAB_CACHE)))
     _SLAB_CACHE[key] = {"img": img, "y0s": y0s}
@@ -414,13 +434,28 @@ def _memo_stack(kind: str, keys: tuple, arrays, empty_shape):
     (chrome group images / slabs) is still a cache hit now reuses its
     previous stacked array instead of re-copying full-frame f32 images
     through HBM — e.g. a scroll-bucket rebuild reuses the chrome img
-    stack, a selection change reuses the slab stack."""
+    stack, a selection change reuses the slab stack.
+
+    Under a render mesh the stack is pinned to the sharding
+    `_compose_frame` consumes — "img" stacks row-sharded on dim 1 (the
+    blend reads rows locally), "slab" stacks replicated (the
+    data-dependent dynamic-slice crop must not gather) — so the blend's
+    jit sees aligned input layouts instead of whatever stack propagation
+    inferred (the r03 involuntary-rematerialization source)."""
     key = (kind, keys, empty_shape)
     hit = _lru_get(_STACK_CACHE, key)
     if hit is not None:
         return hit
     out = (jnp.stack(arrays) if arrays
            else jnp.zeros(empty_shape, jnp.float32))
+    from .meshstate import get_render_mesh
+
+    mesh = get_render_mesh()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P() if kind == "slab" else P(None, tuple(mesh.axis_names))
+        out = jax.device_put(out, NamedSharding(mesh, spec))
     while len(_STACK_CACHE) > _img_cache_cap(8):
         _STACK_CACHE.pop(next(iter(_STACK_CACHE)))
     _STACK_CACHE[key] = out

@@ -537,11 +537,14 @@ def _render_frame(frame_blob, chrome_args, win_args, font_tex, image_atlas,
     if mesh is not None:
         from . import pallas_raster as PR
 
-        T = tiles_y * tiles_x
         tiles_planar = _render_tiles_blocks_sharded(
             tuple(layers_blocks), font_tex, image_atlas, background,
             tiles_y, tiles_x, use_pallas, mesh)
-        return PR.assemble_planar(tiles_planar[:T], tiles_y, tiles_x,
+        # Assemble the FULL row-aligned padded grid (crop happens inside
+        # assemble via [:height]): slicing the tile axis first would
+        # break the clean n-way tile-row sharding the producer emits.
+        _, ty_pad = _sharded_tile_rows(tiles_y, tiles_x, mesh)
+        return PR.assemble_planar(tiles_planar, ty_pad, tiles_x,
                                   height, width)
     if use_pallas:
         from . import pallas_raster as PR
@@ -663,18 +666,34 @@ def _pad_tile_leaf(x, t: int, t_pad: int, fill):
     return jnp.pad(x, widths, constant_values=fill)
 
 
+def _sharded_tile_rows(tiles_y: int, tiles_x: int, mesh) -> tuple:
+    """(T_pad, ty_pad) for a tile-ROW-aligned n-way split: tiles_y pads
+    to a multiple of the mesh size so each device owns whole tile rows.
+    This is what keeps the downstream assemble reshapes
+    ((T,4,TH,TW) → (ty,tx,4,TH,TW) → (H,W,4)) expressible in GSPMD: the
+    shard boundary always coincides with the major (tile-row) dim, so the
+    assembled image is cleanly row-sharded [n,1,1] instead of the
+    unrepresentable tile-split sharding that forced the partitioner into
+    involuntary full rematerialization (replicate + repartition of every
+    cached layer image per compose — MULTICHIP_r03 tail)."""
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    ty_pad = -(-tiles_y // n) * n
+    return ty_pad * tiles_x, ty_pad
+
+
 def _render_tiles_blocks_sharded(layers_blocks, font_tex, image_atlas,
                                  background, tiles_y: int, tiles_x: int,
                                  use_pallas: bool, mesh):
     """Blocks render over `mesh` (all axes used jointly as the spatial
-    axis). Returns planar (T_pad, 4, TH, TW) f32 tiles, sharded on the
-    tile axis; callers slice [:T] and assemble."""
+    axis). Returns planar (T_pad, 4, TH, TW) f32 tiles with T_pad
+    tile-row-aligned (see _sharded_tile_rows), sharded on the tile axis;
+    callers assemble the full padded grid and crop rows to `height`."""
     from jax.sharding import PartitionSpec as P
 
     axes = tuple(mesh.axis_names)
     n = int(np.prod([mesh.shape[a] for a in axes]))
     T = tiles_y * tiles_x
-    T_pad = -(-T // n) * n
+    T_pad, _ = _sharded_tile_rows(tiles_y, tiles_x, mesh)
     local_t = T_pad // n
 
     padded, specs = [], []
