@@ -509,6 +509,20 @@ def _build_plan(scene, windows, chrome_entries, win_art, win_caps,
 def render_frame_composed(scene, font_tex, image_atlas):
     """Compose-path frame render → (H, W, 4) u8 device image, or None when
     an assumption doesn't hold (caller falls back to the classic path)."""
+    prepared = prepare_compose_dispatch(scene, font_tex, image_atlas)
+    if prepared is None:
+        return None
+    args, statics = prepared
+    return _compose_frame(*args, **statics)
+
+
+def prepare_compose_dispatch(scene, font_tex, image_atlas):
+    """Everything `render_frame_composed` would pass to `_compose_frame`,
+    as `(args, statics)` — or None when the compose path can't serve the
+    scene. Split out so the bench's device-time probe (bench.py) can
+    pack N steady-state frames' blobs and run them in ONE jitted scan:
+    the per-frame wall metrics ride the device tunnel, and this is the
+    tunnel-independent counterpart."""
     windows = list(getattr(scene, "windows", ()) or ())
     for w in windows:
         if float(w.dy) != float(int(w.dy)):
@@ -589,11 +603,44 @@ def render_frame_composed(scene, font_tex, image_atlas):
     meta = (plan["ops"], dyn_meta, len(starts))
     from .meshstate import get_render_mesh
 
-    return _compose_frame(blob_dev, plan["img_stack"],
-                          plan["slab_stack"], font_tex, image_atlas,
-                          tuple(float(c) for c in scene.background[:3]),
-                          height, width, tiles_y, tiles_x, meta,
-                          R._use_pallas(), mesh=get_render_mesh())
+    args = (blob_dev, plan["img_stack"], plan["slab_stack"], font_tex,
+            image_atlas)
+    statics = dict(background=tuple(float(c) for c in scene.background[:3]),
+                   height=height, width=width, tiles_y=tiles_y,
+                   tiles_x=tiles_x, meta=meta, use_pallas=R._use_pallas(),
+                   mesh=get_render_mesh())
+    return args, statics
+
+
+@functools.partial(
+    jax.jit, static_argnames=("background", "height", "width", "tiles_y",
+                              "tiles_x", "meta", "use_pallas", "mesh"))
+def _compose_scan_jit(blobs, images, slabs, font_tex, image_atlas,
+                      background: tuple, height: int, width: int,
+                      tiles_y: int, tiles_x: int, meta: tuple,
+                      use_pallas: bool, mesh=None):
+    def body(carry, blob):
+        img = _compose_frame(blob, images, slabs, font_tex, image_atlas,
+                             background=background, height=height,
+                             width=width, tiles_y=tiles_y, tiles_x=tiles_x,
+                             meta=meta, use_pallas=use_pallas, mesh=mesh)
+        # Fold every frame into the carry so no iteration can be DCE'd.
+        return carry ^ jnp.sum(img[..., 0].astype(jnp.uint32)), None
+
+    out, _ = jax.lax.scan(body, jnp.uint32(0), blobs)
+    return out
+
+
+def compose_scan_probe(blobs, images, slabs, font_tex, image_atlas,
+                       statics: dict):
+    """Render blobs.shape[0] steady-state frames in ONE dispatch (a jitted
+    lax.scan over the per-frame blobs; plan stacks shared) → u32 checksum.
+    The bench's tunnel-independent device-time metric: wall metrics ride
+    the device link's latency weather, this amortizes one dispatch + one
+    sync over N frames, and timing two N values removes even that
+    constant (docs/performance.md "device_ms_per_frame")."""
+    return _compose_scan_jit(blobs, images, slabs, font_tex, image_atlas,
+                             **statics)
 
 
 def clear_caches() -> None:
