@@ -206,28 +206,63 @@ class TermDisplay:
             self._pending = grid_dev
             self._cv.notify()
 
+    # Readbacks in flight at once. The remote-device link charges a fixed
+    # ~24 ms round trip per device→host transfer once the transfer path
+    # is initialized (docs/performance.md "The post-first-readback link
+    # mode"), but concurrent transfers overlap: 3 in flight sustain
+    # ~3 frames per RTT (~125 fps at 24 ms) instead of 1 (~40 fps). Depth
+    # beyond 3 buys little and holds more grids alive.
+    PIPELINE_DEPTH = 3
+
     def _present_loop(self) -> None:
+        # Pipelined mailbox: start an async device→host copy for each
+        # accepted frame immediately, present (blocking fetch →
+        # diff-emit) once the pipeline is full, and flush the tail when
+        # the stream goes idle, so a burst presents at overlapped-RTT
+        # throughput while a lone frame still lands after one RTT plus a
+        # 4 ms idle turn.
+        from collections import deque
+
+        inflight: deque = deque()
         while True:
             with self._cv:
-                while self._pending is None and not self._closing:
-                    self._cv.wait(timeout=0.5)
-                if self._closing and self._pending is None:
-                    return
+                if self._pending is None and not self._closing:
+                    # Short park while copies are in flight (their RTT
+                    # hides behind this wait); long park when idle.
+                    self._cv.wait(timeout=0.004 if inflight else 0.5)
                 grid_dev, self._pending = self._pending, None
-            try:
-                self._present(grid_dev)
-            except Exception:
-                # A transient failure (device-readback RPC hiccup during a
-                # congestion window, EAGAIN on the tty) must not kill the
-                # presenter for the rest of the session — drop this frame,
-                # force a full repaint on the next one (a partial write may
-                # have landed), and keep serving. The loop parks in wait()
-                # between frames, so persistent failure cannot busy-spin.
-                self._prev = None
-                self._need_clear = True
+                closing = self._closing
+            if grid_dev is not None:
+                try:
+                    grid_dev.copy_to_host_async()
+                except Exception:
+                    pass  # numpy-backed (tests/CPU): fetch is free anyway
+                inflight.append(grid_dev)
+            # Drain policy: stream active → present only when the
+            # pipeline is full; stream idle or closing → flush it all.
+            while inflight and (grid_dev is None or closing
+                                or len(inflight) > self.PIPELINE_DEPTH - 1):
+                try:
+                    self._present(inflight.popleft())
+                except Exception:
+                    # A transient failure (device-readback RPC hiccup
+                    # during a congestion window, EAGAIN on the tty) must
+                    # not kill the presenter for the rest of the session —
+                    # drop this frame, force a full repaint on the next
+                    # one (a partial write may have landed), and keep
+                    # serving. The loop parks in wait() between frames,
+                    # so persistent failure cannot busy-spin.
+                    self._prev = None
+                    self._need_clear = True
+            if closing and grid_dev is None and not inflight:
+                with self._cv:
+                    if self._pending is None:
+                        return
 
     def _present(self, grid_dev) -> None:
         grid = np.asarray(grid_dev)  # device readback (blocks HERE only)
+        if grid.shape != (self.rows * 2, self.cols, 3):
+            return  # stale-size frame from before a terminal resize
         top, bot = grid[0::2], grid[1::2]
         prefix = ""
         if getattr(self, "_need_clear", False):
