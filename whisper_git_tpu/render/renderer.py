@@ -194,6 +194,15 @@ class Renderer:
                                       primary_ascent=self.regular.ascent)
         self.regular.attach_fallback(self.fallback_bank)
         self.bold.attach_fallback(self.fallback_bank)
+        # Gate Arabic presentation forms on real glyph availability
+        # (resident atlas or fallback chain): an uncovered contextual
+        # form would render '?', worse than the unjoined base letter.
+        from .shaping import set_coverage_probe
+
+        reg, bank = self.regular, self.fallback_bank
+        set_coverage_probe(
+            lambda cp: (cp < reg.max_cp and reg.lut[cp, 7] != 0.0)
+            or bank._font_for(cp) is not None)
         # Device-resident copies — transferred once, reused every frame
         # (per-frame data crosses as two packed blobs; see rasterizer).
         self._font_tex_dev = None
