@@ -456,3 +456,76 @@ def unicodedata_is_mark_or_space(c):
     import unicodedata
 
     return unicodedata.category(c) in ("Mn", "Me", "Zs")
+
+
+# ---------------------------------------------------------------------------
+# Weight-aware bank: bold runs get real bold faces (or a synthetic
+# embolden) instead of regular-weight glyphs — closes ux-design.md's
+# single-weight delta.
+# ---------------------------------------------------------------------------
+
+
+def test_bold_chain_prefers_real_bold_face():
+    from whisper_git_tpu.render.fallback import discover_chain_paths
+
+    chain = discover_chain_paths(bold=True)
+    assert any("Bold" in p for p in chain)
+    # The bold variant must rank before its regular sibling.
+    bold_i = min(i for i, p in enumerate(chain) if "DejaVuSans-Bold" in p)
+    reg_i = min(i for i, p in enumerate(chain)
+                if p.endswith("DejaVuSans.ttf"))
+    assert bold_i < reg_i
+
+
+def test_bold_bank_glyphs_differ_and_are_heavier(renderer):
+    """A bold Hebrew run rasterizes from DejaVuSans-Bold into its own
+    bank cell; its ink coverage exceeds the regular cell's."""
+    bank = renderer.fallback_bank
+    cp = ord("ש")
+    renderer.regular.metric_rows("ש")
+    renderer.bold.metric_rows("ש")
+    k_reg, k_bold = bank.key_for(cp, False), bank.key_for(cp, True)
+    assert k_reg in bank.metrics and k_bold in bank.metrics
+    assert k_reg != k_bold
+
+    def cell_of(key):
+        from whisper_git_tpu.render.atlas import CELL
+
+        slot = bank._cp_slot[key]
+        r, c = divmod(slot, bank.COLS)
+        return bank.texture[r * CELL:(r + 1) * CELL,
+                            c * CELL:(c + 1) * CELL]
+
+    reg, bold = cell_of(k_reg), cell_of(k_bold)
+    assert not np.array_equal(reg, bold)
+    # SDF encoding: >=128 is inside the outline — bold has more ink.
+    assert (bold >= 128).sum() > (reg >= 128).sum() * 1.05
+
+
+def test_synthetic_embolden_when_no_bold_face(renderer, tmp_path,
+                                              monkeypatch):
+    """A chain font with no bold sibling (the synthesized CJK fixture)
+    still renders bold runs heavier via coverage dilation."""
+    pytest.importorskip("fontTools")
+    font_path = str(tmp_path / "cjk-fixture.ttf")
+    _build_cjk_fixture_font(font_path)
+    monkeypatch.setenv("WGIT_FALLBACK_FONTS", font_path)
+    from whisper_git_tpu.render.fallback import FallbackBank
+
+    bank = FallbackBank(capacity=24)
+    bank.set_layout(v_base=renderer.font_tex.shape[0],
+                    primary_ascent=renderer.regular.ascent)
+    cp = 0x4E2D
+    assert bank.ensure([cp])
+    assert bank.ensure([cp], bold=True)
+    from whisper_git_tpu.render.atlas import CELL
+
+    def cell_of(key):
+        slot = bank._cp_slot[key]
+        r, c = divmod(slot, bank.COLS)
+        return bank.texture[r * CELL:(r + 1) * CELL,
+                            c * CELL:(c + 1) * CELL]
+
+    reg = cell_of(bank.key_for(cp, False))
+    bold = cell_of(bank.key_for(cp, True))
+    assert (bold >= 128).sum() > (reg >= 128).sum()

@@ -67,6 +67,7 @@ class FontAtlas:
     descent: float
     font_px: float = float(ATLAS_FONT_PX)
     spread: float = SPREAD
+    is_bold: bool = False  # routes fallback-bank lookups to the bold bank
     # Cells are BASELINE-ALIGNED: every glyph's ink sits at its line-top
     # offset within its cell (shifted down by the spread margin), so all
     # glyphs of a run share one vertical sampling band — the run-batched
@@ -140,16 +141,17 @@ class FontAtlas:
             unknown = (cps >= self.max_cp) | (rows[:, 7] == 0.0)
             if unknown.any():
                 uniq = np.unique(cps[unknown])
-                bank.ensure(uniq)
-                bank.touch(uniq)
+                bank.ensure(uniq, bold=self.is_bold)
+                bank.touch([bank.key_for(cp, self.is_bold)
+                            for cp in uniq])
                 for i in np.nonzero(unknown)[0]:
-                    cp = int(cps[i])
-                    r = bank.metrics.get(cp)
+                    key = bank.key_for(int(cps[i]), self.is_bold)
+                    r = bank.metrics.get(key)
                     if r is not None:
                         rows[i] = r
                         abs_v[i] = True
                         used = True
-                    elif cp not in bank.missing:
+                    elif key not in bank.missing:
                         deferred = True
         return rows, abs_v, cps, used, deferred
 
@@ -319,7 +321,8 @@ def build_atlas(bold: bool = False, use_cache: bool = True) -> FontAtlas:
             z = np.load(cache, allow_pickle=True)
             glyphs = {c: Glyph(*row) for c, row in zip(z["chars"], z["meta"])}
             return FontAtlas(z["texture"], glyphs,
-                             float(z["ascent"]), float(z["descent"]))
+                             float(z["ascent"]), float(z["descent"]),
+                             is_bold=bold)
         except Exception:
             pass
 
@@ -358,7 +361,8 @@ def build_atlas(bold: bool = False, use_cache: bool = True) -> FontAtlas:
                            bearing_y=bearing_y, advance=advance)
     atlas = FontAtlas(texture, glyphs,
                       ascent=ascent_o / OVERSAMPLE,
-                      descent=descent_o / OVERSAMPLE)
+                      descent=descent_o / OVERSAMPLE,
+                      is_bold=bold)
     if use_cache:
         try:
             np.savez_compressed(

@@ -24,11 +24,16 @@ the VMEM-resident working set. Everything else lands here:
   * Codepoints with no coverage anywhere in the chain are remembered as
     missing and render '?' (the resident fallback), never retried.
 
-Honest deltas vs cosmic-text (docs/parity-matrix.md): no bidi
-reordering and no Arabic contextual shaping (naive LTR codepoint
-rendering), and bank glyphs render at regular weight even in bold runs.
+Bidi reordering + Arabic contextual shaping run upstream of the bank
+(render/shaping.py at the atlas.metric_rows choke point), and the bank
+is weight-aware: bold runs rasterize from a real bold chain face when
+one covers the codepoint (e.g. DejaVuSans-Bold), else from the regular
+face with a synthetic embolden (coverage dilation before SDF encode).
 CJK — the load-bearing case (each codepoint is one glyph, no shaping) —
 renders correctly whenever any CJK-capable font exists on the system.
+Remaining honest delta vs cosmic-text (docs/parity-matrix.md): no
+explicit bidi embedding controls (UAX#9 X rules) and no IME preedit
+(the terminal protocol has no preedit events).
 
 Eviction is EPOCH-BASED (see FallbackBank.__init__): slots untouched
 since the last epoch clear are provably unreferenced by any cache and
@@ -89,8 +94,25 @@ def _fontconfig_candidates() -> list[str]:
     return out
 
 
-def discover_chain_paths() -> list[str]:
-    """Ordered candidate font paths for the fallback chain."""
+def _bold_sibling(path: str) -> Optional[str]:
+    """Heuristic bold variant of a font file path, if one exists on
+    disk (DejaVuSans.ttf → DejaVuSans-Bold.ttf, *-Regular.* →
+    *-Bold.*)."""
+    root, ext = os.path.splitext(path)
+    for cand in (root + "-Bold" + ext,
+                 root.replace("-Regular", "-Bold") + ext,
+                 root.replace("Regular", "Bold") + ext):
+        if cand != path and os.path.isfile(cand):
+            return cand
+    return None
+
+
+def discover_chain_paths(bold: bool = False) -> list[str]:
+    """Ordered candidate font paths for the fallback chain. For the bold
+    chain: each candidate's real bold variant (when one exists on disk)
+    ranks ahead of the regular file — a covering regular face is still a
+    valid tail (the bank synthetically emboldens it; see
+    _rasterize_batch)."""
     import glob as _glob
 
     paths: list[str] = []
@@ -102,6 +124,14 @@ def discover_chain_paths() -> list[str]:
     # DejaVu last: not CJK, but covers Hebrew/Arabic/Armenian/Georgian/
     # box-drawing/math — the long non-CJK tail the resident atlas skips.
     paths.append(_font_path(bold=False))
+    if bold:
+        with_bold: list[str] = []
+        for p in paths:
+            sib = _bold_sibling(p)
+            if sib is not None:
+                with_bold.append(sib)
+            with_bold.append(p)
+        paths = with_bold
     seen: set[str] = set()
     out = []
     for p in paths:
@@ -123,6 +153,13 @@ class _ChainFont:
         kwargs = {"fontNumber": 0} if path.endswith((".ttc", ".TTC")) else {}
         tt = TTFont(path, lazy=True, **kwargs)
         self.cmap = set(tt.getBestCmap().keys())
+        try:
+            # OS/2 weight class: ≥600 is a real bold face — the bold
+            # chain uses this to decide whether a covering font still
+            # needs synthetic emboldening.
+            self.weight = int(tt["OS/2"].usWeightClass)
+        except Exception:
+            self.weight = 400
         tt.close()
         self.pil = ImageFont.truetype(path, ATLAS_FONT_PX * OVERSAMPLE)
         self.ascent = self.pil.getmetrics()[0]
@@ -136,6 +173,16 @@ class FallbackBank:
 
     COLS = 12  # same cell grid as the resident atlas → same texture width
 
+    # Bank keys are `cp | BOLD_KEY` for bold-run glyphs (codepoints fit
+    # in 21 bits): the bank is weight-aware — bold runs rasterize from a
+    # real bold face when the chain has one, else from the regular face
+    # with a synthetic embolden (coverage dilation before SDF encode).
+    BOLD_KEY = 1 << 21
+
+    @classmethod
+    def key_for(cls, cp: int, bold: bool) -> int:
+        return (int(cp) | cls.BOLD_KEY) if bold else int(cp)
+
     def __init__(self, capacity: int = 0):
         if capacity <= 0:
             capacity = int(os.environ.get("WGIT_FALLBACK_CAP", "192"))
@@ -143,7 +190,8 @@ class FallbackBank:
         self.capacity = self.rows * self.COLS
         self.texture = np.zeros((self.rows * CELL, self.COLS * CELL),
                                 np.uint8)
-        # cp -> (u, v_ABSOLUTE, w, h, bearing_x, bearing_y, advance, 1.0)
+        # key_for(cp, bold) ->
+        #   (u, v_ABSOLUTE, w, h, bearing_x, bearing_y, advance, 1.0)
         self.metrics: dict[int, np.ndarray] = {}
         self.missing: set[int] = set()
         self.version = 0      # texture content → device re-upload
@@ -173,7 +221,9 @@ class FallbackBank:
         self._next_slot = 0
         self._v_base: Optional[int] = None
         self._primary_ascent: Optional[float] = None  # atlas px (1×)
-        self._chain_paths: Optional[list[str]] = None
+        # Per-weight chains (bold ranks real bold variants first);
+        # loaded fonts are shared by path across both.
+        self._chain_paths: dict = {False: None, True: None}
         self._loaded_fonts: dict = {}  # path -> _ChainFont | None
 
     # -- wiring -----------------------------------------------------------
@@ -187,16 +237,17 @@ class FallbackBank:
         self._v_base = v_base
         self._primary_ascent = primary_ascent
 
-    def _font_for(self, cp: int) -> Optional[_ChainFont]:
+    def _font_for(self, cp: int, bold: bool = False
+                  ) -> Optional[_ChainFont]:
         """First chain font covering `cp`, loading fonts LAZILY in chain
         order: discovery lists paths cheaply, but a _ChainFont load is a
         multi-MB cmap parse — eagerly loading every candidate (dozens of
         Noto weights on a CJK system) would hitch the frame loop for
         hundreds of ms at the first out-of-coverage glyph. Typically only
         the first covering font ever loads."""
-        if self._chain_paths is None:
-            self._chain_paths = discover_chain_paths()
-        for p in self._chain_paths:
+        if self._chain_paths[bold] is None:
+            self._chain_paths[bold] = discover_chain_paths(bold)
+        for p in self._chain_paths[bold]:
             f = self._loaded_fonts.get(p, _UNLOADED)
             if f is _UNLOADED:
                 try:
@@ -235,20 +286,24 @@ class FallbackBank:
 
     # -- the lazy fill ----------------------------------------------------
 
-    def ensure(self, cps) -> bool:
-        """Make every codepoint in `cps` resident, known-missing, or
-        DEFERRED (no recyclable slot this frame — renders '?' now,
-        retried next frame). Returns True when any glyph was added."""
-        todo = [cp for cp in dict.fromkeys(int(c) for c in cps)
-                if cp not in self.metrics and cp not in self.missing]
+    def ensure(self, cps, bold: bool = False) -> bool:
+        """Make every codepoint in `cps` resident (at the requested
+        weight), known-missing, or DEFERRED (no recyclable slot this
+        frame — renders '?' now, retried next frame). Returns True when
+        any glyph was added. Metrics/missing are keyed by
+        `key_for(cp, bold)` — regular callers see plain-cp keys."""
+        todo = [k for k in dict.fromkeys(self.key_for(c, bold)
+                                         for c in cps)
+                if k not in self.metrics and k not in self.missing]
         if not todo:
             return False
         assert self._v_base is not None, "set_layout not called"
-        jobs = []  # (cp, font, slot)
-        for cp in todo:
-            f = self._font_for(cp)
+        jobs = []  # (key, font, slot, synth_bold)
+        for key in todo:
+            cp = key & ~self.BOLD_KEY
+            f = self._font_for(cp, bold)
             if f is None:
-                self.missing.add(cp)
+                self.missing.add(key)
                 continue
             slot = self._take_slot()
             if slot is None:
@@ -258,10 +313,10 @@ class FallbackBank:
             # codepoints than free slots in one ensure(), an unreserved
             # slot would be handed out twice after the scan wraps —
             # permanently drawing the first glyph as the second.
-            self._slot_cp[slot] = cp
-            self._cp_slot[cp] = slot
+            self._slot_cp[slot] = key
+            self._cp_slot[key] = slot
             self._slot_gen[slot] = self.frame_gen
-            jobs.append((cp, f, slot))
+            jobs.append((key, f, slot, bold and f.weight < 600))
         if not jobs:
             return False
         added = False
@@ -274,9 +329,9 @@ class FallbackBank:
                 # dispatch) must not crash the frame loop — and must not
                 # leave slot-reserved-but-metric-less codepoints that
                 # would retry-and-crash every subsequent frame.
-                for cp, _f, slot in batch:
-                    self._release_slot(cp, slot)
-                    self.missing.add(cp)
+                for key, _f, slot, _synth in batch:
+                    self._release_slot(key, slot)
+                    self.missing.add(key)
         if added:
             self.version += 1
             self.used = True
@@ -289,11 +344,30 @@ class FallbackBank:
         self._cp_slot.pop(cp, None)
         self.metrics.pop(cp, None)
 
+    # Synthetic embolden: dilate the oversampled coverage by this many
+    # pixels in x and y before SDF encoding (≈ a 1-atlas-px stroke at
+    # OVERSAMPLE 2) when a bold run's glyph only exists in a regular
+    # face. A real bold face from the chain always wins over this.
+    _EMBOLDEN_OS_PX = max(1, OVERSAMPLE // 2)
+
+    @classmethod
+    def _embolden(cls, cell: np.ndarray) -> np.ndarray:
+        r = cls._EMBOLDEN_OS_PX
+        out = cell
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                if dx == 0 and dy == 0:
+                    continue
+                shifted = np.roll(np.roll(cell, dy, axis=0), dx, axis=1)
+                out = np.maximum(out, shifted)
+        return out
+
     def _rasterize_batch(self, jobs: list) -> None:
         """Rasterize ≤_ENSURE_BATCH glyphs through the SAME pipeline as
         the resident atlas (shared helpers in render/atlas.py: PIL mask
         → one padded batched EDT → u8 cells → one metric encoding).
-        jobs: (cp, chain_font, slot) with slots already taken."""
+        jobs: (key, chain_font, slot, synth_bold) with slots already
+        taken."""
         from .atlas import (
             encode_sdf_cells,
             glyph_cell_metrics,
@@ -311,25 +385,27 @@ class FallbackBank:
 
         coverages = np.zeros((_ENSURE_BATCH, os_cell, os_cell), np.float32)
         recs = []
-        for cp, f, slot in jobs:
+        for key, f, slot, synth in jobs:
             try:
                 cell, mw, mh, bx0, adv = rasterize_glyph_cell(
-                    f.pil, chr(cp),
+                    f.pil, chr(key & ~self.BOLD_KEY),
                     lambda y0, f=f: base_row + (y0 - f.ascent))
             except Exception:
                 # One corrupt glyph outline: release its slot and mark
                 # missing (renders '?'), keep the rest of the batch.
-                self._release_slot(cp, slot)
-                self.missing.add(cp)
+                self._release_slot(key, slot)
+                self.missing.add(key)
                 continue
+            if synth:
+                cell = self._embolden(cell)
             coverages[len(recs)] = cell
-            recs.append((cp, slot, mw, mh, bx0, adv))
+            recs.append((key, slot, mw, mh, bx0, adv))
         if not recs:
             return 0
 
         enc_small = encode_sdf_cells(coverages)
 
-        for bi, (cp, slot, mw, mh, bx0, adv) in enumerate(recs):
+        for bi, (key, slot, mw, mh, bx0, adv) in enumerate(recs):
             r, c = divmod(slot, self.COLS)
             u, v_rel = c * CELL, r * CELL
             self.texture[v_rel:v_rel + CELL, u:u + CELL] = enc_small[bi]
@@ -337,7 +413,7 @@ class FallbackBank:
             # texture bytes and metrics land here.
             w, h, bearing_x, bearing_y, advance = glyph_cell_metrics(
                 mw, mh, bx0, adv)
-            self.metrics[cp] = np.array(
+            self.metrics[key] = np.array(
                 [u, self._v_base + v_rel, w, h, bearing_x, bearing_y,
                  advance, 1.0], np.float32)
         return len(recs)

@@ -316,8 +316,10 @@ def _pin_dejavu_bank(renderer):
     bank.set_layout(v_base=renderer.font_tex.shape[0],
                     primary_ascent=renderer.regular.ascent)
     dejavu = _font_path(bold=False)
-    bank._chain_paths = [dejavu]
-    bank._loaded_fonts = {dejavu: _ChainFont(dejavu)}
+    dejavu_bold = _font_path(bold=True)
+    bank._chain_paths = {False: [dejavu], True: [dejavu_bold, dejavu]}
+    bank._loaded_fonts = {dejavu: _ChainFont(dejavu),
+                          dejavu_bold: _ChainFont(dejavu_bold)}
     renderer.fallback_bank = bank
     renderer.regular.attach_fallback(bank)
     renderer.bold.attach_fallback(bank)
