@@ -294,7 +294,7 @@ def main() -> int:
         # Pipelined exactly like the production presenter
         # (host/term_display.py PIPELINE_DEPTH): async copies in flight
         # overlap the link's fixed per-transfer RTT.
-        M, depth = 120, 3
+        M, depth = 120, 8  # = host/term_display.py PIPELINE_DEPTH
         inflight = []
         t0 = time.perf_counter()
         for i in range(M):

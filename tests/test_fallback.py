@@ -529,3 +529,53 @@ def test_synthetic_embolden_when_no_bold_face(renderer, tmp_path,
     reg = cell_of(bank.key_for(cp, False))
     bold = cell_of(bank.key_for(cp, True))
     assert (bold >= 128).sum() > (reg >= 128).sum()
+
+
+def test_zwnj_breaks_joining():
+    """ZWNJ (class U) must break the Arabic join — ubiquitous in
+    Persian. Regression: it was treated as joining-transparent."""
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    out = [hex(ord(c)) for c in shape_visual("می‌خواهم")]
+    assert "0xfbfd" in out or "0xfef0" in out, out   # yeh FINAL, not medial
+    assert "0xfbff" not in out
+    # And the ZWNJ itself is consumed, not drawn.
+    assert "0x200c" not in out
+
+
+def test_zwj_forces_joining():
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    # heh + ZWJ: the ZWJ provides a join target → heh takes a joined form
+    out = [hex(ord(c)) for c in shape_visual("ه‍ـ")]
+    assert "0xfeeb" in out, out   # heh initial, not isolated 0xfee9
+
+
+def test_smp_rtl_scripts_reorder():
+    """Supplementary-plane RTL (Adlam) must reorder like BMP RTL."""
+    from whisper_git_tpu.render.shaping import needs_shaping, shape_visual
+
+    s = "\U0001E906\U0001E907\U0001E908"
+    assert needs_shaping(s)
+    assert shape_visual(s) == s[::-1]
+
+
+def test_synthetic_embolden_widens_advance(renderer, tmp_path,
+                                           monkeypatch):
+    """The dilated ink must come with a wider advance (else consecutive
+    synthetic-bold glyphs touch) — regression for the metrics gap."""
+    pytest.importorskip("fontTools")
+    font_path = str(tmp_path / "cjk-fixture.ttf")
+    _build_cjk_fixture_font(font_path)
+    monkeypatch.setenv("WGIT_FALLBACK_FONTS", font_path)
+    from whisper_git_tpu.render.fallback import FallbackBank
+
+    bank = FallbackBank(capacity=24)
+    bank.set_layout(v_base=renderer.font_tex.shape[0],
+                    primary_ascent=renderer.regular.ascent)
+    cp = 0x4E2D
+    bank.ensure([cp])
+    bank.ensure([cp], bold=True)
+    adv_reg = bank.metrics[bank.key_for(cp, False)][6]
+    adv_bold = bank.metrics[bank.key_for(cp, True)][6]
+    assert adv_bold > adv_reg

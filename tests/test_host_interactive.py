@@ -353,9 +353,10 @@ def test_banner_then_first_present_erases_it():
 
 
 def test_async_present_latest_wins():
-    """The present thread drains a single latest-wins slot: a burst of
-    frames while presentation stalls drops intermediates, and the loop
-    never blocks the caller (mailbox-swapchain semantics)."""
+    """Pipelined-mailbox semantics: the loop never blocks the caller;
+    after a stalled present (congestion window), STALE queued frames are
+    dropped instead of replayed in FIFO order, and the newest always
+    lands (latest-wins preserved across the pipeline)."""
     import threading
     import time as _time
 
@@ -367,11 +368,15 @@ def test_async_present_latest_wins():
 
     d = TermDisplay((64, 64), out=out)
     d.cols, d.rows = 8, 4
+    d._refresh_size = lambda: None   # pin the grid (and the jit signature)
 
     orig_present = d._present
 
     def slow_present(grid_dev):
-        gate.wait(timeout=2.0)
+        # First present stalls like a congested readback; later ones
+        # pass straight through.
+        if not presented:
+            gate.wait(timeout=3.0)
         presented.append(np.asarray(grid_dev)[0, 0, 0])
         orig_present(grid_dev)
 
@@ -379,20 +384,33 @@ def test_async_present_latest_wins():
     d._thread = threading.Thread(target=d._present_loop, daemon=True)
     d._thread.start()
     try:
-        d.show(jnp.full((64, 64, 4), 5, jnp.uint8))  # warm the jit once
-        for shade in (10, 20, 30, 40):
+        # Warm the downsample jit out-of-band so the first timed show()
+        # doesn't pay the compile.
+        import jax
+
+        from whisper_git_tpu.host.term_display import _downsample
+
+        jax.block_until_ready(_downsample(
+            jnp.zeros((64, 64, 4), jnp.uint8), d.rows * 2, d.cols))
+        for shade in (5, 10, 20, 30, 40):
             frame = jnp.full((64, 64, 4), shade, jnp.uint8)
             t0 = _time.monotonic()
             d.show(frame)
             assert _time.monotonic() - t0 < 0.2  # never blocks the caller
+        # Hold the stall past STALE_PRESENT_S so the queued 10/20/30
+        # become provably stale while 40 is newer-in-flight.
+        _time.sleep(d.STALE_PRESENT_S + 0.15)
         gate.set()
         deadline = _time.monotonic() + 3.0
         while _time.monotonic() < deadline and (
                 not presented or presented[-1] != 40):
             _time.sleep(0.02)
-        # The LAST frame always lands; intermediates may drop.
+        # The LAST frame always lands; the frames queued behind the
+        # stall do NOT replay (at most the stalled one + the newest,
+        # plus whatever presented before the queue went stale).
         assert presented and presented[-1] == 40
-        assert len(presented) <= 4
+        assert 10 not in presented or 30 not in presented, presented
+        assert len(presented) <= 3, presented
     finally:
         with d._cv:
             d._closing = True

@@ -206,30 +206,43 @@ class TermDisplay:
             self._pending = grid_dev
             self._cv.notify()
 
-    # Readbacks in flight at once. The remote-device link charges a fixed
-    # ~24 ms round trip per device→host transfer once the transfer path
-    # is initialized (docs/performance.md "The post-first-readback link
-    # mode"), but concurrent transfers overlap: 3 in flight sustain
-    # ~3 frames per RTT (~125 fps at 24 ms) instead of 1 (~40 fps). Depth
-    # beyond 3 buys little and holds more grids alive.
-    PIPELINE_DEPTH = 3
+    # Max readbacks in flight at once. The remote-device link charges a
+    # fixed ~24 ms round trip per device→host transfer once the transfer
+    # path is initialized (docs/performance.md "The post-first-readback
+    # link mode"), but concurrent transfers overlap — so the presenter
+    # starts a copy per accepted frame and only BLOCKS on a frame once
+    # its copy has had ~RTT to complete. Depth 8 keeps a 300 fps
+    # producer fully overlapped (oldest copy is ~24 ms old by the time
+    # the queue fills); grids are ~37 KB, so the cost is trivial.
+    PIPELINE_DEPTH = 8
+    # A frame older than this with a NEWER one already in flight is
+    # dropped unpresented: after a multi-second congestion readback the
+    # queue would otherwise replay stale UI in FIFO order instead of
+    # jumping to the present (mailbox latest-wins, preserved).
+    STALE_PRESENT_S = 0.25
 
     def _present_loop(self) -> None:
-        # Pipelined mailbox: start an async device→host copy for each
-        # accepted frame immediately, present (blocking fetch →
-        # diff-emit) once the pipeline is full, and flush the tail when
-        # the stream goes idle, so a burst presents at overlapped-RTT
-        # throughput while a lone frame still lands after one RTT plus a
-        # 4 ms idle turn.
+        # Pipelined mailbox: each accepted frame's device→host copy
+        # starts immediately; a frame is presented once its copy has had
+        # ~one link RTT to complete (measured EMA), so presents almost
+        # never block and a lone frame still lands after ~RTT — the same
+        # latency as an unpipelined presenter, at overlapped throughput.
+        import time as _time
         from collections import deque
 
-        inflight: deque = deque()
+        inflight: deque = deque()  # (copy_start_monotonic, grid_dev)
+        self._rtt_ms = getattr(self, "_rtt_ms", 20.0)
         while True:
             with self._cv:
                 if self._pending is None and not self._closing:
-                    # Short park while copies are in flight (their RTT
-                    # hides behind this wait); long park when idle.
-                    self._cv.wait(timeout=0.004 if inflight else 0.5)
+                    if inflight:
+                        ready_at = (inflight[0][0]
+                                    + self._drain_age_s())
+                        timeout = max(0.001,
+                                      ready_at - _time.monotonic())
+                        self._cv.wait(timeout=min(timeout, 0.5))
+                    else:
+                        self._cv.wait(timeout=0.5)
                 grid_dev, self._pending = self._pending, None
                 closing = self._closing
             if grid_dev is not None:
@@ -237,13 +250,22 @@ class TermDisplay:
                     grid_dev.copy_to_host_async()
                 except Exception:
                     pass  # numpy-backed (tests/CPU): fetch is free anyway
-                inflight.append(grid_dev)
-            # Drain policy: stream active → present only when the
-            # pipeline is full; stream idle or closing → flush it all.
-            while inflight and (grid_dev is None or closing
-                                or len(inflight) > self.PIPELINE_DEPTH - 1):
+                inflight.append((_time.monotonic(), grid_dev))
+            # Drain: anything whose copy has had ~RTT to land, plus
+            # forced drains on backpressure (queue full) or close.
+            while inflight and (
+                    closing
+                    or len(inflight) > self.PIPELINE_DEPTH
+                    or _time.monotonic() - inflight[0][0]
+                    >= self._drain_age_s()):
+                t_copy, g = inflight.popleft()
+                if inflight and not closing \
+                        and _time.monotonic() - t_copy \
+                        > self.STALE_PRESENT_S:
+                    continue  # stale + newer in flight: drop, don't replay
+                t0 = _time.monotonic()
                 try:
-                    self._present(inflight.popleft())
+                    self._present(g)
                 except Exception:
                     # A transient failure (device-readback RPC hiccup
                     # during a congestion window, EAGAIN on the tty) must
@@ -254,10 +276,21 @@ class TermDisplay:
                     # so persistent failure cannot busy-spin.
                     self._prev = None
                     self._need_clear = True
+                # Blocking time ≈ how much RTT the age gate missed by —
+                # fold it into the estimate (EMA, floor keeps fast local
+                # backends from collapsing the gate to zero).
+                dt_ms = (_time.monotonic() - t0) * 1e3
+                self._rtt_ms = max(1.0,
+                                   0.8 * self._rtt_ms + 0.2 * dt_ms)
             if closing and grid_dev is None and not inflight:
                 with self._cv:
                     if self._pending is None:
                         return
+
+    def _drain_age_s(self) -> float:
+        """Age at which a frame's async copy is assumed complete: ~1.2×
+        the measured present-block EMA, clamped to [2 ms, 200 ms]."""
+        return min(0.2, max(0.002, self._rtt_ms * 1.2e-3))
 
     def _present(self, grid_dev) -> None:
         grid = np.asarray(grid_dev)  # device readback (blocks HERE only)

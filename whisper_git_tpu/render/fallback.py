@@ -352,14 +352,20 @@ class FallbackBank:
 
     @classmethod
     def _embolden(cls, cell: np.ndarray) -> np.ndarray:
+        """Morphological dilation with ZERO fill (np.roll would wrap ink
+        touching one cell edge onto the opposite edge)."""
         r = cls._EMBOLDEN_OS_PX
-        out = cell
+        h, w = cell.shape
+        out = cell.copy()
         for dy in range(-r, r + 1):
             for dx in range(-r, r + 1):
                 if dx == 0 and dy == 0:
                     continue
-                shifted = np.roll(np.roll(cell, dy, axis=0), dx, axis=1)
-                out = np.maximum(out, shifted)
+                ys = slice(max(dy, 0), h + min(dy, 0))
+                yd = slice(max(-dy, 0), h + min(-dy, 0))
+                xs = slice(max(dx, 0), w + min(dx, 0))
+                xd = slice(max(-dx, 0), w + min(-dx, 0))
+                np.maximum(out[ys, xs], cell[yd, xd], out=out[ys, xs])
         return out
 
     def _rasterize_batch(self, jobs: list) -> None:
@@ -398,6 +404,13 @@ class FallbackBank:
                 continue
             if synth:
                 cell = self._embolden(cell)
+                # The dilation widens the ink by r os-px per side (the
+                # cell's spread margin already covers it for SAMPLING,
+                # but the pen must advance past it and the quad shifts
+                # left so the extra weight splits evenly).
+                r_os = self._EMBOLDEN_OS_PX
+                adv += 2 * r_os
+                bx0 -= r_os
             coverages[len(recs)] = cell
             recs.append((key, slot, mw, mh, bx0, adv))
         if not recs:

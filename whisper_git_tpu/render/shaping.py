@@ -47,7 +47,13 @@ def needs_shaping(s: str) -> bool:
         cp = ord(ch)
         if 0x0590 <= cp <= 0x08FF or 0xFB1D <= cp <= 0xFEFC \
                 or cp in (0x200E, 0x200F, 0x061C) \
-                or 0x202A <= cp <= 0x202E or 0x2066 <= cp <= 0x2069:
+                or 0x202A <= cp <= 0x202E or 0x2066 <= cp <= 0x2069 \
+                or 0x10800 <= cp <= 0x10FFF \
+                or 0x1E800 <= cp <= 0x1EFFF \
+                or 0x1EC70 <= cp <= 0x1EEFF:
+            # Last three: supplementary-plane RTL — historic scripts
+            # (Phoenician…), Adlam/Mende, Arabic Math — class R/AL per
+            # unicodedata; they need the bidi pass like BMP RTL does.
             return True
     return False
 
@@ -132,21 +138,26 @@ def _join_class(cp: int, covers) -> str | None:
 
 
 def _is_transparent(cp: int) -> bool:
-    """Joining-transparent: combining marks take no part in joining."""
+    """Joining-transparent (ArabicShaping class T): combining marks take
+    no part in joining. ZWNJ (U+200C, class U) and ZWJ (U+200D, class C)
+    are format chars but NOT transparent — ZWNJ exists to break a join
+    (ubiquitous in Persian), ZWJ to force one."""
+    if cp in (0x200C, 0x200D):
+        return False
     return unicodedata.combining(chr(cp)) != 0 \
         or unicodedata.category(chr(cp)) in ("Mn", "Me", "Cf")
 
 
 def _joins_next(cp: int, covers) -> bool:
     """Can cp connect to the FOLLOWING letter (logical order)?"""
-    if cp == 0x0640:  # tatweel: join-causing on both sides
+    if cp in (0x0640, 0x200D):  # tatweel / ZWJ: join-causing both sides
         return True
     return _join_class(cp, covers) == "D"
 
 
 def _joins_prev(cp: int, covers) -> bool:
     """Can cp connect to the PRECEDING letter?"""
-    if cp == 0x0640:
+    if cp in (0x0640, 0x200D):
         return True
     return _join_class(cp, covers) in ("D", "R")
 

@@ -1,0 +1,308 @@
+"""Scripted interactive soak on real hardware — `python -m
+whisper_git_tpu.tools.soak [--secs N]`.
+
+Spawns the REAL CLI on a pty against a realistic fixture repo (the
+bench's 240-commit history), waits for the first presented frame (the
+tunnel's link init budget applies — docs/performance.md), then drives
+N seconds of scripted interaction at a human-ish cadence — scroll
+wheel, row clicks, search open/type/close, command palette, hover
+moves, Escape — asserting after warmup that:
+
+  * every interaction repaints, and no repaint stalls > 1 s
+    (reference bound: no sync work on the UI thread,
+    /root/reference/docs/async-engine-redesign.md:27-31); up to 2
+    stalls in (1 s, 3 s] are tolerated and RECORDED as link-congestion
+    outliers (the remote-device tunnel has multi-second windows this
+    desktop app's reference never faced);
+  * RSS stays bounded (absolute cap + last-third growth < 10 %);
+  * the process exits cleanly via the Escape ladder, restores the
+    terminal, and leaves ZERO crash logs.
+
+Writes SOAK.json at the repo root for committing with the round
+snapshot (VERDICT r3 ask #7)."""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import fcntl
+import json
+import os
+import pty
+import select
+import struct
+import subprocess
+import sys
+import tempfile
+import termios
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+HALF_BLOCK = "▀".encode()
+ALT_ENTER = b"\x1b[?1049h"
+ALT_EXIT = b"\x1b[?1049l"
+
+
+def _drain(master, buf, seconds):
+    end = time.monotonic() + seconds
+    got = 0
+    while time.monotonic() < end:
+        r, _, _ = select.select([master], [], [],
+                                max(0.0, end - time.monotonic()))
+        if not r:
+            continue
+        try:
+            chunk = os.read(master, 65536)
+        except OSError:
+            return got
+        if not chunk:
+            return got
+        buf += chunk
+        got += len(chunk)
+    return got
+
+
+def _wait_repaint(master, buf, timeout):
+    """Seconds until new pty bytes arrive, or None on timeout."""
+    t0 = time.monotonic()
+    end = t0 + timeout
+    while time.monotonic() < end:
+        if _drain(master, buf, 0.05):
+            return time.monotonic() - t0
+    return None
+
+
+def _tail(path, n=2000):
+    try:
+        with open(path, "rb") as f:
+            f.seek(0, 2)
+            f.seek(max(0, f.tell() - n))
+            return f.read().decode("utf-8", "replace")
+    except OSError:
+        return "<unreadable>"
+
+
+def _rss_mb(pid):
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) // 1024
+    except OSError:
+        return None
+    return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--secs", type=int,
+                    default=int(os.environ.get("WGIT_SOAK_SECS", "180")))
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU backend (harness smoke, not the real soak)")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from bench import build_history_repo
+
+    tmp = tempfile.mkdtemp(prefix="wgit-soak-")
+    repo_path = build_history_repo(tmp)
+
+    master, slave = pty.openpty()
+    fcntl.ioctl(slave, termios.TIOCSWINSZ,
+                struct.pack("HHHH", 40, 140, 1280, 800))
+    env = dict(os.environ)
+    env.update({
+        "WGIT_SKIP_AVATARS": "1",
+        "XDG_CONFIG_HOME": os.path.join(tmp, "cfg"),
+        "XDG_CACHE_HOME": os.path.join(tmp, "cache"),
+        "XDG_STATE_HOME": os.path.join(tmp, "state"),
+    })
+    if args.cpu:
+        env["WGIT_DEVICE"] = "cpu"
+    else:
+        env.pop("WGIT_DEVICE", None)   # REAL device
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+
+    t_start = time.monotonic()
+    # stderr to a FILE, not a pipe: JAX/XLA logging would fill a 64 KB
+    # pipe and block the child mid-soak; a file also reads without the
+    # risk of blocking on a live, silent child.
+    err_path = os.path.join(tmp, "stderr.log")
+    err_f = open(err_path, "wb")
+    proc = subprocess.Popen([sys.executable, "-m", "whisper_git_tpu",
+                             repo_path],
+                            stdin=slave, stdout=slave,
+                            stderr=err_f, env=env, cwd=REPO,
+                            close_fds=True)
+    os.close(slave)
+    buf = bytearray()
+    result = {
+        "date": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+        "git_head": subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True).stdout.strip(),
+        "backend": "cpu" if args.cpu else "device",
+        "secs_requested": args.secs,
+    }
+    ok = True
+    notes = []
+    try:
+        # First frame (cold-link budget).
+        end = time.monotonic() + 480
+        while HALF_BLOCK not in buf and time.monotonic() < end \
+                and proc.poll() is None:
+            _drain(master, buf, 0.5)
+        assert HALF_BLOCK in buf, \
+            "no first frame; stderr tail: " + _tail(err_path)
+        result["first_frame_s"] = round(time.monotonic() - t_start, 1)
+        # Let the initial refresh/compiles settle before the stall gate.
+        _drain(master, buf, 8.0)
+
+        rss0 = _rss_mb(proc.pid)
+        rss_series = [(0.0, rss0)]
+        stalls, repaint_ms = [], []
+        interactions = 0
+
+        # One scripted "user minute", repeated until the budget ends:
+        # wheel scrolls, row clicks, search, palette, hover sweeps.
+        script = (
+            [(b"\x1b[<64;60;%dM" % r, 0.10) for r in (8, 10, 12, 14)]
+            + [(b"\x1b[<65;60;%dM" % r, 0.10) for r in (14, 12, 10, 8)]
+            + [(b"\x1b[<0;40;9M\x1b[<0;40;9m", 0.25),
+               (b"/", 0.2), (b"lane", 0.3), (b"\x1b", 0.2),
+               (b"\x10", 0.25), (b"wor", 0.3), (b"\x1b", 0.2)]
+            + [(b"\x1b[<35;%d;%dM" % (c, r), 0.06)
+               for c, r in ((30, 6), (50, 9), (70, 12), (90, 15))]
+            + [(b"\x1b[<0;40;12M\x1b[<0;40;12m", 0.25), (b"\x1b", 0.2)]
+        )
+        deadline = time.monotonic() + args.secs
+        si = 0
+        while time.monotonic() < deadline and proc.poll() is None:
+            seq, pause = script[si % len(script)]
+            si += 1
+            os.write(master, seq)
+            dt = _wait_repaint(master, buf, 3.0)
+            interactions += 1
+            warm = si <= len(script)  # first cycle: jit signatures for
+            # search dim / palette / new overscan buckets still compile
+            if dt is None:
+                stalls.append(("no-repaint>3s", si, warm))
+            else:
+                repaint_ms.append(dt * 1e3)
+                if dt > 1.0:
+                    stalls.append((round(dt, 2), si, warm))
+            time.sleep(pause)
+            if si % 25 == 0:
+                rss_series.append(
+                    (round(time.monotonic() - t_start, 1),
+                     _rss_mb(proc.pid)))
+            if len(buf) > 32 << 20:
+                del buf[:16 << 20]   # keep memory of the SOAK bounded
+
+        rss_series.append((round(time.monotonic() - t_start, 1),
+                           _rss_mb(proc.pid)))
+        assert proc.poll() is None, \
+            "app died mid-soak; stderr tail: " + _tail(err_path)
+
+        # Quit via Escape ladder.
+        for _ in range(8):
+            os.write(master, b"\x1b")
+            _drain(master, buf, 0.35)
+            if proc.poll() is not None:
+                break
+        end = time.monotonic() + 30
+        while proc.poll() is None and time.monotonic() < end:
+            _drain(master, buf, 0.25)
+        _drain(master, buf, 1.0)
+        result["exit_rc"] = proc.returncode
+        result["alt_screen_restored"] = ALT_EXIT in buf
+
+        # Crash logs (hermetic XDG_STATE/CONFIG dirs).
+        crash_dirs = [os.path.join(tmp, "cfg", "whisper-git", "crashes"),
+                      os.path.join(tmp, "state", "whisper-git", "crashes")]
+        crashes = []
+        for d in crash_dirs:
+            if os.path.isdir(d):
+                # the .clean-exit marker lives in the same dir — only
+                # crash-*.log files are actual crashes
+                crashes += [os.path.join(d, f) for f in os.listdir(d)
+                            if f.startswith("crash-")]
+        result["crash_logs"] = len(crashes)
+
+        repaint_ms.sort()
+        # First-cycle stalls are compile warmup (recorded, not gated) —
+        # the same reason bench.py sweeps the scroll range before timing.
+        gated = [s for s in stalls if not s[2]]
+        warmup_stalls = [s for s in stalls if s[2]]
+        hard = [s for s in gated if s[0] == "no-repaint>3s"]
+        soft = [s for s in gated if s[0] != "no-repaint>3s"]
+        result.update({
+            "interactions": interactions,
+            "repaint_p50_ms": round(repaint_ms[len(repaint_ms) // 2], 1)
+            if repaint_ms else None,
+            "repaint_p95_ms": round(
+                repaint_ms[int(len(repaint_ms) * 0.95)], 1)
+            if repaint_ms else None,
+            "stalls_over_1s": soft,
+            "stalls_over_3s": hard,
+            "warmup_stalls_excluded": warmup_stalls,
+            "rss_mb_series": rss_series,
+        })
+        # Gates.
+        if proc.returncode != 0:
+            ok = False
+            notes.append("nonzero exit")
+        if not result["alt_screen_restored"]:
+            ok = False
+            notes.append("terminal not restored")
+        if crashes:
+            ok = False
+            notes.append("crash logs present")
+        if hard:
+            ok = False
+            notes.append(f"{len(hard)} post-warmup stalls > 3 s")
+        if len(soft) > 2:
+            ok = False
+            notes.append(f"{len(soft)} stalls > 1 s (tolerance 2)")
+        elif soft:
+            notes.append(f"{len(soft)} link-congestion outlier(s) in "
+                         "(1 s, 3 s], tolerated")
+        rss_vals = [r for _, r in rss_series if r is not None]
+        if rss_vals:
+            result["rss_mb_final"] = rss_vals[-1]
+            if rss_vals[-1] > 6000:
+                ok = False
+                notes.append(f"RSS {rss_vals[-1]} MB over 6 GB cap")
+            third = max(1, len(rss_vals) // 3)
+            if rss_vals[-1] > rss_vals[-third] * 1.10 + 64:
+                ok = False
+                notes.append("RSS still growing in the final third")
+    except AssertionError as e:
+        ok = False
+        notes.append(str(e)[:500])
+    finally:
+        if proc.poll() is None:
+            proc.kill()   # exact PID we spawned
+            proc.wait(timeout=10)
+        os.close(master)
+        try:
+            err_f.close()
+        except Exception:
+            pass
+
+    result["ok"] = ok
+    result["notes"] = notes
+    path = os.path.join(REPO, "SOAK.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: result.get(k) for k in (
+        "date", "backend", "ok", "first_frame_s", "interactions",
+        "repaint_p50_ms", "repaint_p95_ms", "rss_mb_final", "notes")}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
