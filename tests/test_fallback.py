@@ -579,3 +579,18 @@ def test_synthetic_embolden_widens_advance(renderer, tmp_path,
     adv_reg = bank.metrics[bank.key_for(cp, False)][6]
     adv_bold = bank.metrics[bank.key_for(cp, True)][6]
     assert adv_bold > adv_reg
+
+
+def test_explicit_directional_controls():
+    """UAX#9 X rules: overrides, isolates, and FSI are honored (and the
+    control characters themselves are never drawn)."""
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    # RLO forces LTR text to lay out right-to-left.
+    assert shape_visual("‮abc‬") == "cba"
+    # RLI isolates RTL content without disturbing the LTR context.
+    assert shape_visual("x ⁧אב⁩ y") == "x בא y"
+    # FSI auto-detects the isolate's direction from its first strong.
+    assert shape_visual("⁨אב⁩ z") == "בא z"
+    # Unterminated/stray PDF/PDI are harmless no-ops.
+    assert shape_visual("ab‬cd⁩א") == "abcdא"

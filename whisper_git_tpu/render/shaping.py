@@ -251,159 +251,285 @@ for _iso, _fin in _LAM_ALEF.values():
 # Bidi (UAX #9 implicit rules).
 # ---------------------------------------------------------------------------
 
-_REMOVED = {"LRE", "RLE", "LRO", "RLO", "PDF", "LRI", "RLI", "FSI", "PDI"}
+_EXPLICIT = {"LRE", "RLE", "LRO", "RLO", "PDF", "LRI", "RLI", "FSI",
+             "PDI"}
+_MAX_DEPTH = 125  # UAX#9 max_depth
 
 # L4 mirror pairs (chars with Bidi_Mirrored=Y that matter in UI text).
 _MIRROR = {}
-for a, b in ("()", "[]", "{}", "<>", "«»", "‹›", "≤≥"):
+for a, b in ("()", "[]", "{}", "<>", "\u00ab\u00bb", "\u2039\u203a",
+             "\u2264\u2265"):
     _MIRROR[ord(a)] = ord(b)
     _MIRROR[ord(b)] = ord(a)
 
 
-def _bidi_types(cps: list) -> list:
-    types = []
+def _raw_types(cps: list) -> list:
+    out = []
     for cp in cps:
         t = unicodedata.bidirectional(chr(cp))
-        if not t or t in _REMOVED:
-            t = "ON"
-        types.append(t)
-    return types
+        out.append(t if t else "ON")
+    return out
 
 
-def bidi_visual_order(cps: list) -> tuple:
-    """→ (order, levels): `order` is the visual sequence of logical
-    indices; `levels` the resolved embedding level per logical index."""
-    n = len(cps)
-    types = _bidi_types(cps)
+def _first_strong(types: list, start: int, end: int):
+    """P2 scan (skipping isolate content) -> 'L' | 'R' | None."""
+    depth = 0
+    for i in range(start, end):
+        t = types[i]
+        if t in ("LRI", "RLI", "FSI"):
+            depth += 1
+        elif t == "PDI":
+            if depth:
+                depth -= 1
+        elif depth == 0:
+            if t == "L":
+                return "L"
+            if t in ("R", "AL"):
+                return "R"
+    return None
 
-    # P2/P3: paragraph level from the first strong character.
-    para = 0
-    for t in types:
-        if t == "L":
-            break
-        if t in ("R", "AL"):
-            para = 1
-            break
 
-    sos = "R" if para else "L"
-    t = list(types)
+def _dir_of(x: str):
+    if x == "L":
+        return "L"
+    if x in ("R", "EN", "AN"):
+        return "R"
+    return None
+
+
+def _resolve_run(t: list, ids: list, sos: str, eos: str,
+                 level: int) -> None:
+    """W1-W7 + N1-N2 over one level run (indices `ids` into `t`),
+    in place. sos/eos per UAX#9 (direction of the higher adjacent
+    level)."""
+    m = len(ids)
     # W1: NSM takes the type of the previous character.
     prev = sos
-    for i in range(n):
+    for k in range(m):
+        i = ids[k]
         if t[i] == "NSM":
             t[i] = prev
         prev = t[i]
-    # W2: EN → AN when the last strong type was AL.
+    # W2: EN -> AN when the last strong type was AL.
     strong = sos
-    for i in range(n):
+    for k in range(m):
+        i = ids[k]
         if t[i] in ("L", "R", "AL"):
             strong = t[i]
         elif t[i] == "EN" and strong == "AL":
             t[i] = "AN"
-    # W3: AL → R.
-    t = ["R" if x == "AL" else x for x in t]
-    # W4: single ES between EN→EN becomes EN; CS between same-type
+    # W3: AL -> R.
+    for i in ids:
+        if t[i] == "AL":
+            t[i] = "R"
+    # W4: single ES between EN-EN becomes EN; CS between same-type
     # numbers becomes that type.
-    for i in range(1, n - 1):
-        if t[i] == "ES" and t[i - 1] == "EN" and t[i + 1] == "EN":
+    for k in range(1, m - 1):
+        i, p, nx = ids[k], ids[k - 1], ids[k + 1]
+        if t[i] == "ES" and t[p] == "EN" and t[nx] == "EN":
             t[i] = "EN"
-        elif t[i] == "CS" and t[i - 1] == t[i + 1] \
-                and t[i - 1] in ("EN", "AN"):
-            t[i] = t[i - 1]
+        elif t[i] == "CS" and t[p] == t[nx] and t[p] in ("EN", "AN"):
+            t[i] = t[p]
     # W5: ET sequences adjacent to EN become EN.
-    i = 0
-    while i < n:
-        if t[i] == "ET":
-            j = i
-            while j < n and t[j] == "ET":
+    k = 0
+    while k < m:
+        if t[ids[k]] == "ET":
+            j = k
+            while j < m and t[ids[j]] == "ET":
                 j += 1
-            before = t[i - 1] if i > 0 else sos
-            after = t[j] if j < n else sos
+            before = t[ids[k - 1]] if k > 0 else sos
+            after = t[ids[j]] if j < m else eos
             if before == "EN" or after == "EN":
-                for k in range(i, j):
-                    t[k] = "EN"
-            i = j
+                for x in range(k, j):
+                    t[ids[x]] = "EN"
+            k = j
         else:
-            i += 1
-    # W6: stray separators/terminators → ON.
-    t = ["ON" if x in ("ES", "ET", "CS") else x for x in t]
-    # W7: EN → L when the last strong type was L.
+            k += 1
+    # W6: stray separators/terminators -> ON.
+    for i in ids:
+        if t[i] in ("ES", "ET", "CS"):
+            t[i] = "ON"
+    # W7: EN -> L when the last strong type was L.
     strong = sos
-    for i in range(n):
+    for k in range(m):
+        i = ids[k]
         if t[i] in ("L", "R"):
             strong = t[i]
         elif t[i] == "EN" and strong == "L":
             t[i] = "L"
-
-    # N1/N2: neutrals take the surrounding direction, else the embedding
-    # direction. EN/AN count as R for this purpose.
-    def _dir_of(x: str) -> str | None:
-        if x == "L":
-            return "L"
-        if x in ("R", "EN", "AN"):
-            return "R"
-        return None
-
-    e_dir = "R" if para else "L"
-    i = 0
-    while i < n:
-        if t[i] in ("B", "S", "WS", "ON", "BN"):
-            j = i
-            while j < n and t[j] in ("B", "S", "WS", "ON", "BN"):
+    # N1/N2: neutrals take the surrounding direction, else the
+    # embedding direction. EN/AN count as R for this purpose.
+    e_dir = "R" if level % 2 else "L"
+    k = 0
+    while k < m:
+        if t[ids[k]] in ("B", "S", "WS", "ON", "BN"):
+            j = k
+            while j < m and t[ids[j]] in ("B", "S", "WS", "ON", "BN"):
                 j += 1
-            before = _dir_of(t[i - 1]) if i > 0 else ("R" if para else "L")
-            after = _dir_of(t[j]) if j < n else ("R" if para else "L")
+            before = _dir_of(t[ids[k - 1]]) if k > 0 else sos
+            after = _dir_of(t[ids[j]]) if j < m else eos
             fill = before if (before == after and before is not None) \
                 else e_dir
-            for k in range(i, j):
-                t[k] = fill
-            i = j
+            for x in range(k, j):
+                t[ids[x]] = fill
+            k = j
         else:
-            i += 1
+            k += 1
 
-    # I1/I2: resolved levels.
-    levels = []
-    for x in t:
-        if para % 2 == 0:
-            lv = 0 if x == "L" else (2 if x in ("AN", "EN") else 1)
+
+def bidi_visual_order(cps: list) -> tuple:
+    """-> (order, levels): `order` is the visual sequence of logical
+    indices (explicit embedding controls excluded per X9); `levels` the
+    resolved embedding level per logical index.
+
+    Implements P2/P3, the explicit rules X1-X8 (embeddings LRE/RLE,
+    overrides LRO/RLO, isolates LRI/RLI/FSI/PDI, PDF, overflow
+    handling), W1-W7 + N1-N2 per level run with proper sos/eos, I1-I2,
+    L1, cluster-safe L2, and L4 mirroring at the caller. Honest
+    approximation: level runs are contiguous same-level stretches, not
+    full BD13 isolating run sequences — isolate halves split by a
+    differently-leveled interior resolve their weak types with run-edge
+    sos/eos instead of chaining across the isolate."""
+    n = len(cps)
+    raw = _raw_types(cps)
+    para = 1 if _first_strong(raw, 0, n) == "R" else 0
+
+    # --- X1-X8: explicit levels -------------------------------------
+    levels = [para] * n
+    types = list(raw)
+    removed = [False] * n    # X9: embedding/override controls vanish
+    stack = [(para, None, False)]   # (level, override, is_isolate)
+    overflow_iso = overflow_emb = valid_iso = 0
+    for i in range(n):
+        t = raw[i]
+        cur, override, _iso = stack[-1]
+        if t in ("LRE", "RLE", "LRO", "RLO"):
+            removed[i] = True
+            levels[i] = cur
+            new = (cur + 1) | 1 if t[0] == "R" else (cur + 2) & ~1
+            if new <= _MAX_DEPTH and not overflow_iso \
+                    and not overflow_emb:
+                stack.append(
+                    (new, t[0] if t.endswith("O") else None, False))
+            elif not overflow_iso:
+                overflow_emb += 1
+        elif t in ("LRI", "RLI", "FSI"):
+            if t == "FSI":   # X5c: first strong inside decides
+                depth = 0
+                fs = None
+                for j in range(i + 1, n):
+                    tj = raw[j]
+                    if tj in ("LRI", "RLI", "FSI"):
+                        depth += 1
+                    elif tj == "PDI":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0:
+                        if tj == "L":
+                            fs = "L"
+                            break
+                        if tj in ("R", "AL"):
+                            fs = "R"
+                            break
+                t = "RLI" if fs == "R" else "LRI"
+            levels[i] = cur
+            types[i] = override if override else "ON"  # initiators are NI
+            new = (cur + 1) | 1 if t == "RLI" else (cur + 2) & ~1
+            if new <= _MAX_DEPTH and not overflow_iso \
+                    and not overflow_emb:
+                valid_iso += 1
+                stack.append((new, None, True))
+            else:
+                overflow_iso += 1
+        elif t == "PDI":
+            if overflow_iso:
+                overflow_iso -= 1
+            elif valid_iso:
+                overflow_emb = 0
+                while not stack[-1][2]:
+                    stack.pop()
+                stack.pop()
+                valid_iso -= 1
+            cur, override, _iso = stack[-1]
+            levels[i] = cur
+            types[i] = override if override else "ON"
+        elif t == "PDF":
+            removed[i] = True
+            if not overflow_iso:
+                if overflow_emb:
+                    overflow_emb -= 1
+                elif not stack[-1][2] and len(stack) > 1:
+                    stack.pop()
+            levels[i] = stack[-1][0]
+        elif t == "B":
+            levels[i] = para
         else:
-            lv = 1 if x == "R" else 2
-        levels.append(lv)
+            levels[i] = cur
+            if override:
+                types[i] = override   # X6
+
+    # --- W/N per level run --------------------------------------------
+    idxs = [i for i in range(n) if not removed[i]]
+    runs = []   # (level, [indices])
+    for i in idxs:
+        if runs and levels[i] == runs[-1][0]:
+            runs[-1][1].append(i)
+        else:
+            runs.append((levels[i], [i]))
+    for ri, (lvl, ids) in enumerate(runs):
+        prev_lvl = runs[ri - 1][0] if ri > 0 else para
+        next_lvl = runs[ri + 1][0] if ri + 1 < len(runs) else para
+        sos = "R" if max(lvl, prev_lvl) % 2 else "L"
+        eos = "R" if max(lvl, next_lvl) % 2 else "L"
+        _resolve_run(types, ids, sos, eos, lvl)
+
+    # --- I1/I2 --------------------------------------------------------
+    for lvl, ids in runs:
+        for i in ids:
+            x = types[i]
+            if lvl % 2 == 0:
+                levels[i] = lvl if x == "L" else \
+                    (lvl + 2 if x in ("AN", "EN") else lvl + 1)
+            else:
+                levels[i] = lvl if x == "R" else lvl + 1
     # L1: trailing whitespace resets to the paragraph level.
-    for i in range(n - 1, -1, -1):
-        if types[i] in ("WS", "B", "S"):
+    for i in reversed(idxs):
+        if raw[i] in ("WS", "B", "S"):
             levels[i] = para
         else:
             break
 
     # Cluster L2: group base + trailing combining marks, reverse runs of
     # clusters level-by-level so marks keep following their base.
-    clusters = []  # list of (level, [logical indices])
-    i = 0
-    while i < n:
-        j = i + 1
-        while j < n and unicodedata.combining(chr(cps[j])) != 0:
+    clusters = []  # (level, [logical indices])
+    k = 0
+    while k < len(idxs):
+        i = idxs[k]
+        j = k + 1
+        while j < len(idxs) \
+                and unicodedata.combining(chr(cps[idxs[j]])) != 0:
             j += 1
-        clusters.append((levels[i], list(range(i, j))))
-        i = j
+        clusters.append((levels[i], idxs[k:j]))
+        k = j
     if clusters:
         max_lv = max(lv for lv, _ in clusters)
         arr = clusters
         for lv in range(max_lv, 0, -1):
-            out, i = [], 0
-            while i < len(arr):
-                if arr[i][0] >= lv:
-                    j = i
+            out, k = [], 0
+            while k < len(arr):
+                if arr[k][0] >= lv:
+                    j = k
                     while j < len(arr) and arr[j][0] >= lv:
                         j += 1
-                    out.extend(arr[i:j][::-1])
-                    i = j
+                    out.extend(arr[k:j][::-1])
+                    k = j
                 else:
-                    out.append(arr[i])
-                    i += 1
+                    out.append(arr[k])
+                    k += 1
             arr = out
         clusters = arr
-    order = [i for _, idxs in clusters for i in idxs]
+    order = [i for _, ids in clusters for i in ids]
     return order, levels
 
 
