@@ -594,3 +594,50 @@ def test_explicit_directional_controls():
     assert shape_visual("⁨אב⁩ z") == "בא z"
     # Unterminated/stray PDF/PDI are harmless no-ops.
     assert shape_visual("ab‬cd⁩א") == "abcdא"
+
+
+def test_bidi_fuzz_permutation_invariant():
+    """Property test: for any mix of Hebrew/Latin/digit/punct/control
+    text, shape_visual emits exactly the input's non-format characters
+    (as a multiset, modulo mirror-pair swaps) — no dropping, duplication
+    or crash for arbitrary control nesting."""
+    import random
+    import unicodedata
+
+    from whisper_git_tpu.render.shaping import _MIRROR, shape_visual
+
+    rng = random.Random(1234)
+    pool = (
+        [chr(c) for c in range(0x05D0, 0x05EA)]          # Hebrew letters
+        + [chr(c) for c in range(0x05B0, 0x05BD)]        # niqqud marks
+        + list("abcXYZ 0123()[]{}.,:!-+$%…")
+        + ["‎", "‏", "‪", "‫", "‬", "‭",
+           "‮", "⁦", "⁧", "⁨", "⁩", "‌",
+           "‍"]
+    )
+    for _ in range(300):
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 40)))
+        out = shape_visual(s)
+        want = [c for c in unicodedata.normalize("NFC", s)
+                if unicodedata.category(c) != "Cf"]
+
+        def canon(ch):
+            # mirror pairs count as one equivalence class
+            return chr(min(ord(ch), _MIRROR.get(ord(ch), ord(ch))))
+
+        assert sorted(map(canon, out)) == sorted(map(canon, want)), s
+
+
+def test_n0_bracket_pairing():
+    """N0: a bracket pair enclosing opposite-direction content takes the
+    content's direction when the preceding context agrees — '(שלום)' in
+    LTR context keeps its brackets hugging the RTL word."""
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    out = shape_visual("see (שלום) now")
+    i, j = out.index("("), out.index(")")
+    inner = out[i + 1:j]
+    assert inner == "שלום"[::-1], out
+    # and in the RTL paragraph case, LTR content in brackets holds too
+    out2 = shape_visual("שלום (abc) עולם")
+    assert "(abc)" in out2, out2

@@ -12,19 +12,24 @@ visual string* transform before metrics/emission:
      so the table is generated from the joining classes), including the
      four lam-alef ligatures. Persian letters use their Forms-A slots
      when the font chain covers them.
-  2. **Bidi reordering** (UAX #9, implicit part): per-character classes
-     from unicodedata.bidirectional, rules W1–W7, N1–N2, I1–I2, L1, and
-     L2 run-reversal applied over *clusters* (base + trailing combining
-     marks) so marks still follow their base in draw order. L4 mirrors
-     paired punctuation in RTL runs.
+  2. **Bidi reordering** (UAX #9): P2/P3 paragraph detection (skipping
+     isolate content), the explicit rules X1–X8 (embeddings LRE/RLE,
+     overrides LRO/RLO, isolates LRI/RLI/FSI with first-strong
+     detection, PDF/PDI, overflow handling), weak/neutral resolution
+     W1–W7 + N0 paired brackets + N1–N2 per level run with proper
+     sos/eos, implicit levels I1–I2, L1, and L2 run-reversal applied
+     over *clusters* (base + trailing combining marks) so marks still
+     follow their base in draw order. L4 mirrors paired punctuation in
+     RTL runs.
   3. Format controls (Cf: LRM/RLM/ZWJ/directional embeddings…) are
      consumed, never emitted — the bank would otherwise render tofu.
 
-Scope honestly short of a full UBA: explicit embedding/override/isolate
-controls (LRE/RLO/LRI…, rules X1–X10, N0 bracket pairing) are treated as
-removed format characters rather than level modifiers — commit subjects
-and UI strings essentially never carry them, and first-strong paragraph
-detection (P2/P3) plus the implicit rules cover real mixed-script text.
+Scope honestly short of a full UBA: level runs approximate BD13
+isolating run sequences (an isolate split by differently-leveled
+interior resolves its halves with run-edge sos/eos instead of chaining
+across), and ZWNJ/ZWJ participate in joining but not width-shaping
+features (no OpenType). Real mixed-script commit subjects and UI
+strings resolve correctly.
 
 The transform is pure and memoized; `metric_rows` (render/atlas.py) is
 the single choke point, so measurement, elision bounds, and emission can
@@ -46,11 +51,15 @@ def needs_shaping(s: str) -> bool:
     for ch in s:
         cp = ord(ch)
         if 0x0590 <= cp <= 0x08FF or 0xFB1D <= cp <= 0xFEFC \
-                or cp in (0x200E, 0x200F, 0x061C) \
-                or 0x202A <= cp <= 0x202E or 0x2066 <= cp <= 0x2069 \
+                or 0x200B <= cp <= 0x200F \
+                or 0x202A <= cp <= 0x202E or 0x2060 <= cp <= 0x2069 \
+                or cp == 0xFEFF \
                 or 0x10800 <= cp <= 0x10FFF \
                 or 0x1E800 <= cp <= 0x1EFFF \
                 or 0x1EC70 <= cp <= 0x1EEFF:
+            # 200B-200F / 2060-2069 / FEFF: zero-width format controls —
+            # even in pure-LTR text they must be consumed (the bank
+            # would otherwise draw them as tofu).
             # Last three: supplementary-plane RTL — historic scripts
             # (Phoenician…), Adlam/Mende, Arabic Math — class R/AL per
             # unicodedata; they need the bidi pass like BMP RTL does.
@@ -263,6 +272,14 @@ for a, b in ("()", "[]", "{}", "<>", "\u00ab\u00bb", "\u2039\u203a",
     _MIRROR[ord(b)] = ord(a)
 
 
+# BD14/BD15: canonical paired brackets for N0 (opener -> closer).
+_BRACKET_PAIRS = {ord("("): ord(")"), ord("["): ord("]"),
+                  ord("{"): ord("}"),
+                  0x27E8: 0x27E9,   # mathematical angle brackets
+                  0x2308: 0x2309, 0x230A: 0x230B}   # ceil / floor
+_BRACKET_CLOSERS = set(_BRACKET_PAIRS.values())
+
+
 def _raw_types(cps: list) -> list:
     out = []
     for cp in cps:
@@ -298,7 +315,7 @@ def _dir_of(x: str):
 
 
 def _resolve_run(t: list, ids: list, sos: str, eos: str,
-                 level: int) -> None:
+                 level: int, cps=None) -> None:
     """W1-W7 + N1-N2 over one level run (indices `ids` into `t`),
     in place. sos/eos per UAX#9 (direction of the higher adjacent
     level)."""
@@ -357,9 +374,53 @@ def _resolve_run(t: list, ids: list, sos: str, eos: str,
             strong = t[i]
         elif t[i] == "EN" and strong == "L":
             t[i] = "L"
+    e_dir = "R" if level % 2 else "L"
+    # N0: paired brackets (BD16 within this run). A bracket pair whose
+    # content holds a strong type in the embedding direction takes the
+    # embedding direction; content strong only in the opposite
+    # direction consults the preceding context. Keeps "(שלום)" brackets
+    # hugging their RTL content in an LTR paragraph.
+    if cps is not None:
+        o_dir = "L" if e_dir == "R" else "R"
+        bstack = []   # (expected_close_cp, k)
+        bpairs = []
+        for k in range(m):
+            i = ids[k]
+            if t[i] != "ON":
+                continue
+            cp = cps[i]
+            close = _BRACKET_PAIRS.get(cp)
+            if close is not None:
+                if len(bstack) < 63:   # BD16 stack bound
+                    bstack.append((close, k))
+            elif cp in _BRACKET_CLOSERS:
+                for si in range(len(bstack) - 1, -1, -1):
+                    if bstack[si][0] == cp:
+                        bpairs.append((bstack[si][1], k))
+                        del bstack[si:]
+                        break
+        for ko, kc in sorted(bpairs):
+            found_e = found_o = False
+            for x in range(ko + 1, kc):
+                d = _dir_of(t[ids[x]])
+                if d == e_dir:
+                    found_e = True
+                    break
+                if d == o_dir:
+                    found_o = True
+            if found_e:
+                t[ids[ko]] = t[ids[kc]] = e_dir
+            elif found_o:
+                prev = sos
+                for x in range(ko - 1, -1, -1):
+                    d = _dir_of(t[ids[x]])
+                    if d is not None:
+                        prev = d
+                        break
+                t[ids[ko]] = t[ids[kc]] = \
+                    o_dir if prev == o_dir else e_dir
     # N1/N2: neutrals take the surrounding direction, else the
     # embedding direction. EN/AN count as R for this purpose.
-    e_dir = "R" if level % 2 else "L"
     k = 0
     while k < m:
         if t[ids[k]] in ("B", "S", "WS", "ON", "BN"):
@@ -482,7 +543,7 @@ def bidi_visual_order(cps: list) -> tuple:
         next_lvl = runs[ri + 1][0] if ri + 1 < len(runs) else para
         sos = "R" if max(lvl, prev_lvl) % 2 else "L"
         eos = "R" if max(lvl, next_lvl) % 2 else "L"
-        _resolve_run(types, ids, sos, eos, lvl)
+        _resolve_run(types, ids, sos, eos, lvl, cps)
 
     # --- I1/I2 --------------------------------------------------------
     for lvl, ids in runs:
