@@ -641,3 +641,13 @@ def test_n0_bracket_pairing():
     # and in the RTL paragraph case, LTR content in brackets holds too
     out2 = shape_visual("שלום (abc) עולם")
     assert "(abc)" in out2, out2
+
+
+def test_paragraph_separator_terminates_state_and_order():
+    """X8: a '\\n' terminates explicit directional state, and lines are
+    never reordered against each other (each segment is its own UAX#9
+    paragraph)."""
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    assert shape_visual("‮abc\ndef") == "cba\ndef"
+    assert shape_visual("שלום\nעולם") == "שלום"[::-1] + "\n" + "עולם"[::-1]

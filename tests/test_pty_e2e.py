@@ -13,20 +13,23 @@ windowed use; this is automated.)
 
 from __future__ import annotations
 
-import fcntl
 import os
-import select
-import struct
 import subprocess
 import sys
-import termios
 import time
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
-ALT_ENTER = b"\x1b[?1049h"
-ALT_EXIT = b"\x1b[?1049l"
-HALF_BLOCK = "▀".encode()
+from whisper_git_tpu.tools.ptydrive import (  # noqa: E402
+    ALT_ENTER,
+    ALT_EXIT,
+    HALF_BLOCK,
+    drain,
+    open_sized_pty,
+    wait_for,
+    wait_growth,
+)
 
 
 def _mk_repo(tmp_path) -> str:
@@ -50,52 +53,20 @@ def _mk_repo(tmp_path) -> str:
     return repo
 
 
-def _drain(master: int, buf: bytearray, seconds: float) -> None:
-    end = time.monotonic() + seconds
-    while time.monotonic() < end:
-        r, _, _ = select.select([master], [], [],
-                                max(0.0, end - time.monotonic()))
-        if not r:
-            continue
-        try:
-            chunk = os.read(master, 65536)
-        except OSError:  # EIO: child side closed
-            return
-        if not chunk:
-            return
-        buf += chunk
-
-
-def _wait_for(master: int, buf: bytearray, needle: bytes,
-              timeout: float) -> bool:
-    end = time.monotonic() + timeout
-    while time.monotonic() < end:
-        if needle in buf:
-            return True
-        _drain(master, buf, 0.25)
-    return needle in buf
+_drain = drain
+_wait_for = wait_for
 
 
 def _wait_growth(master: int, buf: bytearray, timeout: float) -> bool:
     """Wait until new bytes arrive (a repaint) or timeout."""
-    start = len(buf)
-    end = time.monotonic() + timeout
-    while time.monotonic() < end:
-        _drain(master, buf, 0.25)
-        if len(buf) > start:
-            return True
-    return False
+    return wait_growth(master, buf, timeout) is not None
 
 
 def test_pty_session_end_to_end(tmp_path):
     repo = _mk_repo(tmp_path)
-    import pty
-
-    master, slave = pty.openpty()
     # A real terminal geometry (rows, cols, xpixel, ypixel) — the app
     # derives its half-block grid and SGR-Pixels mapping from this.
-    fcntl.ioctl(slave, termios.TIOCSWINSZ,
-                struct.pack("HHHH", 30, 100, 800, 480))
+    master, slave = open_sized_pty(30, 100, 800, 480)
 
     env = dict(os.environ)
     env.update({
@@ -184,11 +155,7 @@ def test_pty_live_watcher_end_to_end(tmp_path):
         subprocess.run(["git", "-C", repo, *args], check=True,
                        capture_output=True)
 
-    import pty as _pty
-
-    master, slave = _pty.openpty()
-    fcntl.ioctl(slave, termios.TIOCSWINSZ,
-                struct.pack("HHHH", 40, 130, 0, 0))
+    master, slave = open_sized_pty(30, 100, 800, 480)
     env = dict(os.environ, TERM="xterm-256color", WGIT_SKIP_AVATARS="1",
                WGIT_DEVICE="cpu")
     # Don't hand the child the suite's 8-virtual-device flag: the app

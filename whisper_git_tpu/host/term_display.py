@@ -255,7 +255,7 @@ class TermDisplay:
             # forced drains on backpressure (queue full) or close.
             while inflight and (
                     closing
-                    or len(inflight) > self.PIPELINE_DEPTH
+                    or len(inflight) >= self.PIPELINE_DEPTH
                     or _time.monotonic() - inflight[0][0]
                     >= self._drain_age_s()):
                 t_copy, g = inflight.popleft()
@@ -263,7 +263,7 @@ class TermDisplay:
                         and _time.monotonic() - t_copy \
                         > self.STALE_PRESENT_S:
                     continue  # stale + newer in flight: drop, don't replay
-                t0 = _time.monotonic()
+                self._last_fetch_ms = None
                 try:
                     self._present(g)
                 except Exception:
@@ -276,12 +276,14 @@ class TermDisplay:
                     # so persistent failure cannot busy-spin.
                     self._prev = None
                     self._need_clear = True
-                # Blocking time ≈ how much RTT the age gate missed by —
-                # fold it into the estimate (EMA, floor keeps fast local
-                # backends from collapsing the gate to zero).
-                dt_ms = (_time.monotonic() - t0) * 1e3
-                self._rtt_ms = max(1.0,
-                                   0.8 * self._rtt_ms + 0.2 * dt_ms)
+                # Feed the age gate from the READBACK block alone
+                # (_present records it): folding in diff-emit/terminal-
+                # write time or a multi-second congestion spike would pin
+                # the gate at its cap and delay every later lone frame.
+                dt_ms = self._last_fetch_ms
+                if dt_ms is not None and dt_ms < 500.0:
+                    self._rtt_ms = max(1.0,
+                                       0.8 * self._rtt_ms + 0.2 * dt_ms)
             if closing and grid_dev is None and not inflight:
                 with self._cv:
                     if self._pending is None:
@@ -293,7 +295,11 @@ class TermDisplay:
         return min(0.2, max(0.002, self._rtt_ms * 1.2e-3))
 
     def _present(self, grid_dev) -> None:
+        import time as _time
+
+        t0 = _time.monotonic()
         grid = np.asarray(grid_dev)  # device readback (blocks HERE only)
+        self._last_fetch_ms = (_time.monotonic() - t0) * 1e3
         if grid.shape != (self.rows * 2, self.cols, 3):
             return  # stale-size frame from before a terminal resize
         top, bot = grid[0::2], grid[1::2]

@@ -31,9 +31,11 @@ one covers the codepoint (e.g. DejaVuSans-Bold), else from the regular
 face with a synthetic embolden (coverage dilation before SDF encode).
 CJK — the load-bearing case (each codepoint is one glyph, no shaping) —
 renders correctly whenever any CJK-capable font exists on the system.
-Remaining honest delta vs cosmic-text (docs/parity-matrix.md): no
-explicit bidi embedding controls (UAX#9 X rules) and no IME preedit
-(the terminal protocol has no preedit events).
+Explicit directional controls are honored too (UAX#9 X1-X8 + N0 in
+render/shaping.py). Remaining honest delta vs cosmic-text
+(docs/parity-matrix.md): BD13 isolating-run chaining is approximated
+by level runs, and no IME preedit (the terminal protocol has no
+preedit events).
 
 Eviction is EPOCH-BASED (see FallbackBank.__init__): slots untouched
 since the last epoch clear are provably unreferenced by any cache and
@@ -404,13 +406,12 @@ class FallbackBank:
                 continue
             if synth:
                 cell = self._embolden(cell)
-                # The dilation widens the ink by r os-px per side (the
-                # cell's spread margin already covers it for SAMPLING,
-                # but the pen must advance past it and the quad shifts
-                # left so the extra weight splits evenly).
-                r_os = self._EMBOLDEN_OS_PX
-                adv += 2 * r_os
-                bx0 -= r_os
+                # The dilation widens the ink by r os-px per side IN
+                # PLACE in the cell (the spread margin covers it for
+                # sampling, and on-screen growth is already symmetric
+                # around the unchanged quad) — only the pen must advance
+                # past the wider ink.
+                adv += 2 * self._EMBOLDEN_OS_PX
             coverages[len(recs)] = cell
             recs.append((key, slot, mw, mh, bx0, adv))
         if not recs:

@@ -443,16 +443,43 @@ def bidi_visual_order(cps: list) -> tuple:
     indices (explicit embedding controls excluded per X9); `levels` the
     resolved embedding level per logical index.
 
-    Implements P2/P3, the explicit rules X1-X8 (embeddings LRE/RLE,
+    Paragraph separators (class B — '\\n' in UI strings) split the text:
+    each segment runs the full algorithm independently (UAX#9 processes
+    paragraphs separately; X8 terminates all embeddings/overrides/
+    isolates at a separator) and segments keep their logical order — a
+    multi-line string can never have its LINES reordered.
+
+    Per segment: P2/P3, the explicit rules X1-X8 (embeddings LRE/RLE,
     overrides LRO/RLO, isolates LRI/RLI/FSI/PDI, PDF, overflow
-    handling), W1-W7 + N1-N2 per level run with proper sos/eos, I1-I2,
-    L1, cluster-safe L2, and L4 mirroring at the caller. Honest
+    handling), W1-W7 + N0 + N1-N2 per level run with proper sos/eos,
+    I1-I2, L1, cluster-safe L2, and L4 mirroring at the caller. Honest
     approximation: level runs are contiguous same-level stretches, not
     full BD13 isolating run sequences — isolate halves split by a
     differently-leveled interior resolve their weak types with run-edge
     sos/eos instead of chaining across the isolate."""
+    raw_all = _raw_types(cps)
+    segs = []
+    start = 0
+    for i, t in enumerate(raw_all):
+        if t == "B":
+            segs.append((start, i))   # segment, then the separator
+            segs.append((i, i + 1))
+            start = i + 1
+    segs.append((start, len(cps)))
+    if len(segs) > 1:
+        order, levels = [], []
+        for s0, s1 in segs:
+            if s1 - s0 == 1 and raw_all[s0] == "B":
+                order.append(s0)
+                levels.append(0)
+                continue
+            o, lv = bidi_visual_order(cps[s0:s1])
+            order.extend(i + s0 for i in o)
+            levels.extend(lv)
+        return order, levels
+
     n = len(cps)
-    raw = _raw_types(cps)
+    raw = raw_all
     para = 1 if _first_strong(raw, 0, n) == "R" else 0
 
     # --- X1-X8: explicit levels -------------------------------------

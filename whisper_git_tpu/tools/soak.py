@@ -25,52 +25,23 @@ from __future__ import annotations
 
 import argparse
 import datetime
-import fcntl
 import json
 import os
-import pty
-import select
-import struct
 import subprocess
 import sys
 import tempfile
-import termios
 import time
+
+from .ptydrive import (
+    ALT_EXIT,
+    HALF_BLOCK,
+    drain as _drain,
+    open_sized_pty,
+    wait_growth as _wait_repaint,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-HALF_BLOCK = "▀".encode()
-ALT_ENTER = b"\x1b[?1049h"
-ALT_EXIT = b"\x1b[?1049l"
-
-
-def _drain(master, buf, seconds):
-    end = time.monotonic() + seconds
-    got = 0
-    while time.monotonic() < end:
-        r, _, _ = select.select([master], [], [],
-                                max(0.0, end - time.monotonic()))
-        if not r:
-            continue
-        try:
-            chunk = os.read(master, 65536)
-        except OSError:
-            return got
-        if not chunk:
-            return got
-        buf += chunk
-        got += len(chunk)
-    return got
-
-
-def _wait_repaint(master, buf, timeout):
-    """Seconds until new pty bytes arrive, or None on timeout."""
-    t0 = time.monotonic()
-    end = t0 + timeout
-    while time.monotonic() < end:
-        if _drain(master, buf, 0.05):
-            return time.monotonic() - t0
-    return None
 
 
 def _tail(path, n=2000):
@@ -108,9 +79,7 @@ def main() -> int:
     tmp = tempfile.mkdtemp(prefix="wgit-soak-")
     repo_path = build_history_repo(tmp)
 
-    master, slave = pty.openpty()
-    fcntl.ioctl(slave, termios.TIOCSWINSZ,
-                struct.pack("HHHH", 40, 140, 1280, 800))
+    master, slave = open_sized_pty(40, 140, 1280, 800)
     env = dict(os.environ)
     env.update({
         "WGIT_SKIP_AVATARS": "1",

@@ -68,8 +68,11 @@ def main() -> int:
         "tail": tail,
     }
     dev = re.search(r"platform (\w+) \(([^)]*)\)", out)
+    if dev is not None:
+        result["tpu_tier"]["device"] = f"{dev.group(1)} ({dev.group(2)})"
     print(f"# tpu tier: rc={rc} {result['tpu_tier']['passed']} passed "
-          f"in {dur}s", file=sys.stderr)
+          f"in {dur}s on {result['tpu_tier'].get('device', '?')}",
+          file=sys.stderr)
 
     # The tier must RUN on hardware: all-skipped (no TPU visible) is a
     # gate failure, not a pass.
