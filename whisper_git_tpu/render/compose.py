@@ -578,9 +578,13 @@ def prepare_compose_dispatch(scene, font_tex, image_atlas):
                            tiles_y, tiles_x, height, width)
         # Plans hold strong refs to their stacked device arrays (a slab
         # stack is ~20 MB at 1280×800), so the cap bounds the HBM
-        # high-water mark — keep it tight; the stack memo makes plan
-        # REBUILDS cheap, which is what scroll-and-back actually hits.
-        while len(_PLAN_CACHE) > _img_cache_cap(4):
+        # high-water mark — but it must exceed the number of scroll
+        # materialization buckets a continuous scroll cycles through
+        # (~5 for a 400 px sweep at the 128 px bucket size), or every
+        # cycle evicts the plan it is about to need; 6 plans sharing
+        # stacks via _memo_stack is ≈300 MB worst case in 16 GB HBM.
+        # (CPU backend stays at the RSS-tuned cap of 2.)
+        while len(_PLAN_CACHE) > _img_cache_cap(6):
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[plan_key] = plan
 
