@@ -188,6 +188,22 @@ def build_scenes(repo_path: str) -> dict[str, WhisperApp]:
     app.input_anchor = 0
     scenes["unicode-selection"] = app
 
+    # Shaped-text scene: Hebrew + Arabic commit subjects through the
+    # full view stack — bidi reordering, Arabic joining and a mixed-
+    # direction draft all ride the history rows + staging well
+    # (render/shaping.py; reference gets this from cosmic-text).
+    app = fresh()
+    tab = app.current()
+    if tab.commits:
+        c = tab.commits[0]
+        c.summary = "إصلاح خلل في الواجهة"
+        if len(tab.commits) > 1:
+            tab.commits[1].summary = "תיקון באג — mixed עם ascii"
+    view = tab.active_view()
+    if view is not None:
+        view.draft_subject = "fix: שלום عالم"
+    scenes["rtl-shaping"] = app
+
     return scenes
 
 
