@@ -21,6 +21,23 @@ from whisper_git_tpu.ui.theme import DARK
 VIEWPORT = (640, 480)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _frame_path_only():
+    """This suite proves WINDOW SPLICING is bit-exact vs inline
+    baking — compare within ONE pipeline (the frame path). The compose
+    path's f16 layer cache is allowed ±1 u8 by design and has its own
+    exactness suite (test_compose)."""
+    import os
+
+    old = os.environ.get("WGIT_FRAME_COMPOSE")
+    os.environ["WGIT_FRAME_COMPOSE"] = "0"
+    yield
+    if old is None:
+        os.environ.pop("WGIT_FRAME_COMPOSE", None)
+    else:
+        os.environ["WGIT_FRAME_COMPOSE"] = old
+
+
 @pytest.fixture(scope="module")
 def app_and_renderer(tmp_path_factory):
     from whisper_git_tpu.app.repo_tab import RepoTab

@@ -23,14 +23,17 @@ pixels* of almost everything are unchanged too —
     HBM traffic, no per-command math at all.
 
 Exactness: every layer preserves the kernel's per-command compositing
-internally; only the boundaries between layers re-associate the `over`
-operator, which is exact where layers don't overlap and differs by ≤1 ulp
-(→ ≤1 u8 step after quantization) where they do. Integer scroll offsets
-translate commands exactly in f32 (coordinates are ≤2^13 with 1/8 px
-quantization), so slab crops reproduce direct rendering bit-for-bit; the
-compose path therefore guarantees ≤1 u8 per channel vs the packed path
-(tests/test_compose.py sweeps scroll offsets asserting it) and falls back
-to the classic frame path whenever an assumption doesn't hold
+internally; two bounded error terms separate it from the packed path —
+(a) layer boundaries re-associate the `over` operator (exact where
+layers don't overlap, ≤1 ulp where they do), and (b) CACHED layers
+(chrome groups, slabs) store f16 (premultiplied values in [0,1] round
+within 2^-11 relative ≈ 0.12 u8 per layer; the blend's HBM reads — its
+entire steady-state cost — halve). Integer scroll offsets translate
+commands exactly in f32 (coordinates are ≤2^13 with 1/8 px
+quantization), so slab crops reproduce direct rendering up to the f16
+term; the compose path guarantees ≤1 u8 per channel vs the packed path
+(tests/test_compose.py sweeps scroll offsets asserting it) and falls
+back to the classic frame path whenever an assumption doesn't hold
 (non-integer dy). Disable with WGIT_FRAME_COMPOSE=0.
 """
 
@@ -83,7 +86,7 @@ def compose_enabled() -> bool:
 
 def _render_blocks_image(layers_blocks, font_tex, image_atlas, tiles_y: int,
                          tiles_x: int, height: int, width: int,
-                         out_spec: str = "rows"):
+                         out_spec: str = "rows", out_dtype: str = "f32"):
     """Render a block list over a TRANSPARENT canvas → (H, W, 4) f32
     premultiplied layer image (pallas on TPU, XLA scan fallback on CPU;
     tile axis sharded when a render mesh is installed). `out_spec`
@@ -98,16 +101,23 @@ def _render_blocks_image(layers_blocks, font_tex, image_atlas, tiles_y: int,
         layers_blocks, jnp.asarray(font_tex), jnp.asarray(image_atlas),
         tiles_y=tiles_y, tiles_x=tiles_x, height=height, width=width,
         use_pallas=R._use_pallas(), mesh=get_render_mesh(),
-        out_spec=out_spec)
+        out_spec=out_spec, out_dtype=out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "height",
                                              "width", "use_pallas", "mesh",
-                                             "out_spec"))
+                                             "out_spec", "out_dtype"))
 def _render_blocks_image_jit(layers_blocks, font_tex, image_atlas,
                              tiles_y: int, tiles_x: int, height: int,
                              width: int, use_pallas: bool, mesh=None,
-                             out_spec: str = "rows"):
+                             out_spec: str = "rows",
+                             out_dtype: str = "f32"):
+    # CACHED layers (chrome groups, slabs) store f16: premultiplied
+    # values in [0,1] lose <2^-12 per channel (~0.06 u8 per layer) and
+    # the steady-state blend's HBM reads — its entire cost — halve.
+    # In-executable (dyn) layers stay f32: a cast there saves nothing
+    # (fused) and only adds rounding.
+    dt = jnp.float16 if out_dtype == "f16" else jnp.float32
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -126,8 +136,10 @@ def _render_blocks_image_jit(layers_blocks, font_tex, image_atlas,
         # instead of whatever propagation infers downstream.
         spec = (P() if out_spec == "replicated"
                 else P(tuple(mesh.axis_names)))
+        # Cast BEFORE the constraint: a replicated slab's all-gather
+        # then moves half the bytes too.
         return jax.lax.with_sharding_constraint(
-            img, NamedSharding(mesh, spec))
+            img.astype(dt), NamedSharding(mesh, spec))
     if use_pallas:
         from . import pallas_raster as PR
 
@@ -137,13 +149,14 @@ def _render_blocks_image_jit(layers_blocks, font_tex, image_atlas,
         tiles = PR.render_tiles_blocks(layers_blocks, font_cells, font_cols,
                                        image_cells, img_cols, None,
                                        tiles_y, tiles_x)
-        return PR.assemble_f32(tiles, tiles_y, tiles_x, height, width)
+        return PR.assemble_f32(tiles, tiles_y, tiles_x, height,
+                               width).astype(dt)
     tiles = F._render_tiles_blocks_xla(layers_blocks, font_tex, image_atlas,
                                        None, tiles_y, tiles_x)
     img = tiles.reshape(tiles_y, tiles_x, TILE_H, TILE_W, 4)
     img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE_H,
                                                tiles_x * TILE_W, 4)
-    return img[:height, :width]
+    return img[:height, :width].astype(dt)
 
 
 def _single_class_blocks(ci: int, block):
@@ -223,7 +236,8 @@ def _chrome_group_image(members, chrome_entries, font_tex, image_atlas,
                  ch["segs"][ci][si + 1])
         layers.append(_single_class_blocks(ci, block)[0])
     img = _render_blocks_image(tuple(layers), font_tex, image_atlas,
-                               tiles_y, tiles_x, height, width)
+                               tiles_y, tiles_x, height, width,
+                               out_dtype="f16")
     while len(_GROUP_CACHE) > _img_cache_cap(12):
         _GROUP_CACHE.pop(next(iter(_GROUP_CACHE)))
     _GROUP_CACHE[key] = img
@@ -274,7 +288,8 @@ def _window_slab(w, gi, ci, art, caps, font_tex, image_atlas, tiles_x,
     block = (tables, jnp.asarray(bins), None, jnp.asarray(counts))
     img = _render_blocks_image(_single_class_blocks(ci, block), font_tex,
                                image_atlas, tiles_y_slab, tiles_x,
-                               slab_h, width, out_spec="replicated")
+                               slab_h, width, out_spec="replicated",
+                               out_dtype="f16")
     while len(_SLAB_CACHE) > _img_cache_cap(24):
         _SLAB_CACHE.pop(next(iter(_SLAB_CACHE)))
     _SLAB_CACHE[key] = {"img": img, "y0s": y0s}
@@ -385,12 +400,13 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
             out_rgb, NamedSharding(mesh, P(tuple(mesh.axis_names))))
     for op in ops:
         if op[0] == "img":
-            img = images[op[1]]
+            img = images[op[1]].astype(jnp.float32)   # f16-cached layer
             rgb, a = img[..., :3], img[..., 3]
         elif op[0] == "slab":
             _, j, clip = op
             crop = jax.lax.dynamic_slice(
-                slabs, (j, starts[j], 0, 0), (1, height, width, 4))[0]
+                slabs, (j, starts[j], 0, 0), (1, height, width, 4)
+            )[0].astype(jnp.float32)                  # f16-cached slab
             mask = ((rows >= clip[1]) & (rows <= clip[3])
                     & (cols >= clip[0]) & (cols <= clip[2])
                     ).astype(jnp.float32)
@@ -447,7 +463,7 @@ def _memo_stack(kind: str, keys: tuple, arrays, empty_shape):
     if hit is not None:
         return hit
     out = (jnp.stack(arrays) if arrays
-           else jnp.zeros(empty_shape, jnp.float32))
+           else jnp.zeros(empty_shape, jnp.float16))
     from .meshstate import get_render_mesh
 
     mesh = get_render_mesh()
