@@ -380,6 +380,29 @@ def test_combining_marks_follow_base_after_reversal():
     assert [ord(c) for c in out] == [0x05D3, 0x05D1, 0x05B0]
 
 
+def test_bd13_neutral_resolves_across_isolate():
+    """BD13: the PDI-side half of an isolating run sequence chains back
+    to the initiator's half, so the space after 'a⁧b⁩' resolves its
+    neutrals against the paragraph-level L context (sos=L), not the
+    isolate interior's higher level. Plain level-run resolution would
+    attach the space to the following RTL word ('aש b')."""
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    assert shape_visual("a⁧b⁩ ש") == "ab ש"
+
+
+def test_bd13_weak_context_carries_across_isolate():
+    """W2 (EN→AN after AL) must see the Arabic strong context from
+    before an isolate: alef + LRI-isolated 'a' + '1' makes the digit AN,
+    landing it visually leftmost in the RTL flow (UAX#9 X10 sequence
+    sos=R from the paragraph level)."""
+    from whisper_git_tpu.render.shaping import shape_visual
+
+    out = shape_visual("ا⁦a⁩" + "1")
+    # digit, isolated 'a', then alef (isolated presentation form).
+    assert [ord(c) for c in out] == [ord("1"), ord("a"), 0xFE8D]
+
+
 def test_format_controls_consumed_not_drawn():
     from whisper_git_tpu.render.shaping import shape_visual
 

@@ -31,11 +31,10 @@ one covers the codepoint (e.g. DejaVuSans-Bold), else from the regular
 face with a synthetic embolden (coverage dilation before SDF encode).
 CJK — the load-bearing case (each codepoint is one glyph, no shaping) —
 renders correctly whenever any CJK-capable font exists on the system.
-Explicit directional controls are honored too (UAX#9 X1-X8 + N0 in
-render/shaping.py). Remaining honest delta vs cosmic-text
-(docs/parity-matrix.md): BD13 isolating-run chaining is approximated
-by level runs, and no IME preedit (the terminal protocol has no
-preedit events).
+Explicit directional controls are honored too (UAX#9 X1-X8 + N0, over
+full BD13 isolating run sequences — render/shaping.py). Remaining
+honest delta vs cosmic-text (docs/parity-matrix.md): no IME preedit
+(the terminal protocol has no preedit events).
 
 Eviction is EPOCH-BASED (see FallbackBank.__init__): slots untouched
 since the last epoch clear are provably unreferenced by any cache and

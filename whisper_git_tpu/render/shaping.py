@@ -24,10 +24,11 @@ visual string* transform before metrics/emission:
   3. Format controls (Cf: LRM/RLM/ZWJ/directional embeddings…) are
      consumed, never emitted — the bank would otherwise render tofu.
 
-Scope honestly short of a full UBA: level runs approximate BD13
-isolating run sequences (an isolate split by differently-leveled
-interior resolves its halves with run-edge sos/eos instead of chaining
-across), and ZWNJ/ZWJ participate in joining but not width-shaping
+Weak/neutral resolution runs over full BD13 isolating run sequences
+(level runs chained across matched isolate initiator/PDI pairs, X10
+sos/eos from the paragraph-adjacent levels), so strong context and
+bracket pairing carry across an isolate's interior. Remaining honest
+scope note: ZWNJ/ZWJ participate in joining but not width-shaping
 features (no OpenType). Real mixed-script commit subjects and UI
 strings resolve correctly.
 
@@ -451,12 +452,10 @@ def bidi_visual_order(cps: list) -> tuple:
 
     Per segment: P2/P3, the explicit rules X1-X8 (embeddings LRE/RLE,
     overrides LRO/RLO, isolates LRI/RLI/FSI/PDI, PDF, overflow
-    handling), W1-W7 + N0 + N1-N2 per level run with proper sos/eos,
-    I1-I2, L1, cluster-safe L2, and L4 mirroring at the caller. Honest
-    approximation: level runs are contiguous same-level stretches, not
-    full BD13 isolating run sequences — isolate halves split by a
-    differently-leveled interior resolve their weak types with run-edge
-    sos/eos instead of chaining across the isolate."""
+    handling), W1-W7 + N0 + N1-N2 per BD13 isolating run sequence
+    (level runs chained across matched initiator/PDI pairs) with X10
+    sos/eos, I1-I2, L1, cluster-safe L2, and L4 mirroring at the
+    caller."""
     raw_all = _raw_types(cps)
     segs = []
     start = 0
@@ -488,6 +487,8 @@ def bidi_visual_order(cps: list) -> tuple:
     removed = [False] * n    # X9: embedding/override controls vanish
     stack = [(para, None, False)]   # (level, override, is_isolate)
     overflow_iso = overflow_emb = valid_iso = 0
+    iso_match: dict = {}   # matched initiator index -> its PDI index
+    init_stack: list = []  # open valid-isolate initiator indices
     for i in range(n):
         t = raw[i]
         cur, override, _iso = stack[-1]
@@ -528,6 +529,7 @@ def bidi_visual_order(cps: list) -> tuple:
                     and not overflow_emb:
                 valid_iso += 1
                 stack.append((new, None, True))
+                init_stack.append(i)
             else:
                 overflow_iso += 1
         elif t == "PDI":
@@ -539,6 +541,7 @@ def bidi_visual_order(cps: list) -> tuple:
                     stack.pop()
                 stack.pop()
                 valid_iso -= 1
+                iso_match[init_stack.pop()] = i
             cur, override, _iso = stack[-1]
             levels[i] = cur
             types[i] = override if override else "ON"
@@ -565,12 +568,42 @@ def bidi_visual_order(cps: list) -> tuple:
             runs[-1][1].append(i)
         else:
             runs.append((levels[i], [i]))
-    for ri, (lvl, ids) in enumerate(runs):
-        prev_lvl = runs[ri - 1][0] if ri > 0 else para
-        next_lvl = runs[ri + 1][0] if ri + 1 < len(runs) else para
+    # BD13: chain level runs into isolating run sequences — a run ending
+    # with a matched isolate initiator continues at the run starting
+    # with its matching PDI (both at the initiator's level), so weak/
+    # neutral/bracket resolution sees across the isolate's interior.
+    init_of = {p: ini for ini, p in iso_match.items()}
+    seqs: list = []          # each: [(lvl, ids), ...] same lvl throughout
+    seq_of_init: dict = {}   # initiator index -> its (open) sequence
+    for lvl, ids in runs:
+        first, last = ids[0], ids[-1]
+        seq = seq_of_init.get(init_of.get(first)) \
+            if raw[first] == "PDI" else None
+        if seq is not None:
+            seq.append((lvl, ids))
+        else:
+            seq = [(lvl, ids)]
+            seqs.append(seq)
+        if raw[last] in ("LRI", "RLI", "FSI") and last in iso_match:
+            seq_of_init[last] = seq
+    # X10: sos/eos from the levels adjacent to the whole sequence in the
+    # paragraph (skipping X9-removed); an unmatched trailing isolate
+    # initiator compares against the paragraph level.
+    pos = {i: k for k, i in enumerate(idxs)}
+    for seq in seqs:
+        lvl = seq[0][0]
+        first, last = seq[0][1][0], seq[-1][1][-1]
+        kf, kl = pos[first], pos[last]
+        prev_lvl = levels[idxs[kf - 1]] if kf > 0 else para
+        if raw[last] in ("LRI", "RLI", "FSI") and last not in iso_match:
+            next_lvl = para
+        else:
+            next_lvl = levels[idxs[kl + 1]] if kl + 1 < len(idxs) \
+                else para
         sos = "R" if max(lvl, prev_lvl) % 2 else "L"
         eos = "R" if max(lvl, next_lvl) % 2 else "L"
-        _resolve_run(types, ids, sos, eos, lvl, cps)
+        _resolve_run(types, [i for _, ids in seq for i in ids],
+                     sos, eos, lvl, cps)
 
     # --- I1/I2 --------------------------------------------------------
     for lvl, ids in runs:
