@@ -245,3 +245,52 @@ def test_dyn_class_appearing_under_identical_chrome():
     assert (a != b).any(), \
         "volatile element invisible: stale plan reused for a frame " \
         "whose dyn class appeared under identical chrome bytes"
+
+
+def test_chrome_layers_are_ink_cropped(app_fixture):
+    """Single chip, cached chrome group layers store only their ink bbox
+    (render/compose.py _group_bbox) — the steady-state blend's HBM
+    traffic scales with visible ink, not layer count × frame area. At
+    least one group in a real scene must be materially smaller than the
+    frame, and every crop must carry consistent offsets."""
+    app, tab, r = app_fixture
+    C.clear_caches()
+    scene = _scene(app, tab, r, 17.0)
+    out = C.render_frame_composed(scene, r.font_tex_device(),
+                                  r.image_atlas_device())
+    assert out is not None
+    assert C._GROUP_CACHE, "no chrome groups cached"
+    full_px = scene.height * scene.width
+    areas = []
+    for img, oy, ox in C._GROUP_CACHE.values():
+        h, w = int(img.shape[0]), int(img.shape[1])
+        assert 0 <= oy and 0 <= ox
+        assert oy + h <= scene.height and ox + w <= scene.width
+        areas.append(h * w)
+    assert min(areas) < full_px, \
+        "every chrome layer is full-frame: bbox cropping inactive"
+
+
+def test_dyn_subgrid_covers_only_thumb_columns(app_fixture):
+    """The volatile tail's bins cover only the tile columns its commands
+    touch (frame._dyn_layer subgrid) — and the column range stays STABLE
+    across a scroll (the thumb moves vertically within its column), so
+    the compose jit's static meta does not churn."""
+    app, tab, r = app_fixture
+    C.clear_caches()
+    metas = []
+    for off in (10.0, 40.0, 90.0):
+        scene = _scene(app, tab, r, off)
+        prep = C.prepare_compose_dispatch(scene, r.font_tex_device(),
+                                          r.image_atlas_device())
+        assert prep is not None
+        _, statics = prep
+        metas.append(statics["meta"][1])
+    tiles_x = -(-scene.width // C.TILE_W)
+    ranges = [(c0, c1) for dm in metas for (_, ks, c0, c1) in dm
+              if any(ks)]
+    assert ranges, "no volatile tails in the fixture scene"
+    assert any(c1 - c0 < tiles_x for c0, c1 in ranges), \
+        "dyn subgrid inactive: volatile tails render the full tile grid"
+    assert metas[0] == metas[1] == metas[2], \
+        "dyn meta churned across a scroll: compose jit recompiles per frame"

@@ -18,9 +18,15 @@ pixels* of almost everything are unchanged too —
   * **Volatile commands** (scrollbar thumbs — the per-layer dynamic tail)
     are the only per-frame rasterization: one small blocks-kernel pass
     over a transparent canvas.
-  * The frame is assembled by ONE fused XLA elementwise pass:
-    `out = quantize(over(over(bg ⊕ run₀, run₁), …))` — a few tens of MB of
-    HBM traffic, no per-command math at all.
+  * The frame is assembled by ONE jit dispatch that blends the layers in
+    z order. Single chip, every cached layer is CROPPED to its ink bbox
+    and blended through a static slice → over → (XLA-aliased, in-place)
+    update of only that region; slab crops blend only their window's
+    static clip rect, and volatile tails render/blend only their tile
+    columns — steady-state HBM traffic scales with visible ink, not
+    layer count × frame area. Under a render mesh the blend stays one
+    fused full-frame elementwise pass row-sharded across devices
+    (region updates against a sharded output would fight GSPMD).
 
 Exactness: every layer preserves the kernel's per-command compositing
 internally; two bounded error terms separate it from the packed path —
@@ -219,9 +225,43 @@ def _group_key(members, chrome_entries, height, width):
                   for _, li, ci, si in members), height, width)
 
 
+# Safety margin (px) around a group's ink bbox before cropping: command
+# boxes already include the rasterizer's 1.5 px AA pad, this absorbs any
+# residual feather.
+_BBOX_PAD = 2.0
+
+
+def _group_bbox(members, chrome_entries, height, width, full: bool):
+    """Pixel-aligned ink bbox (y0, x0, y1, x1) of a chrome group, or the
+    full frame when `full` (mesh path: the row-sharded blend stays
+    full-frame) / when no member reports a box."""
+    if full:
+        return (0, 0, height, width)
+    x0 = y0 = float("inf")
+    x1 = y1 = float("-inf")
+    for _, li, ci, si in members:
+        sb = chrome_entries[li]["seg_boxes"][ci]
+        b = sb[si] if sb is not None else None
+        if b is None:
+            continue
+        x0, y0 = min(x0, b[0]), min(y0, b[1])
+        x1, y1 = max(x1, b[2]), max(y1, b[3])
+    if not (x1 > x0 and y1 > y0):
+        return (0, 0, height, width)
+    import math
+
+    return (max(0, int(math.floor(y0 - _BBOX_PAD))),
+            max(0, int(math.floor(x0 - _BBOX_PAD))),
+            min(height, int(math.ceil(y1 + _BBOX_PAD))),
+            min(width, int(math.ceil(x1 + _BBOX_PAD))))
+
+
 def _chrome_group_image(members, chrome_entries, font_tex, image_atlas,
-                        tiles_y, tiles_x, height, width):
-    key = _group_key(members, chrome_entries, height, width)
+                        tiles_y, tiles_x, height, width, full: bool):
+    """→ (layer image cropped to the group's ink bbox, oy, ox). Under a
+    render mesh (`full`) the crop is the whole frame — blending cropped
+    regions into a row-sharded output would fight GSPMD."""
+    key = (_group_key(members, chrome_entries, height, width), full)
     hit = _lru_get(_GROUP_CACHE, key)
     if hit is not None:
         return hit
@@ -238,10 +278,17 @@ def _chrome_group_image(members, chrome_entries, font_tex, image_atlas,
     img = _render_blocks_image(tuple(layers), font_tex, image_atlas,
                                tiles_y, tiles_x, height, width,
                                out_dtype="f16")
+    oy, ox, y1, x1 = _group_bbox(members, chrome_entries, height, width,
+                                 full)
+    if (oy, ox, y1, x1) != (0, 0, height, width):
+        # One-time device slice per content change; the steady-state
+        # blend then reads only the ink region every frame.
+        img = img[oy:y1, ox:x1]
+    entry = (img, oy, ox)
     while len(_GROUP_CACHE) > _img_cache_cap(12):
         _GROUP_CACHE.pop(next(iter(_GROUP_CACHE)))
-    _GROUP_CACHE[key] = img
-    return img
+    _GROUP_CACHE[key] = entry
+    return entry
 
 
 def _slab_height(height: int) -> int:
@@ -306,13 +353,14 @@ def _window_slab(w, gi, ci, art, caps, font_tex, image_atlas, tiles_x,
 _DYN_PACK_CACHE: dict = {}
 
 
-def _dyn_layer_cached(lb, li: int, tiles_y: int, tiles_x: int):
+def _dyn_layer_cached(lb, li: int, tiles_y: int, tiles_x: int,
+                      subgrid: bool):
     """Content-keyed memo of the volatile tail's quantized blob + bins —
     thumb geometry recurs across a scroll cycle, so steady-state frames
     skip the numpy quantize/bin work entirely."""
     nds, ndg, ndi = lb.n_dyn_shapes, lb.n_dyn_glyphs, lb.n_dyn_images
     s0 = (lb.n_shapes - nds, lb.n_glyphs - ndg, lb.n_images - ndi)
-    key = (li, tiles_y, tiles_x, nds, ndg, ndi,
+    key = (li, tiles_y, tiles_x, subgrid, nds, ndg, ndi,
            hash(lb.shapes[s0[0]:s0[0] + nds].tobytes()),
            hash(lb.shape_clips[s0[0]:s0[0] + nds].tobytes()),
            hash(lb.glyphs[s0[1]:s0[1] + ndg].tobytes()),
@@ -322,7 +370,7 @@ def _dyn_layer_cached(lb, li: int, tiles_y: int, tiles_x: int):
            hash(lb.image_clips[s0[2]:s0[2] + ndi].tobytes()))
     hit = _DYN_PACK_CACHE.get(key)
     if hit is None:
-        hit = F._dyn_layer(lb, li, tiles_y, tiles_x)
+        hit = F._dyn_layer(lb, li, tiles_y, tiles_x, subgrid=subgrid)
         while len(_DYN_PACK_CACHE) > 64:
             _DYN_PACK_CACHE.pop(next(iter(_DYN_PACK_CACHE)))
         _DYN_PACK_CACHE[key] = hit
@@ -330,16 +378,36 @@ def _dyn_layer_cached(lb, li: int, tiles_y: int, tiles_x: int):
 
 
 def _pack_frame_blob(scene, slab_starts, tiles_y: int, tiles_x: int):
-    """→ (blob i16, dyn_meta) where dyn_meta[li] = (caps3, ks3)."""
+    """→ (blob i16, dyn_meta) where dyn_meta[li] = (caps3, ks3, c0, c1).
+    Single chip: the volatile tail's bins cover only its tile-column
+    range; under a mesh the full grid (the sharded tile render needs
+    the whole axis)."""
+    from .meshstate import get_render_mesh
+
+    subgrid = get_render_mesh() is None
     parts = [np.asarray(slab_starts, np.int16)]
     dyn_meta = []
     for li, lb in enumerate(scene.layers):
         dyn_blob, dyn_bins, meta = _dyn_layer_cached(lb, li, tiles_y,
-                                                     tiles_x)
+                                                     tiles_x, subgrid)
         parts += [dyn_blob, dyn_bins]
         dyn_meta.append(meta)
     return (np.concatenate(parts) if parts else np.zeros(0, np.int16),
             tuple(dyn_meta))
+
+
+def _clip_region(clip, height: int, width: int):
+    """Static pixel rectangle (y0, x0, y1, x1) of the binary clip mask —
+    pixel included iff its center (x+0.5, y+0.5) lies in
+    [clip0, clip2] × [clip1, clip3] — clamped to the frame. Exact
+    equivalent of the masked blend: inside this rect the mask is 1,
+    outside the blend is a no-op."""
+    import math
+
+    return (max(0, math.ceil(clip[1] - 0.5)),
+            max(0, math.ceil(clip[0] - 0.5)),
+            min(height, math.floor(clip[3] - 0.5) + 1),
+            min(width, math.floor(clip[2] - 0.5) + 1))
 
 
 @functools.partial(
@@ -354,69 +422,129 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
     ("slab", j, clip): crop slabs[j] at blob start j, mask to clip;
     ("dyn", li, ci): render that volatile tail from the blob and composite."""
     ops, dyn_meta, n_slabs = meta
-    T = tiles_y * tiles_x
     starts = blob[:n_slabs].astype(jnp.int32)
     fo = n_slabs
 
     # Volatile tails: dequantize tables + bins from the blob, render each
     # (layer, class) run to a transparent layer image (in-executable — no
-    # extra dispatch).
+    # extra dispatch). Single chip: the render grid is the tail's tile-
+    # COLUMN range only (meta c0/c1 — stable across a scroll because a
+    # thumb stays in its column); dyn_imgs values carry their x offset.
     dyn_imgs = {}
-    for li, (dyn_caps, dyn_ks) in enumerate(dyn_meta):
+    for li, (dyn_caps, dyn_ks, c0, c1) in enumerate(dyn_meta):
+        ts = c1 - c0
+        Tsub = tiles_y * ts
+        x0px = c0 * TILE_W
+        sub_w = min(ts * TILE_W, width - x0px)
         dyn_tables = None
         if sum(dyn_caps):
             nwords = sum(dyn_caps[F._PART_CLS[name]] * cols
                          for name, cols, _ in R._PART_SPECS)
             dyn_tables = F._dequant_parts_traced(blob[fo:fo + nwords],
                                                  dyn_caps)
+            if x0px:
+                # Bins were built on the sub-grid; shift the commands to
+                # match (pure translate — clip bounds wide open).
+                dyn_tables = F._shift_parts(
+                    dyn_tables, float(-x0px), 0.0,
+                    (-1e6, -1e6, 1e6, 1e6))
             fo += nwords
         for ci in range(3):
             k = dyn_ks[ci]
             if k == 0:
                 continue
-            b = blob[fo:fo + T * k].reshape(T, k).astype(jnp.int32)
-            fo += T * k
-            if dyn_tables is None:
+            b = blob[fo:fo + Tsub * k].reshape(Tsub, k).astype(jnp.int32)
+            fo += Tsub * k
+            if dyn_tables is None or sub_w <= 0:
                 continue
             tabs = tuple(dyn_tables[j] for j in _CLS_TBL[ci])
             cnt = jnp.sum(b >= 0, axis=1, dtype=jnp.int32)
             block = (tabs, b, None, cnt)
-            dyn_imgs[(li, ci)] = _render_blocks_image_jit(
+            dyn_imgs[(li, ci)] = (_render_blocks_image_jit(
                 _single_class_blocks(ci, block), font_tex, image_atlas,
-                tiles_y=tiles_y, tiles_x=tiles_x, height=height,
-                width=width, use_pallas=use_pallas, mesh=mesh)
+                tiles_y=tiles_y, tiles_x=ts, height=height,
+                width=sub_w, use_pallas=use_pallas, mesh=mesh), x0px)
 
-    rows = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
-    cols = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
     out_rgb = jnp.broadcast_to(
         jnp.asarray(background[:3], jnp.float32), (height, width, 3))
     if mesh is not None:
         # Row-shard the memory-bound blend across the mesh (GSPMD: the
         # constraint propagates through the elementwise ops; slab crops
         # read replicated slabs, so each device slices its own rows).
+        # Layers blend full-frame here — region slice/update against a
+        # row-sharded output would fight GSPMD (the r03 remat lesson).
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        rows = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
+        cols = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
         out_rgb = jax.lax.with_sharding_constraint(
             out_rgb, NamedSharding(mesh, P(tuple(mesh.axis_names))))
-    for op in ops:
-        if op[0] == "img":
-            img = images[op[1]].astype(jnp.float32)   # f16-cached layer
-            rgb, a = img[..., :3], img[..., 3]
-        elif op[0] == "slab":
-            _, j, clip = op
-            crop = jax.lax.dynamic_slice(
-                slabs, (j, starts[j], 0, 0), (1, height, width, 4)
-            )[0].astype(jnp.float32)                  # f16-cached slab
-            mask = ((rows >= clip[1]) & (rows <= clip[3])
-                    & (cols >= clip[0]) & (cols <= clip[2])
-                    ).astype(jnp.float32)
-            rgb, a = crop[..., :3] * mask[..., None], crop[..., 3] * mask
-        else:
-            img = dyn_imgs.get((op[1], op[2]))
-            if img is None:
-                continue
-            rgb, a = img[..., :3], img[..., 3]
-        out_rgb = rgb + out_rgb * (1.0 - a)[..., None]
+        for op in ops:
+            if op[0] == "img":
+                img = images[op[1]].astype(jnp.float32)  # f16 cached
+                rgb, a = img[..., :3], img[..., 3]
+            elif op[0] == "slab":
+                _, j, clip = op
+                crop = jax.lax.dynamic_slice(
+                    slabs, (j, starts[j], 0, 0), (1, height, width, 4)
+                )[0].astype(jnp.float32)                 # f16 cached
+                mask = ((rows >= clip[1]) & (rows <= clip[3])
+                        & (cols >= clip[0]) & (cols <= clip[2])
+                        ).astype(jnp.float32)
+                rgb = crop[..., :3] * mask[..., None]
+                a = crop[..., 3] * mask
+            else:
+                hit = dyn_imgs.get((op[1], op[2]))
+                if hit is None:
+                    continue
+                img = hit[0]   # full-frame under mesh (c0=0, c1=tiles_x)
+                rgb, a = img[..., :3], img[..., 3]
+            out_rgb = rgb + out_rgb * (1.0 - a)[..., None]
+    else:
+        # Single chip: every cached layer blends only over its ink
+        # region — a static slice of the output, an `over`, and an
+        # (in-place, XLA-aliased) update — so steady-state HBM traffic
+        # scales with visible ink, not layer count × frame area.
+        for op in ops:
+            if op[0] == "img":
+                _, i, oy, ox = op
+                img = images[i].astype(jnp.float32)      # f16 cropped
+                h, w = img.shape[0], img.shape[1]
+                if h == 0 or w == 0:
+                    continue
+                rgb, a = img[..., :3], img[..., 3]
+                region = jax.lax.slice(out_rgb, (oy, ox, 0),
+                                       (oy + h, ox + w, 3))
+                region = rgb + region * (1.0 - a)[..., None]
+                out_rgb = jax.lax.dynamic_update_slice(
+                    out_rgb, region, (oy, ox, 0))
+            elif op[0] == "slab":
+                _, j, clip = op
+                y0, x0, y1, x1 = _clip_region(clip, height, width)
+                if y1 <= y0 or x1 <= x0:
+                    continue
+                # The clip rect IS the blend region: inside it the old
+                # mask was identically 1, outside the blend was a no-op.
+                crop = jax.lax.dynamic_slice(
+                    slabs[j], (starts[j] + y0, x0, 0),
+                    (y1 - y0, x1 - x0, 4)).astype(jnp.float32)
+                region = jax.lax.slice(out_rgb, (y0, x0, 0), (y1, x1, 3))
+                region = crop[..., :3] \
+                    + region * (1.0 - crop[..., 3])[..., None]
+                out_rgb = jax.lax.dynamic_update_slice(
+                    out_rgb, region, (y0, x0, 0))
+            else:
+                hit = dyn_imgs.get((op[1], op[2]))
+                if hit is None:
+                    continue
+                img, x0 = hit
+                w = img.shape[1]
+                rgb, a = img[..., :3], img[..., 3]
+                region = jax.lax.slice(out_rgb, (0, x0, 0),
+                                       (height, x0 + w, 3))
+                region = rgb + region * (1.0 - a)[..., None]
+                out_rgb = jax.lax.dynamic_update_slice(
+                    out_rgb, region, (0, x0, 0))
     out = jnp.concatenate(
         [out_rgb, jnp.ones((height, width, 1), jnp.float32)], axis=-1)
     return jnp.clip(out * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
@@ -444,30 +572,33 @@ _STACK_CACHE: dict = {}   # (kind, member keys, dims) -> stacked device array
 
 
 def _memo_stack(kind: str, keys: tuple, arrays, empty_shape):
-    """jnp.stack memoized by the members' content keys. A plan rebuild
-    happens every ~128 px of scroll (window uid moves with the layout
-    materialization bucket) and on any chrome change; whichever side
-    (chrome group images / slabs) is still a cache hit now reuses its
-    previous stacked array instead of re-copying full-frame f32 images
-    through HBM — e.g. a scroll-bucket rebuild reuses the chrome img
-    stack, a selection change reuses the slab stack.
+    """Layer-image collection memoized by the members' content keys. A
+    plan rebuild happens every ~128 px of scroll (window uid moves with
+    the layout materialization bucket) and on any chrome change;
+    whichever side (chrome group images / slabs) is still a cache hit
+    reuses the previous collection object — the bench and tests key on
+    its identity.
 
-    Under a render mesh the stack is pinned to the sharding
+    Single-chip: a plain TUPLE of the cache-resident device images —
+    zero copies, and bbox-cropped chrome images keep their individual
+    shapes. Under a render mesh: one jnp.stack pinned to the sharding
     `_compose_frame` consumes — "img" stacks row-sharded on dim 1 (the
     blend reads rows locally), "slab" stacks replicated (the
     data-dependent dynamic-slice crop must not gather) — so the blend's
     jit sees aligned input layouts instead of whatever stack propagation
     inferred (the r03 involuntary-rematerialization source)."""
-    key = (kind, keys, empty_shape)
-    hit = _lru_get(_STACK_CACHE, key)
-    if hit is not None:
-        return hit
-    out = (jnp.stack(arrays) if arrays
-           else jnp.zeros(empty_shape, jnp.float16))
     from .meshstate import get_render_mesh
 
     mesh = get_render_mesh()
-    if mesh is not None:
+    key = (kind, keys, empty_shape, mesh)
+    hit = _lru_get(_STACK_CACHE, key)
+    if hit is not None:
+        return hit
+    if mesh is None:
+        out = tuple(arrays)
+    else:
+        out = (jnp.stack(arrays) if arrays
+               else jnp.zeros(empty_shape, jnp.float16))
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         spec = P() if kind == "slab" else P(None, tuple(mesh.axis_names))
@@ -481,6 +612,9 @@ def _memo_stack(kind: str, keys: tuple, arrays, empty_shape):
 def _build_plan(scene, windows, chrome_entries, win_art, win_caps,
                 lws_by_layer, font_tex, image_atlas, tiles_y, tiles_x,
                 height, width):
+    from .meshstate import get_render_mesh
+
+    full = get_render_mesh() is not None
     runs = _flatten_runs(scene, chrome_entries, windows, lws_by_layer)
     ops = _group_chrome(runs)
     images, slabs, op_meta = [], [], []
@@ -488,13 +622,14 @@ def _build_plan(scene, windows, chrome_entries, win_art, win_caps,
     slab_src = []  # (gi, y0s) per slab, for per-frame start computation
     for op in ops:
         if op[0] == "group":
-            img = _chrome_group_image(op[1], chrome_entries, font_tex,
-                                      image_atlas, tiles_y, tiles_x,
-                                      height, width)
-            op_meta.append(("img", len(images)))
+            img, oy, ox = _chrome_group_image(op[1], chrome_entries,
+                                              font_tex, image_atlas,
+                                              tiles_y, tiles_x,
+                                              height, width, full)
+            op_meta.append(("img", len(images), oy, ox))
             images.append(img)
-            img_keys.append(_group_key(op[1], chrome_entries, height,
-                                       width))
+            img_keys.append((_group_key(op[1], chrome_entries, height,
+                                        width), full))
         elif op[0] == "win":
             _, gi, ci = op
             w = windows[gi]

@@ -302,10 +302,29 @@ def _chrome_entry(lb, li: int, pos_lists: tuple, tiles_y: int,
         seg_totals.append(tuple(
             int((seg[si + 1] - seg[si]).sum())
             for si in range(seg.shape[0] - 1)))
+    # Per-(class, segment) pixel bounding boxes (command boxes already
+    # carry the AA pad): lets the compose path crop chrome group layers
+    # to their ink instead of blending full-frame transparency.
+    seg_boxes = []
+    for ci in range(3):
+        nc = counts_n[ci]
+        if nc == 0:
+            seg_boxes.append(None)
+            continue
+        bounds = [0] + [min(int(p), nc) for p in pos_lists[ci]] + [nc]
+        per_seg = []
+        for si in range(len(bounds) - 1):
+            b = boxes[ci][bounds[si]:bounds[si + 1]]
+            b = b[(b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])]
+            per_seg.append(None if b.shape[0] == 0 else
+                           (float(b[:, 0].min()), float(b[:, 1].min()),
+                            float(b[:, 2].max()), float(b[:, 3].max())))
+        seg_boxes.append(tuple(per_seg))
     entry = {"parts": parts, "bins": tuple(bins_dev),
              "segs": tuple(segs_dev), "ks": tuple(ks), "caps": caps,
              "counts": counts_n, "key": key,
-             "seg_totals": tuple(seg_totals)}
+             "seg_totals": tuple(seg_totals),
+             "seg_boxes": tuple(seg_boxes)}
     while len(_CHROME_CACHE) > 24:
         _CHROME_CACHE.pop(next(iter(_CHROME_CACHE)))
     _CHROME_CACHE[key] = entry
@@ -330,16 +349,24 @@ def _dyn_bucket(n: int, hw_key) -> int:
     return cap
 
 
-def _dyn_layer(lb, li: int, tiles_y: int, tiles_x: int):
+def _dyn_layer(lb, li: int, tiles_y: int, tiles_x: int,
+               subgrid: bool = False):
     """Quantized dynamic-tail parts + per-frame bins for one layer.
-    Returns (blob_i16, bins_i16 flat, meta) — meta = (caps3, ks3)."""
+    Returns (blob_i16, bins_i16 flat, meta) — meta = (caps3, ks3, c0, c1)
+    where [c0, c1) is the tile-COLUMN range the bins cover. With
+    `subgrid` (compose path, single chip) that range shrinks to the
+    columns the commands' boxes touch — a scrollbar thumb occupies a
+    fixed column while it moves, so the range (and the jit meta keyed on
+    it) stays stable across a scroll while the per-frame render/blend
+    touches ~1 column instead of the frame. Without `subgrid` (classic
+    path, mesh path) the range is the full grid — bins layout unchanged."""
     nds, ndg, ndi = lb.n_dyn_shapes, lb.n_dyn_glyphs, lb.n_dyn_images
     s0, g0, i0 = (lb.n_shapes - nds, lb.n_glyphs - ndg, lb.n_images - ndi)
     caps = (_dyn_bucket(nds, (li, 0)), _dyn_bucket(ndg, (li, 1)),
             _dyn_bucket(ndi, (li, 2)))
     if sum(caps) == 0:
         return (np.zeros(0, np.int16), np.zeros(0, np.int16),
-                ((0, 0, 0), (0, 0, 0)))
+                ((0, 0, 0), (0, 0, 0), 0, tiles_x))
     arrays = {"shapes": lb.shapes[s0:s0 + nds],
               "shape_clips": lb.shape_clips[s0:s0 + nds],
               "glyphs": lb.glyphs[g0:g0 + ndg],
@@ -356,24 +383,35 @@ def _dyn_layer(lb, li: int, tiles_y: int, tiles_x: int):
                                 arrays["glyph_clips"]),
              R._intersect_boxes(R._quad_boxes(arrays["images"], ndi),
                                 arrays["image_clips"]))
+    c0, c1 = 0, tiles_x
+    if subgrid:
+        valid = np.concatenate([
+            b[(b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])] for b in boxes])
+        if valid.shape[0]:
+            c0 = min(max(0, int(valid[:, 0].min()) // TILE_W), tiles_x - 1)
+            c1 = min(max(c0 + 1, -(-int(valid[:, 2].max() + 1) // TILE_W)),
+                     tiles_x)
+        else:
+            c0, c1 = 0, 1
+    off = np.array([c0 * TILE_W, 0.0, c0 * TILE_W, 0.0], np.float32)
     bins_parts, ks = [], []
     for ci, nd in enumerate((nds, ndg, ndi)):
         if caps[ci] == 0:
             ks.append(0)
             continue
         if nd:
-            bins, _ = R._bin_indexed(boxes[ci],
+            bins, _ = R._bin_indexed(boxes[ci] - off,
                                      np.arange(nd, dtype=np.int64),
-                                     tiles_y, tiles_x, 32)
+                                     tiles_y, c1 - c0, 32)
         else:
-            bins = np.full((tiles_y * tiles_x, 1), -1, np.int32)
+            bins = np.full((tiles_y * (c1 - c0), 1), -1, np.int32)
         k = _dyn_bucket(bins.shape[1], (li, ci, "k"))
-        padded = np.full((tiles_y * tiles_x, k), -1, np.int16)
+        padded = np.full((tiles_y * (c1 - c0), k), -1, np.int16)
         padded[:, :bins.shape[1]] = bins
         bins_parts.append(padded.ravel())
         ks.append(k)
     return blob, (np.concatenate(bins_parts) if bins_parts
-                  else np.zeros(0, np.int16)), (caps, tuple(ks))
+                  else np.zeros(0, np.int16)), (caps, tuple(ks), c0, c1)
 
 
 # ---------------------------------------------------------------------------
@@ -489,7 +527,7 @@ def _render_frame(frame_blob, chrome_args, win_args, font_tex, image_atlas,
     layers_blocks = []
     for li, (caps, ks, lws, dyn_meta, has) in enumerate(layers_meta):
         parts, bins3, segs3 = chrome_args[li]
-        dyn_caps, dyn_ks = dyn_meta
+        dyn_caps, dyn_ks = dyn_meta[0], dyn_meta[1]  # full grid here
         # dynamic tables + bins from the frame blob
         dyn_tables = None
         if sum(dyn_caps):
