@@ -234,7 +234,13 @@ _BBOX_PAD = 2.0
 def _group_bbox(members, chrome_entries, height, width, full: bool):
     """Pixel-aligned ink bbox (y0, x0, y1, x1) of a chrome group, or the
     full frame when `full` (mesh path: the row-sharded blend stays
-    full-frame) / when no member reports a box."""
+    full-frame) / when no member reports a box.
+
+    A bbox covering ≥ half the frame rounds UP to the full frame: big
+    layers blend through the fused elementwise chain (one XLA kernel
+    with the background + neighbors — measured cheaper than a region
+    slice/update of nearly the whole frame), so cropping only pays on
+    genuinely small ink (badges, thumbs, header pills)."""
     if full:
         return (0, 0, height, width)
     x0 = y0 = float("inf")
@@ -250,10 +256,13 @@ def _group_bbox(members, chrome_entries, height, width, full: bool):
         return (0, 0, height, width)
     import math
 
-    return (max(0, int(math.floor(y0 - _BBOX_PAD))),
-            max(0, int(math.floor(x0 - _BBOX_PAD))),
-            min(height, int(math.ceil(y1 + _BBOX_PAD))),
-            min(width, int(math.ceil(x1 + _BBOX_PAD))))
+    oy = max(0, int(math.floor(y0 - _BBOX_PAD)))
+    ox = max(0, int(math.floor(x0 - _BBOX_PAD)))
+    ey = min(height, int(math.ceil(y1 + _BBOX_PAD)))
+    ex = min(width, int(math.ceil(x1 + _BBOX_PAD)))
+    if (ey - oy) * (ex - ox) * 2 >= height * width:
+        return (0, 0, height, width)
+    return (oy, ox, ey, ex)
 
 
 def _chrome_group_image(members, chrome_entries, font_tex, image_atlas,
@@ -501,10 +510,16 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
                 rgb, a = img[..., :3], img[..., 3]
             out_rgb = rgb + out_rgb * (1.0 - a)[..., None]
     else:
-        # Single chip: every cached layer blends only over its ink
-        # region — a static slice of the output, an `over`, and an
-        # (in-place, XLA-aliased) update — so steady-state HBM traffic
-        # scales with visible ink, not layer count × frame area.
+        # Single chip, HYBRID schedule (measured on hardware): big
+        # layers — full-frame chrome, slab crops, wide volatile tails —
+        # blend through the plain elementwise chain, which XLA fuses
+        # with the background/neighbors into single kernels (one out
+        # traversal per fused segment); only genuinely SMALL crops
+        # (badges, thumbs — bbox < half frame) blend as a static
+        # slice → over → in-place region update, so their cost is their
+        # ink, not a full-frame read. Region ops are rare, so they
+        # barely interrupt fusion.
+        rows = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
         for op in ops:
             if op[0] == "img":
                 _, i, oy, ox = op
@@ -513,6 +528,9 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
                 if h == 0 or w == 0:
                     continue
                 rgb, a = img[..., :3], img[..., 3]
+                if (h, w) == (height, width):
+                    out_rgb = rgb + out_rgb * (1.0 - a)[..., None]
+                    continue
                 region = jax.lax.slice(out_rgb, (oy, ox, 0),
                                        (oy + h, ox + w, 3))
                 region = rgb + region * (1.0 - a)[..., None]
@@ -520,19 +538,18 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
                     out_rgb, region, (oy, ox, 0))
             elif op[0] == "slab":
                 _, j, clip = op
-                y0, x0, y1, x1 = _clip_region(clip, height, width)
-                if y1 <= y0 or x1 <= x0:
-                    continue
-                # The clip rect IS the blend region: inside it the old
-                # mask was identically 1, outside the blend was a no-op.
+                # Full-frame masked blend, fused with its elementwise
+                # neighbors. The slab bakes its x clip at build; only
+                # the y clip (scroll-dependent) masks here.
                 crop = jax.lax.dynamic_slice(
-                    slabs[j], (starts[j] + y0, x0, 0),
-                    (y1 - y0, x1 - x0, 4)).astype(jnp.float32)
-                region = jax.lax.slice(out_rgb, (y0, x0, 0), (y1, x1, 3))
-                region = crop[..., :3] \
-                    + region * (1.0 - crop[..., 3])[..., None]
-                out_rgb = jax.lax.dynamic_update_slice(
-                    out_rgb, region, (y0, x0, 0))
+                    slabs[j], (starts[j], 0, 0), (height, width, 4)
+                ).astype(jnp.float32)                    # f16 cached
+                mask = ((rows >= clip[1]) & (rows <= clip[3])
+                        ).astype(jnp.float32)
+                mask = jnp.broadcast_to(mask, (height, width))
+                rgb = crop[..., :3] * mask[..., None]
+                a = crop[..., 3] * mask
+                out_rgb = rgb + out_rgb * (1.0 - a)[..., None]
             else:
                 hit = dyn_imgs.get((op[1], op[2]))
                 if hit is None:
@@ -540,6 +557,9 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
                 img, x0 = hit
                 w = img.shape[1]
                 rgb, a = img[..., :3], img[..., 3]
+                if w == width:
+                    out_rgb = rgb + out_rgb * (1.0 - a)[..., None]
+                    continue
                 region = jax.lax.slice(out_rgb, (0, x0, 0),
                                        (height, x0 + w, 3))
                 region = rgb + region * (1.0 - a)[..., None]
@@ -674,6 +694,8 @@ def prepare_compose_dispatch(scene, font_tex, image_atlas):
     pack N steady-state frames' blobs and run them in ONE jitted scan:
     the per-frame wall metrics ride the device tunnel, and this is the
     tunnel-independent counterpart."""
+    from .meshstate import get_render_mesh
+
     windows = list(getattr(scene, "windows", ()) or ())
     for w in windows:
         if float(w.dy) != float(int(w.dy)):
@@ -714,7 +736,13 @@ def prepare_compose_dispatch(scene, font_tex, image_atlas):
                 # plan or it would never be composited.
                 tuple((lb.n_dyn_shapes > 0, lb.n_dyn_images > 0,
                        lb.n_dyn_glyphs > 0) for lb in scene.layers),
-                height, width)
+                height, width,
+                # Mesh identity: a plan's layer collections are bbox-
+                # cropped tuples on a single chip but full-frame sharded
+                # stacks under a mesh — a plan built under one must
+                # never serve the other (render_scene_sharded flips the
+                # mesh per call without clearing caches).
+                get_render_mesh())
     plan = _lru_get(_PLAN_CACHE, plan_key)
     if plan is not None:
         # slab validity: the crop must stay inside every cached slab
@@ -756,8 +784,6 @@ def prepare_compose_dispatch(scene, font_tex, image_atlas):
             _BLOB_DEV_CACHE.pop(next(iter(_BLOB_DEV_CACHE)))
         _BLOB_DEV_CACHE[bkey] = blob_dev
     meta = (plan["ops"], dyn_meta, len(starts))
-    from .meshstate import get_render_mesh
-
     args = (blob_dev, plan["img_stack"], plan["slab_stack"], font_tex,
             image_atlas)
     statics = dict(background=tuple(float(c) for c in scene.background[:3]),
