@@ -294,3 +294,26 @@ def test_dyn_subgrid_covers_only_thumb_columns(app_fixture):
         "dyn subgrid inactive: volatile tails render the full tile grid"
     assert metas[0] == metas[1] == metas[2], \
         "dyn meta churned across a scroll: compose jit recompiles per frame"
+
+
+def test_mosaic_kernel_blend_matches_xla_blend(app_fixture, monkeypatch):
+    """The Mosaic compose kernel (render/pallas_compose.py, exercised in
+    interpret mode here; compiled on the TPU tier) must reproduce the
+    XLA blend chain within 1 u8 — same plan, same z order, i16 cached
+    layers at better-than-f16 precision."""
+    app, tab, r = app_fixture
+    monkeypatch.delenv("WGIT_COMPOSE_KERNEL", raising=False)
+    C.clear_caches()
+    scene = _scene(app, tab, r, 33.0)
+    xla = C.render_frame_composed(scene, r.font_tex_device(),
+                                  r.image_atlas_device())
+    assert xla is not None
+    monkeypatch.setenv("WGIT_COMPOSE_KERNEL", "interpret")
+    C.clear_caches()
+    scene = _scene(app, tab, r, 33.0)
+    kern = C.render_frame_composed(scene, r.font_tex_device(),
+                                   r.image_atlas_device())
+    assert kern is not None
+    diff = np.abs(np.asarray(xla).astype(np.int16)
+                  - np.asarray(kern).astype(np.int16))
+    assert diff.max() <= 1, f"kernel vs XLA blend: max u8 diff {diff.max()}"

@@ -18,23 +18,28 @@ pixels* of almost everything are unchanged too —
   * **Volatile commands** (scrollbar thumbs — the per-layer dynamic tail)
     are the only per-frame rasterization: one small blocks-kernel pass
     over a transparent canvas.
-  * The frame is assembled by ONE jit dispatch that blends the layers in
-    z order. Single chip, every cached layer is CROPPED to its ink bbox
-    and blended through a static slice → over → (XLA-aliased, in-place)
-    update of only that region; slab crops blend only their window's
-    static clip rect, and volatile tails render/blend only their tile
-    columns — steady-state HBM traffic scales with visible ink, not
-    layer count × frame area. Under a render mesh the blend stays one
-    fused full-frame elementwise pass row-sharded across devices
-    (region updates against a sharded output would fight GSPMD).
+  * The frame is assembled by ONE jit dispatch that blends the layers
+    in z order. On TPU (single chip) the blend is the MOSAIC COMPOSE
+    KERNEL (render/pallas_compose.py): one pallas pass over output
+    tiles, cached layers held as i16 planar tile-rects cropped to
+    their ink, slab scroll-starts scalar-prefetched, u8 quantized
+    in-kernel — measured 1.8× faster than the best XLA schedule. On
+    CPU the blend is a hybrid XLA chain (big layers fused elementwise,
+    small crops as static region updates). Under a render mesh it
+    stays one fused full-frame elementwise pass row-sharded across
+    devices (region updates against a sharded output would fight
+    GSPMD). WGIT_COMPOSE_KERNEL=0 forces the XLA blend; =interpret
+    runs the kernel logic on CPU (tests).
 
 Exactness: every layer preserves the kernel's per-command compositing
 internally; two bounded error terms separate it from the packed path —
 (a) layer boundaries re-associate the `over` operator (exact where
 layers don't overlap, ≤1 ulp where they do), and (b) CACHED layers
-(chrome groups, slabs) store f16 (premultiplied values in [0,1] round
-within 2^-11 relative ≈ 0.12 u8 per layer; the blend's HBM reads — its
-entire steady-state cost — halve). Integer scroll offsets translate
+(chrome groups, slabs) store f16 on the XLA path (premultiplied values
+in [0,1] round within 2^-11 relative ≈ 0.12 u8 per layer; the blend's
+HBM reads — its entire steady-state cost — halve) and i16 fixed-point
+on the kernel path (2^-15 step ≈ 0.004 u8 — strictly tighter, same
+bytes). Integer scroll offsets translate
 commands exactly in f32 (coordinates are ≤2^13 with 1/8 px
 quantization), so slab crops reproduce direct rendering up to the f16
 term; the compose path guarantees ≤1 u8 per channel vs the packed path
@@ -88,6 +93,76 @@ def compose_enabled() -> bool:
     if want is not None:
         return want not in ("0", "false", "")
     return True
+
+
+def _kernel_mode() -> bool:
+    """True when the compose blend runs as the Mosaic kernel
+    (render/pallas_compose.py): single chip + pallas available, or the
+    test override WGIT_COMPOSE_KERNEL=interpret (interpret-mode kernel
+    on CPU). WGIT_COMPOSE_KERNEL=0 forces the XLA blend everywhere."""
+    from .meshstate import get_render_mesh
+
+    want = os.environ.get("WGIT_COMPOSE_KERNEL", "auto")
+    if want in ("0", "off"):
+        return False
+    if get_render_mesh() is not None:
+        return False
+    return R._use_pallas() or want == "interpret"
+
+
+def _kernel_interpret() -> bool:
+    return os.environ.get("WGIT_COMPOSE_KERNEL") == "interpret"
+
+
+# i16 fixed-point scale for kernel-mode cached layers (premultiplied
+# values in [0, 1]; 2^-15 step ≈ 0.004 u8 — beats the XLA path's f16).
+_I16_SCALE = 32767.0
+
+
+def _quant_i16_planar(tiles_f32, tiles_y: int, tiles_x: int):
+    """(T, 4, TH, TW) f32 → (Ty, Tx, 4, TH, TW) i16 fixed-point."""
+    q = jnp.clip(jnp.round(tiles_f32 * _I16_SCALE), -32767.0, 32767.0)
+    return q.astype(jnp.int16).reshape(tiles_y, tiles_x, 4, TILE_H,
+                                       TILE_W)
+
+
+def _render_blocks_tiles(layers_blocks, font_tex, image_atlas,
+                         tiles_y: int, tiles_x: int):
+    """Kernel-mode layer render → (Ty, Tx, 4, TH, TW) i16 planar tiles
+    (the rasterizer's native output, quantized — no assemble pass)."""
+    return _render_blocks_tiles_jit(
+        layers_blocks, jnp.asarray(font_tex), jnp.asarray(image_atlas),
+        tiles_y=tiles_y, tiles_x=tiles_x, use_pallas=R._use_pallas())
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x",
+                                             "use_pallas"))
+def _render_blocks_tiles_jit(layers_blocks, font_tex, image_atlas,
+                             tiles_y: int, tiles_x: int,
+                             use_pallas: bool):
+    tiles = _render_blocks_planar_traced(layers_blocks, font_tex,
+                                         image_atlas, tiles_y, tiles_x,
+                                         use_pallas)
+    return _quant_i16_planar(tiles, tiles_y, tiles_x)
+
+
+def _render_blocks_planar_traced(layers_blocks, font_tex, image_atlas,
+                                 tiles_y: int, tiles_x: int,
+                                 use_pallas: bool):
+    """→ (T, 4, TH, TW) f32 planar tiles over a transparent canvas."""
+    from . import pallas_raster as PR
+
+    if use_pallas:
+        font_cells, font_cols = PR.cellify(font_tex.astype(jnp.bfloat16))
+        image_cells, img_cols = PR.cellify(
+            image_atlas.astype(jnp.bfloat16), channels=4)
+        return PR.render_tiles_blocks(layers_blocks, font_cells,
+                                      font_cols, image_cells, img_cols,
+                                      None, tiles_y, tiles_x)
+    tiles = F._render_tiles_blocks_xla(layers_blocks, font_tex,
+                                       image_atlas, None, tiles_y,
+                                       tiles_x)   # (T, TH, TW, 4)
+    return tiles.transpose(0, 3, 1, 2)
 
 
 def _render_blocks_image(layers_blocks, font_tex, image_atlas, tiles_y: int,
@@ -231,17 +306,19 @@ def _group_key(members, chrome_entries, height, width):
 _BBOX_PAD = 2.0
 
 
-def _group_bbox(members, chrome_entries, height, width, full: bool):
+def _group_bbox(members, chrome_entries, height, width, mode: str):
     """Pixel-aligned ink bbox (y0, x0, y1, x1) of a chrome group, or the
-    full frame when `full` (mesh path: the row-sharded blend stays
-    full-frame) / when no member reports a box.
+    full frame when mode == "full" (mesh path: the row-sharded blend
+    stays full-frame) / when no member reports a box.
 
-    A bbox covering ≥ half the frame rounds UP to the full frame: big
-    layers blend through the fused elementwise chain (one XLA kernel
-    with the background + neighbors — measured cheaper than a region
-    slice/update of nearly the whole frame), so cropping only pays on
-    genuinely small ink (badges, thumbs, header pills)."""
-    if full:
+    "xla" mode: a bbox covering ≥ half the frame rounds UP to the full
+    frame — big layers blend through the fused elementwise chain (one
+    XLA kernel with the background + neighbors; measured cheaper than a
+    region slice/update of nearly the whole frame), so cropping only
+    pays on genuinely small ink. "kernel" mode keeps every bbox — the
+    Mosaic compose kernel (render/pallas_compose.py) skips non-covered
+    tiles at zero cost."""
+    if mode == "full":
         return (0, 0, height, width)
     x0 = y0 = float("inf")
     x1 = y1 = float("-inf")
@@ -260,17 +337,20 @@ def _group_bbox(members, chrome_entries, height, width, full: bool):
     ox = max(0, int(math.floor(x0 - _BBOX_PAD)))
     ey = min(height, int(math.ceil(y1 + _BBOX_PAD)))
     ex = min(width, int(math.ceil(x1 + _BBOX_PAD)))
-    if (ey - oy) * (ex - ox) * 2 >= height * width:
+    if mode == "xla" and (ey - oy) * (ex - ox) * 2 >= height * width:
         return (0, 0, height, width)
     return (oy, ox, ey, ex)
 
 
 def _chrome_group_image(members, chrome_entries, font_tex, image_atlas,
-                        tiles_y, tiles_x, height, width, full: bool):
-    """→ (layer image cropped to the group's ink bbox, oy, ox). Under a
-    render mesh (`full`) the crop is the whole frame — blending cropped
-    regions into a row-sharded output would fight GSPMD."""
-    key = (_group_key(members, chrome_entries, height, width), full)
+                        tiles_y, tiles_x, height, width, mode: str):
+    """Cached chrome group layer, layout by mode:
+    "xla"/"full" → ((h, w, 4) f16 image cropped to the ink bbox, oy, ox)
+    pixel offsets ("full": whole frame — blending cropped regions into
+    a row-sharded output would fight GSPMD);
+    "kernel" → ((Ty, Tx, 4, TH, TW) i16 planar tile-rect, ty0, tx0)
+    TILE offsets for the Mosaic compose kernel."""
+    key = (_group_key(members, chrome_entries, height, width), mode)
     hit = _lru_get(_GROUP_CACHE, key)
     if hit is not None:
         return hit
@@ -284,16 +364,24 @@ def _chrome_group_image(members, chrome_entries, font_tex, image_atlas,
         block = (tables, ch["bins"][ci], ch["segs"][ci][si],
                  ch["segs"][ci][si + 1])
         layers.append(_single_class_blocks(ci, block)[0])
-    img = _render_blocks_image(tuple(layers), font_tex, image_atlas,
-                               tiles_y, tiles_x, height, width,
-                               out_dtype="f16")
     oy, ox, y1, x1 = _group_bbox(members, chrome_entries, height, width,
-                                 full)
-    if (oy, ox, y1, x1) != (0, 0, height, width):
-        # One-time device slice per content change; the steady-state
-        # blend then reads only the ink region every frame.
-        img = img[oy:y1, ox:x1]
-    entry = (img, oy, ox)
+                                 mode)
+    if mode == "kernel":
+        tiles = _render_blocks_tiles(tuple(layers), font_tex,
+                                     image_atlas, tiles_y, tiles_x)
+        ty0, tx0 = oy // TILE_H, ox // TILE_W
+        ty1 = -(-y1 // TILE_H)
+        tx1 = -(-x1 // TILE_W)
+        entry = (tiles[ty0:ty1, tx0:tx1], ty0, tx0)
+    else:
+        img = _render_blocks_image(tuple(layers), font_tex, image_atlas,
+                                   tiles_y, tiles_x, height, width,
+                                   out_dtype="f16")
+        if (oy, ox, y1, x1) != (0, 0, height, width):
+            # One-time device slice per content change; the steady-state
+            # blend then reads only the ink region every frame.
+            img = img[oy:y1, ox:x1]
+        entry = (img, oy, ox)
     while len(_GROUP_CACHE) > _img_cache_cap(12):
         _GROUP_CACHE.pop(next(iter(_GROUP_CACHE)))
     _GROUP_CACHE[key] = entry
@@ -311,14 +399,16 @@ def _shift_window_jit(parts, dx, dy, c0, c1, c2, c3, caps: tuple):
 
 
 def _window_slab(w, gi, ci, art, caps, font_tex, image_atlas, tiles_x,
-                 height, width):
+                 height, width, mode: str):
     """Device-resident content-space slab for one window+class, valid while
     the scroll offset stays within ±OVERSCAN of the build offset. Returns
-    (slab_img, y0s) or None when this class lands nothing on screen."""
+    (slab, y0s, key): "kernel" mode a (Rt, Tx, 4, TH, TW) i16 planar
+    tile grid for the Mosaic compose kernel, else an (slab_h, W, 4) f16
+    image."""
     slab_h = _slab_height(height)
     dy = float(w.dy)
     key = (w.comp.uid, ci, caps, round(w.dx * 8.0),
-           tuple(round(c * 4.0) for c in w.clip), tiles_x, height)
+           tuple(round(c * 4.0) for c in w.clip), tiles_x, height, mode)
     hit = _lru_get(_SLAB_CACHE, key)
     if hit is not None:
         start = -dy - hit["y0s"]
@@ -342,10 +432,16 @@ def _window_slab(w, gi, ci, art, caps, font_tex, image_atlas, tiles_x,
     counts = (bins >= 0).sum(axis=1).astype(np.int32)
     tables = tuple(shifted[j] for j in _CLS_TBL[ci])
     block = (tables, jnp.asarray(bins), None, jnp.asarray(counts))
-    img = _render_blocks_image(_single_class_blocks(ci, block), font_tex,
-                               image_atlas, tiles_y_slab, tiles_x,
-                               slab_h, width, out_spec="replicated",
-                               out_dtype="f16")
+    if mode == "kernel":
+        img = _render_blocks_tiles(_single_class_blocks(ci, block),
+                                   font_tex, image_atlas, tiles_y_slab,
+                                   tiles_x)
+    else:
+        img = _render_blocks_image(_single_class_blocks(ci, block),
+                                   font_tex, image_atlas, tiles_y_slab,
+                                   tiles_x, slab_h, width,
+                                   out_spec="replicated",
+                                   out_dtype="f16")
     while len(_SLAB_CACHE) > _img_cache_cap(24):
         _SLAB_CACHE.pop(next(iter(_SLAB_CACHE)))
     _SLAB_CACHE[key] = {"img": img, "y0s": y0s}
@@ -421,18 +517,23 @@ def _clip_region(clip, height: int, width: int):
 
 @functools.partial(
     jax.jit, static_argnames=("meta", "background", "height", "width",
-                              "tiles_y", "tiles_x", "use_pallas", "mesh"))
+                              "tiles_y", "tiles_x", "use_pallas", "mesh",
+                              "blend"))
 def _compose_frame(blob, images, slabs, font_tex, image_atlas,
                    background: tuple, height: int, width: int,
                    tiles_y: int, tiles_x: int, meta: tuple,
-                   use_pallas: bool, mesh=None):
+                   use_pallas: bool, mesh=None, blend: str = "xla"):
     """meta = (ops, dyn_meta, n_slabs); ops entries —
-    ("img", i): composite images[i];
+    ("img", i, oy, ox): composite images[i] (offsets: tiles when
+    blend=="kernel*", pixels otherwise);
     ("slab", j, clip): crop slabs[j] at blob start j, mask to clip;
-    ("dyn", li, ci): render that volatile tail from the blob and composite."""
+    ("dyn", li, ci): render that volatile tail from the blob and
+    composite. blend: "xla" | "kernel" | "kernel_interp" — the Mosaic
+    compose kernel (render/pallas_compose.py) vs the XLA blend chain."""
     ops, dyn_meta, n_slabs = meta
     starts = blob[:n_slabs].astype(jnp.int32)
     fo = n_slabs
+    kernel = blend.startswith("kernel") and mesh is None
 
     # Volatile tails: dequantize tables + bins from the blob, render each
     # (layer, class) run to a transparent layer image (in-executable — no
@@ -440,6 +541,7 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
     # COLUMN range only (meta c0/c1 — stable across a scroll because a
     # thumb stays in its column); dyn_imgs values carry their x offset.
     dyn_imgs = {}
+    dyn_tiles = {}
     for li, (dyn_caps, dyn_ks, c0, c1) in enumerate(dyn_meta):
         ts = c1 - c0
         Tsub = tiles_y * ts
@@ -469,10 +571,38 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
             tabs = tuple(dyn_tables[j] for j in _CLS_TBL[ci])
             cnt = jnp.sum(b >= 0, axis=1, dtype=jnp.int32)
             block = (tabs, b, None, cnt)
-            dyn_imgs[(li, ci)] = (_render_blocks_image_jit(
-                _single_class_blocks(ci, block), font_tex, image_atlas,
-                tiles_y=tiles_y, tiles_x=ts, height=height,
-                width=sub_w, use_pallas=use_pallas, mesh=mesh), x0px)
+            if kernel:
+                tiles = _render_blocks_planar_traced(
+                    _single_class_blocks(ci, block), font_tex,
+                    image_atlas, tiles_y, ts,
+                    use_pallas and blend == "kernel")
+                dyn_tiles[(li, ci)] = tiles.reshape(
+                    tiles_y, ts, 4, TILE_H, TILE_W)
+            else:
+                dyn_imgs[(li, ci)] = (_render_blocks_image_jit(
+                    _single_class_blocks(ci, block), font_tex,
+                    image_atlas, tiles_y=tiles_y, tiles_x=ts,
+                    height=height, width=sub_w, use_pallas=use_pallas,
+                    mesh=mesh), x0px)
+
+    if kernel:
+        from . import pallas_compose as PC
+        from . import pallas_raster as PR
+
+        kops = []
+        for op in ops:
+            if op[0] == "dyn":
+                li, ci = op[1], op[2]
+                if (li, ci) in dyn_tiles:
+                    kops.append(("dyn", li, ci, dyn_meta[li][2]))
+            else:
+                kops.append(op)
+        out5 = PC.compose_tiles(
+            starts, tuple(images), tuple(slabs), dyn_tiles,
+            ops=tuple(kops), tiles_y=tiles_y, tiles_x=tiles_x,
+            background=background,
+            interpret=(blend == "kernel_interp" or not use_pallas))
+        return PR.assemble_u8(out5, tiles_y, tiles_x, height, width)
 
     out_rgb = jnp.broadcast_to(
         jnp.asarray(background[:3], jnp.float32), (height, width, 3))
@@ -634,7 +764,8 @@ def _build_plan(scene, windows, chrome_entries, win_art, win_caps,
                 height, width):
     from .meshstate import get_render_mesh
 
-    full = get_render_mesh() is not None
+    mode = ("full" if get_render_mesh() is not None
+            else "kernel" if _kernel_mode() else "xla")
     runs = _flatten_runs(scene, chrome_entries, windows, lws_by_layer)
     ops = _group_chrome(runs)
     images, slabs, op_meta = [], [], []
@@ -642,21 +773,23 @@ def _build_plan(scene, windows, chrome_entries, win_art, win_caps,
     slab_src = []  # (gi, y0s) per slab, for per-frame start computation
     for op in ops:
         if op[0] == "group":
+            # Offsets are TILE units in "kernel" mode, pixels otherwise
+            # (_chrome_group_image docstring).
             img, oy, ox = _chrome_group_image(op[1], chrome_entries,
                                               font_tex, image_atlas,
                                               tiles_y, tiles_x,
-                                              height, width, full)
+                                              height, width, mode)
             op_meta.append(("img", len(images), oy, ox))
             images.append(img)
             img_keys.append((_group_key(op[1], chrome_entries, height,
-                                        width), full))
+                                        width), mode))
         elif op[0] == "win":
             _, gi, ci = op
             w = windows[gi]
             slab, y0s, skey = _window_slab(w, gi, ci, win_art[gi],
                                            win_caps[gi], font_tex,
                                            image_atlas, tiles_x,
-                                           height, width)
+                                           height, width, mode)
             clip = tuple(round(float(c) * 4.0) / 4.0 for c in w.clip)
             op_meta.append(("slab", len(slabs), clip))
             slabs.append(slab)
@@ -737,12 +870,14 @@ def prepare_compose_dispatch(scene, font_tex, image_atlas):
                 tuple((lb.n_dyn_shapes > 0, lb.n_dyn_images > 0,
                        lb.n_dyn_glyphs > 0) for lb in scene.layers),
                 height, width,
-                # Mesh identity: a plan's layer collections are bbox-
-                # cropped tuples on a single chip but full-frame sharded
-                # stacks under a mesh — a plan built under one must
-                # never serve the other (render_scene_sharded flips the
-                # mesh per call without clearing caches).
-                get_render_mesh())
+                # Mesh identity + blend mode: a plan's layer collections
+                # are planar i16 tile-rects (Mosaic kernel), bbox-
+                # cropped f16 tuples (XLA single chip), or full-frame
+                # sharded stacks (mesh) — a plan built under one must
+                # never serve another (render_scene_sharded flips the
+                # mesh per call without clearing caches; tests flip
+                # WGIT_COMPOSE_KERNEL).
+                get_render_mesh(), _kernel_mode())
     plan = _lru_get(_PLAN_CACHE, plan_key)
     if plan is not None:
         # slab validity: the crop must stay inside every cached slab
@@ -789,22 +924,26 @@ def prepare_compose_dispatch(scene, font_tex, image_atlas):
     statics = dict(background=tuple(float(c) for c in scene.background[:3]),
                    height=height, width=width, tiles_y=tiles_y,
                    tiles_x=tiles_x, meta=meta, use_pallas=R._use_pallas(),
-                   mesh=get_render_mesh())
+                   mesh=get_render_mesh(),
+                   blend=("kernel_interp" if _kernel_interpret()
+                          else "kernel") if _kernel_mode() else "xla")
     return args, statics
 
 
 @functools.partial(
     jax.jit, static_argnames=("background", "height", "width", "tiles_y",
-                              "tiles_x", "meta", "use_pallas", "mesh"))
+                              "tiles_x", "meta", "use_pallas", "mesh",
+                              "blend"))
 def _compose_scan_jit(blobs, images, slabs, font_tex, image_atlas,
                       background: tuple, height: int, width: int,
                       tiles_y: int, tiles_x: int, meta: tuple,
-                      use_pallas: bool, mesh=None):
+                      use_pallas: bool, mesh=None, blend: str = "xla"):
     def body(carry, blob):
         img = _compose_frame(blob, images, slabs, font_tex, image_atlas,
                              background=background, height=height,
                              width=width, tiles_y=tiles_y, tiles_x=tiles_x,
-                             meta=meta, use_pallas=use_pallas, mesh=mesh)
+                             meta=meta, use_pallas=use_pallas, mesh=mesh,
+                             blend=blend)
         # Fold every frame into the carry so no iteration can be DCE'd.
         return carry ^ jnp.sum(img[..., 0].astype(jnp.uint32)), None
 

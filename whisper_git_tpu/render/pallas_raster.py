@@ -517,6 +517,16 @@ def assemble_planar(tiles_f32, tiles_y: int, tiles_x: int,
     return jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
 
+def assemble_u8(tiles_u8, tiles_y: int, tiles_x: int,
+                height: int, width: int):
+    """(T, 4, TH, TW) u8 planar tiles → (H, W, 4) u8 — pure layout
+    transpose for kernels that quantize in-kernel (pallas_compose)."""
+    img = tiles_u8.reshape(tiles_y, tiles_x, 4, TILE_H, TILE_W)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * TILE_H,
+                                               tiles_x * TILE_W, 4)
+    return img[:height, :width]
+
+
 def assemble_f32(tiles_f32, tiles_y: int, tiles_x: int,
                  height: int, width: int):
     """(T, 4, TH, TW) f32 → (H, W, 4) f32 — the un-quantized variant for
