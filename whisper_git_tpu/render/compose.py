@@ -75,7 +75,7 @@ OVERSCAN = 192
 # premultiplied): groups ≤ 12×~16 MB + slabs ≤ 24×~25 MB + plan stacks
 # ≤ 4×~120 MB ≈ 1.3 GB worst case — well inside a TPU chip's HBM, and the
 # caps bound it regardless of session length.
-_GROUP_CACHE: dict = {}   # group key -> (H, W, 4) f32 device image
+_GROUP_CACHE: dict = {}   # group key -> (layer image, oy, ox) per mode
 _SLAB_CACHE: dict = {}    # slab key  -> dict(y0s, img)
 
 
