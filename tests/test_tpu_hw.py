@@ -192,3 +192,31 @@ def test_screenshot_frame_on_hw(tpu_renderer, temp_repo):
     assert len(np.unique(img[..., 0])) > 8
     for tb in app.tabs:
         tb.stop_workers()
+
+
+def test_compose_kernel_active_and_matches_xla_blend_on_hw(
+        tpu_renderer, monkeypatch):
+    """The Mosaic compose kernel (render/pallas_compose.py) must be the
+    live blend on hardware, and its COMPILED output must match the XLA
+    blend chain within 1 u8 on the same chip — the interpret-mode CPU
+    gate (test_compose.py) cannot see Mosaic lowering bugs."""
+    from whisper_git_tpu.render import compose as C
+    from whisper_git_tpu.render import rasterizer as R
+
+    monkeypatch.delenv("WGIT_COMPOSE_KERNEL", raising=False)
+    monkeypatch.delenv("WGIT_FRAME_COMPOSE", raising=False)
+    assert C._kernel_mode(), \
+        "Mosaic compose kernel not active on the TPU backend"
+    scene = _steady_scene(tpu_renderer, 16.0)
+    _clear_device_caches()
+    kern = C.render_frame_composed(scene, tpu_renderer.font_tex_device(),
+                                   tpu_renderer.image_atlas_device())
+    assert kern is not None
+    monkeypatch.setenv("WGIT_COMPOSE_KERNEL", "0")
+    _clear_device_caches()
+    xla = C.render_frame_composed(scene, tpu_renderer.font_tex_device(),
+                                  tpu_renderer.image_atlas_device())
+    assert xla is not None
+    diff = np.abs(np.asarray(kern).astype(np.int16)
+                  - np.asarray(xla).astype(np.int16))
+    assert diff.max() <= 1, f"kernel vs XLA on hw: {diff.max()} u8"
