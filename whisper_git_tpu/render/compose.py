@@ -501,20 +501,6 @@ def _pack_frame_blob(scene, slab_starts, tiles_y: int, tiles_x: int):
             tuple(dyn_meta))
 
 
-def _clip_region(clip, height: int, width: int):
-    """Static pixel rectangle (y0, x0, y1, x1) of the binary clip mask —
-    pixel included iff its center (x+0.5, y+0.5) lies in
-    [clip0, clip2] × [clip1, clip3] — clamped to the frame. Exact
-    equivalent of the masked blend: inside this rect the mask is 1,
-    outside the blend is a no-op."""
-    import math
-
-    return (max(0, math.ceil(clip[1] - 0.5)),
-            max(0, math.ceil(clip[0] - 0.5)),
-            min(height, math.floor(clip[3] - 0.5) + 1),
-            min(width, math.floor(clip[2] - 0.5) + 1))
-
-
 @functools.partial(
     jax.jit, static_argnames=("meta", "background", "height", "width",
                               "tiles_y", "tiles_x", "use_pallas", "mesh",
