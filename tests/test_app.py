@@ -1004,3 +1004,23 @@ def test_modal_card_absorbs_clicks(temp_repo):
     runner.pointer_up()
     assert app.modal is None
     tab.stop_workers()
+
+
+def test_sidebar_page_navigation(temp_repo, git):
+    """Reference README sidebar keyboard table: PageUp/PageDown navigate
+    by page (with auto-scroll), alongside j/k single steps."""
+    for i in range(14):
+        git(temp_repo, "branch", f"b{i:02d}")
+    app = make_app(temp_repo)
+    tab = app.current()
+    app.focus = "sidebar"
+    keys = app._sidebar_keys(tab)
+    assert len(keys) > 11
+    app.on_key("j")
+    assert tab.selected_sidebar_key == keys[0]
+    app.on_key("PageDown")
+    assert tab.selected_sidebar_key == keys[10]
+    app.on_key("PageUp")
+    assert tab.selected_sidebar_key == keys[0]
+    app.on_key("PageUp")   # clamps at the top
+    assert tab.selected_sidebar_key == keys[0]

@@ -2725,11 +2725,14 @@ class WhisperApp:
                 return
             cur = (keys.index(tab.selected_sidebar_key)
                    if tab.selected_sidebar_key in keys else -1)
-            if key in ("j", "Down"):
-                tab.selected_sidebar_key = keys[min(len(keys) - 1, cur + 1)]
-                self._sidebar_autoscroll(tab, keys)
-            elif key in ("k", "Up"):
-                tab.selected_sidebar_key = keys[max(0, cur - 1)]
+            if key in ("j", "Down", "k", "Up", "PageDown", "PageUp"):
+                # Page step ~ one sidebar viewport of items (reference
+                # README "Navigate by page", /root/reference/README.md
+                # sidebar keyboard table).
+                step = {"j": 1, "Down": 1, "k": -1, "Up": -1,
+                        "PageDown": 10, "PageUp": -10}[key]
+                tab.selected_sidebar_key = keys[
+                    max(0, min(len(keys) - 1, cur + step))]
                 self._sidebar_autoscroll(tab, keys)
             elif key == "Enter" and tab.selected_sidebar_key:
                 self._sidebar_activate(tab)
