@@ -557,7 +557,13 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
             tabs = tuple(dyn_tables[j] for j in _CLS_TBL[ci])
             cnt = jnp.sum(b >= 0, axis=1, dtype=jnp.int32)
             block = (tabs, b, None, cnt)
-            if kernel:
+            if kernel and ci == 0:
+                # Shape class (thumbs, pulse dots, drag ghosts — the
+                # dominant volatile content): rasterized INLINE by the
+                # compose kernel via the rasterizer's _shape_step; no
+                # separate render pass, no HBM round-trip.
+                dyn_tiles[(li, ci)] = (tabs[0], tabs[1], b, cnt)
+            elif kernel:
                 tiles = _render_blocks_planar_traced(
                     _single_class_blocks(ci, block), font_tex,
                     image_atlas, tiles_y, ts,
@@ -579,8 +585,13 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
         for op in ops:
             if op[0] == "dyn":
                 li, ci = op[1], op[2]
-                if (li, ci) in dyn_tiles:
-                    kops.append(("dyn", li, ci, dyn_meta[li][2]))
+                if (li, ci) not in dyn_tiles:
+                    continue
+                c0, c1 = dyn_meta[li][2], dyn_meta[li][3]
+                if ci == 0:
+                    kops.append(("dyni", li, ci, c0, c1 - c0))
+                else:
+                    kops.append(("dyn", li, ci, c0))
             else:
                 kops.append(op)
         out5 = PC.compose_tiles(

@@ -87,24 +87,44 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
     starts: (n_slabs,) i32 pixel row start per slab crop (scroll).
     images: tuple of (Ty, Tx, 4, TH, TW) i16 tile-rect chrome layers.
     slabs:  tuple of (Rt, Tx, 4, TH, TW) i16 full-width slab tiles.
-    dyns:   dict (li, ci) -> (Ty, ts, 4, TH, TW) f32 volatile tiles.
+    dyns:   dict (li, ci) ->
+              (Ty, ts, 4, TH, TW) f32 pre-rendered volatile tiles
+                (glyph/image classes), or
+              (shapes f32 (cap,16), sclips f32 (cap,4),
+               bins i32 (Ty*ts, k), counts i32 (Ty*ts,))
+                for the INLINE shape class — rasterized right here with
+                the rasterizer's own `_shape_step`, skipping the
+                separate render pass + its HBM round-trip entirely.
     ops:    z-ordered tuple of
-              ("img", i, ty0, tx0)      tile offset of the crop
-              ("slab", j, clip)         y clip (x baked in pixels)
-              ("dyn", li, ci, c0)       volatile tail, tile column c0
+              ("img", i, ty0, tx0)       tile offset of the crop
+              ("slab", j, clip)          y clip (x baked in pixels)
+              ("dyn", li, ci, c0)        pre-rendered volatile tail
+              ("dyni", li, ci, c0, ts)   inline shape volatile tail
     (all offsets static — index maps must not capture tracers).
 
-    Grid = one step per 64×128 output tile. A row-block variant (one
-    step per tile ROW) was measured SLOWER on hardware — the full-row
-    slab re-alignment roll outweighs the amortized per-step overhead —
-    so the per-tile grid stands."""
+    Grid = one step per 64×128 output tile, accumulating in a VMEM
+    scratch framebuffer (the rasterizer's pattern) so `pl.when` skips
+    BOTH the DMA (clamped index_map, unchanged index → copy skipped)
+    and the blend compute for non-covered ops. A one-step-per-tile-ROW
+    variant was measured SLOWER on hardware (the full-row slab
+    re-alignment roll outweighs amortized step overhead)."""
+    from .pallas_raster import _shape_step
+
+    scalar_inputs = [None]   # slot 0: starts (filled at call)
     tensor_inputs, in_specs = [], []
 
-    def add_input(arr, index_map):
+    def add_input(arr, index_map=None):
         tensor_inputs.append(arr)
-        in_specs.append(pl.BlockSpec((1, 1, 4, TILE_H, TILE_W),
-                                     index_map))
+        if index_map is None:   # whole array resident in VMEM
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec((1, 1, 4, TILE_H, TILE_W),
+                                         index_map))
         return len(tensor_inputs) - 1
+
+    def add_scalar(arr):
+        scalar_inputs.append(arr)
+        return len(scalar_inputs) - 1
 
     body_plan = []  # (kind, ref index/aux, static data)
     for op in ops:
@@ -113,9 +133,8 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
             img = images[i]
             ty_n, tx_n = img.shape[0], img.shape[1]
 
-            def imap(i_, j_, s_, ty0=ty0, tx0=tx0, ty_n=ty_n,
+            def imap(i_, j_, *s_, ty0=ty0, tx0=tx0, ty_n=ty_n,
                      tx_n=tx_n):
-                del s_
                 return (jnp.clip(i_ - ty0, 0, ty_n - 1),
                         jnp.clip(j_ - tx0, 0, tx_n - 1), 0, 0, 0)
 
@@ -126,18 +145,29 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
             slab = slabs[j]
             rt = slab.shape[0]
 
-            def imap_a(i_, j_, s_, j0=j, rt=rt):
-                return (jnp.clip(s_[j0] // TILE_H + i_, 0, rt - 1),
+            def imap_a(i_, j_, *s_, j0=j, rt=rt):
+                return (jnp.clip(s_[0][j0] // TILE_H + i_, 0, rt - 1),
                         j_, 0, 0, 0)
 
-            def imap_b(i_, j_, s_, j0=j, rt=rt):
-                return (jnp.clip(s_[j0] // TILE_H + i_ + 1, 0, rt - 1),
+            def imap_b(i_, j_, *s_, j0=j, rt=rt):
+                return (jnp.clip(s_[0][j0] // TILE_H + i_ + 1, 0, rt - 1),
                         j_, 0, 0, 0)
 
             pa = add_input(slab, imap_a)
             pb = add_input(slab, imap_b)
             body_plan.append(("slab", (pa, pb),
                               (j, float(clip[1]), float(clip[3]))))
+        elif op[0] == "dyni":
+            entry = dyns.get((op[1], op[2]))
+            if entry is None:
+                continue
+            shapes_t, sclips_t, bins_t, counts_t = entry
+            c0, ts = op[3], op[4]
+            ps = add_input(shapes_t)
+            pc = add_input(sclips_t)
+            sb = add_scalar(bins_t)
+            sn = add_scalar(counts_t)
+            body_plan.append(("dyni", (ps, pc, sb, sn), (c0, ts)))
         else:
             dimg = dyns.get((op[1], op[2]))
             if dimg is None:
@@ -145,44 +175,72 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
             c0 = op[3]
             ts = dimg.shape[1]
 
-            def imap(i_, j_, s_, c0=c0, ts=ts):
-                del s_
+            def imap(i_, j_, *s_, c0=c0, ts=ts):
                 return (i_, jnp.clip(j_ - c0, 0, ts - 1), 0, 0, 0)
 
             pos = add_input(dimg, imap)
             body_plan.append(("dyn", pos, (c0, ts)))
 
     n_in = len(tensor_inputs)
+    n_scalar = len(scalar_inputs)
 
-    def kernel(starts_ref, *refs):
-        tn = refs[:n_in]
-        out_ref = refs[n_in]
+    def kernel(*refs):
+        sc = refs[:n_scalar]
+        tn = refs[n_scalar:n_scalar + n_in]
+        out_ref = refs[n_scalar + n_in]
+        fb = refs[n_scalar + n_in + 1]
         i = pl.program_id(0)
         j = pl.program_id(1)
-        # Pixel-center row coordinates of this tile (for slab y clips).
-        # Mosaic iota is integer-only; cast after.
-        rows = (jax.lax.broadcasted_iota(
+        # Pixel-center coordinate grids (Mosaic iota is integer-only).
+        py = (jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
             + ((i * TILE_H).astype(jnp.float32) + 0.5))
-        acc = jnp.stack([
-            jnp.full((TILE_H, TILE_W), background[0], jnp.float32),
-            jnp.full((TILE_H, TILE_W), background[1], jnp.float32),
-            jnp.full((TILE_H, TILE_W), background[2], jnp.float32),
-            jnp.ones((TILE_H, TILE_W), jnp.float32)])
+        px = (jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+            + ((j * TILE_W).astype(jnp.float32) + 0.5))
+        fb[0] = jnp.full((TILE_H, TILE_W), background[0], jnp.float32)
+        fb[1] = jnp.full((TILE_H, TILE_W), background[1], jnp.float32)
+        fb[2] = jnp.full((TILE_H, TILE_W), background[2], jnp.float32)
+        fb[3] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+
+        def over_src(src, ymask=None):
+            a = src[3]
+            if ymask is not None:
+                a = a * ymask
+                src = src * ymask[None]
+            inv = 1.0 - a
+            fb[0] = src[0] + fb[0] * inv
+            fb[1] = src[1] + fb[1] * inv
+            fb[2] = src[2] + fb[2] * inv
+            fb[3] = src[3] * (1.0 if ymask is None else ymask) \
+                + fb[3] * inv
+
+        def clip_mask(c0_, c1_, c2_, c3_):
+            return ((px >= c0_) & (py >= c1_) & (px <= c2_) & (py <= c3_)
+                    ).astype(jnp.float32)
+
+        def composite(r, g, b, cov_a):
+            inv = 1.0 - cov_a
+            fb[0] = r * cov_a + fb[0] * inv
+            fb[1] = g * cov_a + fb[1] * inv
+            fb[2] = b * cov_a + fb[2] * inv
+            fb[3] = cov_a + fb[3] * inv
+
         for kind, pos, aux in body_plan:
             if kind == "img":
                 ty0, tx0, ty_n, tx_n = aux
                 covered = ((i >= ty0) & (i < ty0 + ty_n)
                            & (j >= tx0) & (j < tx0 + tx_n))
-                src = _to_f32(tn[pos][0, 0])
-                # jnp.where (not cond): both sides are a handful of VPU
-                # ops; the DMA — the real cost — is already skipped by
-                # the clamped index_map when the tile isn't covered.
-                acc = jnp.where(covered, _over_tile(acc, src), acc)
+
+                @pl.when(covered)
+                def _(pos=pos):
+                    # DMA already skipped by the clamped index_map on
+                    # non-covered tiles; pl.when skips the blend too.
+                    over_src(_to_f32(tn[pos][0, 0]))
             elif kind == "slab":
                 pa, pb = pos
                 j0, cy0, cy1 = aux
-                start = starts_ref[j0]
+                start = sc[0][j0]
                 off = start % TILE_H
                 both = _to_f32(jnp.concatenate(
                     [tn[pa][0, 0], tn[pb][0, 0]], axis=1))  # (4,2TH,TW)
@@ -191,34 +249,56 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
                 src = pltpu.roll(both, -off, axis=1)[:, :TILE_H]
                 # y clip: pixel center in [cy0, cy1] (x clip is baked
                 # into the slab's pixels at build).
-                ymask = ((rows >= cy0) & (rows <= cy1)
-                         ).astype(jnp.float32)
-                acc = _over_tile(acc, src, ymask)
+                ymask = ((py >= cy0) & (py <= cy1)).astype(jnp.float32)
+                over_src(src, ymask)
+            elif kind == "dyni":
+                ps, pc, sb, sn = pos
+                c0, ts = aux
+                covered = (j >= c0) & (j < c0 + ts)
+
+                @pl.when(covered)
+                def _(ps=ps, pc=pc, sb=sb, sn=sn, c0=c0, ts=ts):
+                    tsub = i * ts + (j - c0)
+                    shapes, sclips = tn[ps], tn[pc]
+                    bins, counts = sc[sb], sc[sn]
+
+                    def body(k, _, shapes=shapes, sclips=sclips,
+                             bins=bins, tsub=tsub):
+                        _shape_step(shapes, sclips, bins[tsub, k],
+                                    px, py, clip_mask, composite)
+                        return 0
+
+                    jax.lax.fori_loop(0, counts[tsub], body, 0)
             else:
                 c0, ts = aux
                 covered = (j >= c0) & (j < c0 + ts)
-                src = _to_f32(tn[pos][0, 0])
-                acc = jnp.where(covered, _over_tile(acc, src), acc)
+
+                @pl.when(covered)
+                def _(pos=pos):
+                    over_src(_to_f32(tn[pos][0, 0]))
         # Quantize in-kernel: the output is planar u8 tiles (4 MB/frame
         # instead of a 25 MB f32 intermediate + quantize pass). Mosaic
         # lacks a direct f32→u8 cast; hop through i32.
+        acc = jnp.stack([fb[0], fb[1], fb[2], fb[3]])
         q = jnp.clip(acc * 255.0 + 0.5, 0.0, 255.0)
         out_ref[0, 0] = q.astype(jnp.int32).astype(jnp.uint8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=n_scalar,
         grid=(tiles_y, tiles_x),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 4, TILE_H, TILE_W),
-                               lambda i, j, s: (i, j, 0, 0, 0)),
+                               lambda i, j, *s: (i, j, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((4, TILE_H, TILE_W), jnp.float32)],
     )
     if starts.shape[0] == 0:   # scalar-prefetch arrays must be nonempty
         starts = jnp.zeros((1,), jnp.int32)
+    scalar_inputs[0] = starts.astype(jnp.int32)
     out5 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (tiles_y, tiles_x, 4, TILE_H, TILE_W), jnp.uint8),
         interpret=interpret,
-    )(starts.astype(jnp.int32), *tensor_inputs)
+    )(*scalar_inputs, *tensor_inputs)
     return out5.reshape(tiles_y * tiles_x, 4, TILE_H, TILE_W)
