@@ -150,8 +150,44 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
     runner = Runner(app, measurer=measurer)
 
     frames = 0
+    # WGIT_HEARTBEAT=path: append a monotonic timestamp ~4×/s from the
+    # frame loop, and spawn a pure-HOST timer thread doing the same into
+    # path+".host". An outside harness (tools/soak.py) reads both:
+    #   * host-thread gaps  → the PROCESS wedged (GIL hang, deadlock) —
+    #     a genuine app failure in any environment;
+    #   * loop gaps with a healthy host thread → the loop was blocked in
+    #     a device dispatch/readback. On a REMOTE device every jax
+    #     dispatch is an RPC, so a tunnel outage blocks the loop too —
+    #     environmental here, impossible on local hardware;
+    #   * presented-bytes stalls with a healthy loop → pure present-path
+    #     congestion (the mailbox presenter dropped frames as designed).
+    hb_path = os.environ.get("WGIT_HEARTBEAT")
+    hb_fd = None
+    hb_last = 0.0
+    if hb_path:
+        hb_fd = os.open(hb_path, os.O_WRONLY | os.O_CREAT | os.O_APPEND,
+                        0o644)
+        import threading
+
+        def _host_beat(stop=None, path=hb_path + ".host"):
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_APPEND,
+                         0o644)
+            try:
+                while True:
+                    os.write(fd, f"{time.monotonic():.3f}\n".encode())
+                    time.sleep(0.25)
+            finally:
+                os.close(fd)
+
+        threading.Thread(target=_host_beat, daemon=True,
+                         name="wgit-heartbeat").start()
     try:
         while not app.quit_requested:
+            if hb_fd is not None:
+                now_hb = time.monotonic()
+                if now_hb - hb_last >= 0.25:
+                    hb_last = now_hb
+                    os.write(hb_fd, f"{now_hb:.3f}\n".encode())
             app.before_build()
             viewport = (float(app.config.window_width),
                         float(app.config.window_height))
@@ -211,6 +247,8 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
             else:
                 proxy.wait(timeout=timeout)
     finally:
+        if hb_fd is not None:
+            os.close(hb_fd)
         if display_ctx is not None:
             display_ctx.__exit__(None, None, None)
         if term_ctx is not None:
