@@ -181,6 +181,60 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
 
         threading.Thread(target=_host_beat, daemon=True,
                          name="wgit-heartbeat").start()
+    # Scene compile + device render + present run on a RENDER THREAD
+    # with a single-slot latest-wins mailbox. On a remote accelerator
+    # EVERY jax dispatch is an RPC, so a congested link would otherwise
+    # block the UI thread inside render_scene_device and freeze input
+    # for the outage's duration (measured ~11 s loop stalls in soak
+    # runs). With the handoff the UI thread stays host-pure — build,
+    # layout, input, reducers — and dropped frames are the only outage
+    # symptom, completing the async-engine invariant ("nothing blocks
+    # the frame loop") for the render path itself. The fallback bank is
+    # the one structure both threads touch (measure on the UI thread,
+    # emission in compile) — it locks internally (render/fallback.py).
+    render_box: list = [None]
+    render_err: list = []
+    render_stop = [False]
+    render_thread = None
+    if renderer is not None:
+        import threading
+
+        render_cv = threading.Condition()
+
+        def _render_worker():
+            from ..render.rasterizer import render_scene_device
+            from ..ui.theme import DARK
+
+            while True:
+                with render_cv:
+                    while render_box[0] is None and not render_stop[0]:
+                        render_cv.wait(0.5)
+                    work = render_box[0]
+                    render_box[0] = None
+                if work is None:   # stop requested, mailbox drained
+                    return
+                root_w, vw, vh = work
+                try:
+                    scene = renderer.compile(root_w, (vw, vh),
+                                             DARK.background)
+                    img = render_scene_device(
+                        scene, renderer.font_tex_device(),
+                        renderer.image_atlas_device())
+                    if display is not None:
+                        display.show(img)
+                    if dump_path:
+                        import numpy as np
+
+                        from ..render.renderer import save_png
+
+                        save_png(np.asarray(img), dump_path)
+                except Exception as e:   # surfaced on the UI thread
+                    render_err.append(e)
+                    return
+
+        render_thread = threading.Thread(target=_render_worker,
+                                         daemon=True, name="wgit-render")
+        render_thread.start()
     try:
         while not app.quit_requested:
             if hb_fd is not None:
@@ -188,26 +242,17 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                 if now_hb - hb_last >= 0.25:
                     hb_last = now_hb
                     os.write(hb_fd, f"{now_hb:.3f}\n".encode())
+            if render_err:
+                raise render_err[0]
             app.before_build()
             viewport = (float(app.config.window_width),
                         float(app.config.window_height))
             root = runner.prepare(viewport)
-            if renderer is not None:
-                from ..render.rasterizer import render_scene_device
-                from ..ui.theme import DARK
-
-                scene = renderer.compile(root, (int(viewport[0]),
-                                                int(viewport[1])),
-                                         DARK.background)
-                img = render_scene_device(scene, renderer.font_tex_device(),
-                                          renderer.image_atlas_device())
-                if display is not None:
-                    display.show(img)
-                if dump_path:
-                    from ..render.renderer import save_png
-                    import numpy as np
-
-                    save_png(np.asarray(img), dump_path)
+            if render_thread is not None:
+                with render_cv:
+                    render_box[0] = (root, int(viewport[0]),
+                                     int(viewport[1]))
+                    render_cv.notify()
             frames += 1
             if max_frames is not None and frames >= max_frames:
                 break
@@ -247,6 +292,15 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
             else:
                 proxy.wait(timeout=timeout)
     finally:
+        if render_thread is not None:
+            # Let the pending frame finish (the dump path's consumers
+            # read the file after run_loop returns), then stop. A worker
+            # stuck in an outage readback is abandoned (daemon) — the
+            # display teardown below gates its late writes.
+            with render_cv:
+                render_stop[0] = True
+                render_cv.notify()
+            render_thread.join(timeout=8.0)
         if hb_fd is not None:
             os.close(hb_fd)
         if display_ctx is not None:

@@ -185,6 +185,15 @@ class FallbackBank:
         return (int(cp) | cls.BOLD_KEY) if bold else int(cp)
 
     def __init__(self, capacity: int = 0):
+        import threading
+
+        # The interactive host measures text on the UI thread while the
+        # render thread compiles scenes (host/loop.py render worker);
+        # both paths call ensure/touch. The RLock serializes slot
+        # mutation; readers of `metrics` outside the lock can at worst
+        # see a just-recycled row (one frame of measurement jitter — an
+        # epoch clear drops the dependent caches before pixels can lie).
+        self._lock = threading.RLock()
         if capacity <= 0:
             capacity = int(os.environ.get("WGIT_FALLBACK_CAP", "192"))
         self.rows = max(1, -(-capacity // self.COLS))
@@ -268,6 +277,10 @@ class FallbackBank:
         """Advance the generation; under deferral pressure, fire a
         rate-limited voluntary epoch clear (SceneCompiler.compile calls
         this once per frame and reacts to the eviction counter)."""
+        with self._lock:
+            self._begin_frame_locked()
+
+    def _begin_frame_locked(self) -> None:
         if (self._pressure
                 and self.frame_gen - self._last_clear_frame
                 >= self._CLEAR_BACKOFF):
@@ -280,10 +293,11 @@ class FallbackBank:
     def touch(self, cps) -> None:
         """Mark codepoints as referenced (called whenever metric rows
         resolve — i.e. whenever any cacheable artifact is built)."""
-        for cp in cps:
-            slot = self._cp_slot.get(int(cp))
-            if slot is not None:
-                self._slot_gen[slot] = self.frame_gen
+        with self._lock:
+            for cp in cps:
+                slot = self._cp_slot.get(int(cp))
+                if slot is not None:
+                    self._slot_gen[slot] = self.frame_gen
 
     # -- the lazy fill ----------------------------------------------------
 
@@ -293,6 +307,10 @@ class FallbackBank:
         frame — renders '?' now, retried next frame). Returns True when
         any glyph was added. Metrics/missing are keyed by
         `key_for(cp, bold)` — regular callers see plain-cp keys."""
+        with self._lock:
+            return self._ensure_locked(cps, bold)
+
+    def _ensure_locked(self, cps, bold: bool = False) -> bool:
         todo = [k for k in dict.fromkeys(self.key_for(c, bold)
                                          for c in cps)
                 if k not in self.metrics and k not in self.missing]
