@@ -64,15 +64,6 @@ def _to_f32(block):
     return block.astype(jnp.float32)
 
 
-def _over_tile(acc, src, ymask=None):
-    """Premultiplied `over` of one planar (4, TH, TW) f32 src onto acc."""
-    a = src[3]
-    if ymask is not None:
-        a = a * ymask
-        src = src * ymask[None]
-    return src + acc * (1.0 - a)[None]
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("ops", "tiles_y", "tiles_x", "background",

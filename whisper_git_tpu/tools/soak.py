@@ -243,16 +243,18 @@ def main() -> int:
         #   1. pure-HOST timer-thread heartbeat — gaps mean the PROCESS
         #      wedged (deadlock, GIL hang): a genuine app failure in any
         #      environment → always fail.
-        #   2. frame-LOOP heartbeat — on a remote device every jax
-        #      dispatch is an RPC, so a tunnel outage blocks the loop
-        #      too (measured: loop gaps up to ~11 s during windows whose
-        #      stall clusters MOVE between runs and track repaint_p95).
-        #      Environmental here, impossible on local hardware →
-        #      budgeted: fail only when loop-blocked time exceeds 20%
-        #      of the soak (window too degraded to certify).
+        #   2. frame-LOOP heartbeat — the UI thread is host-pure since
+        #      render dispatch moved to the render thread (before that,
+        #      tunnel outages blocked the loop in the dispatch RPC for
+        #      up to ~11 s — the measurement that forced the split). A
+        #      loop gap now means build/layout/reducers stalled; the
+        #      20% budget is kept as a backstop, but any recurring gap
+        #      here deserves investigation regardless of ok=true.
         #   3. presented bytes (the repaint gate) — stalls with a
         #      healthy loop are present-path congestion the mailbox
-        #      presenter absorbed by dropping frames, as designed.
+        #      presenter absorbed by dropping frames, as designed; the
+        #      CLI backend (CPU) also lands here when frames render
+        #      slower than the 1 s gate.
         def read_beats(path):
             try:
                 with open(path) as hf:
