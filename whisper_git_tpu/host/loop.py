@@ -155,11 +155,11 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
     # path+".host". An outside harness (tools/soak.py) reads both:
     #   * host-thread gaps  → the PROCESS wedged (GIL hang, deadlock) —
     #     a genuine app failure in any environment;
-    #   * loop gaps with a healthy host thread → the loop was blocked in
-    #     a device dispatch/readback. On a REMOTE device every jax
-    #     dispatch is an RPC, so a tunnel outage blocks the loop too —
-    #     environmental here, impossible on local hardware;
-    #   * presented-bytes stalls with a healthy loop → pure present-path
+    #   * loop gaps with a healthy host thread → the UI thread stalled
+    #     in build/layout/reducers — it is host-pure now that the
+    #     render worker below owns every device dispatch, so any gap
+    #     here is app-side and worth investigating;
+    #   * presented-bytes stalls with a healthy loop → present-path
     #     congestion (the mailbox presenter dropped frames as designed).
     hb_path = os.environ.get("WGIT_HEARTBEAT")
     hb_fd = None
