@@ -509,3 +509,58 @@ def test_eof_does_not_busy_spin():
     for _ in range(5):
         assert term.poll(timeout=0.02) is None
     assert _time.monotonic() - t0 >= 0.08  # timeouts actually honored
+
+
+def test_render_worker_error_surfaces_on_ui_thread(temp_repo, monkeypatch,
+                                                   tmp_path):
+    """The render thread (host/loop.py) owns compile/dispatch/present; a
+    worker exception must re-raise on the UI thread, not vanish with a
+    daemon. Driven through the real run_loop with WGIT_FRAME_DUMP (the
+    non-tty way to get a renderer + worker)."""
+    import pytest as _pytest
+
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+    from whisper_git_tpu.host.loop import run_loop
+    from whisper_git_tpu.render import renderer as renderer_mod
+
+    monkeypatch.setenv("WGIT_NO_INPUT", "1")
+    monkeypatch.setenv("WGIT_FRAME_DUMP", str(tmp_path / "f.png"))
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync(include_orphans=False)
+    app = WhisperApp.with_tabs([tab])
+
+    r = renderer_mod.get_renderer()
+
+    class Boom(RuntimeError):
+        pass
+
+    def bad_compile(*a, **k):
+        raise Boom("render worker died")
+
+    monkeypatch.setattr(r, "compile", bad_compile)
+    with _pytest.raises(Boom):
+        run_loop(app, max_frames=50)
+
+
+def test_render_worker_renders_frames_through_dump(temp_repo, monkeypatch,
+                                                   tmp_path):
+    """Happy path: run_loop's render worker produces a real frame dump
+    before returning (teardown waits for the pending frame)."""
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+    from whisper_git_tpu.host.loop import run_loop
+
+    dump = tmp_path / "frame.png"
+    monkeypatch.setenv("WGIT_NO_INPUT", "1")
+    monkeypatch.setenv("WGIT_FRAME_DUMP", str(dump))
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync(include_orphans=False)
+    app = WhisperApp.with_tabs([tab])
+    run_loop(app, max_frames=3)
+    assert dump.exists() and dump.stat().st_size > 1000
+    from PIL import Image
+    import numpy as np
+
+    img = np.asarray(Image.open(dump))
+    assert img.shape[2] in (3, 4) and img.std() > 1.0  # real pixels
