@@ -193,3 +193,43 @@ def test_wgit_mesh_env_activation(monkeypatch, renderer):
         assert maybe_auto_mesh() is None  # cpu backend: auto stays off
     finally:
         set_render_mesh(None)
+
+
+def test_mesh_flip_without_cache_clear_is_safe(renderer):
+    """render_scene_sharded flips the render mesh per call WITHOUT
+    clearing compose caches; a compose plan built single-chip (bbox-
+    cropped layer tuples, or Mosaic-kernel planar tile-rects) must never
+    serve the mesh blend (full-frame sharded stacks) or vice versa — the
+    plan cache keys on mesh identity + blend mode (render/compose.py
+    prepare_compose_dispatch). Interleave the two paths on the SAME
+    scene with NO cache clears and require agreement."""
+    import whisper_git_tpu.render.compose as C
+    import whisper_git_tpu.render.frame as F
+    from whisper_git_tpu.parallel.mesh import make_mesh
+    from whisper_git_tpu.render import rasterizer as R
+    from whisper_git_tpu.render.meshstate import (
+        get_render_mesh,
+        set_render_mesh,
+    )
+    from whisper_git_tpu.tools.fixtures import steady_window_scene
+
+    mesh = make_mesh(4)
+    assert get_render_mesh() is None
+    C.clear_caches()
+    F.clear_caches()
+    try:
+        outs = {}
+        for label, m in (("single1", None), ("mesh1", mesh),
+                         ("single2", None), ("mesh2", mesh)):
+            set_render_mesh(m)
+            scene = steady_window_scene(renderer, 16.0, (256, 128))
+            outs[label] = np.asarray(R.render_scene_device(
+                scene, renderer.font_tex_device(),
+                renderer.image_atlas_device()))
+        assert (outs["single1"] == outs["single2"]).all()
+        d = np.abs(outs["single1"].astype(np.int16)
+                   - outs["mesh1"].astype(np.int16))
+        assert d.max() <= 4, d.max()
+        assert (outs["mesh1"] == outs["mesh2"]).all()
+    finally:
+        set_render_mesh(None)
