@@ -28,14 +28,25 @@ This kernel makes the blend ink-proportional AND single-pass:
     starts legal) and the kernel re-aligns rows with one sublane
     `pltpu.roll` — no XLA gather at all. The y clip becomes a per-row
     iota mask; the x clip is baked into slab pixels at build.
+  * VOLATILE SHAPE TAILS (scrollbar thumbs, pulse dots, drag ghosts)
+    are rasterized INLINE: the kernel runs the rasterizer's own
+    `_shape_step` over scalar-prefetched per-frame bins, count-bounded
+    per tile — no separate render pass, no f32 HBM round-trip. Glyph/
+    image volatile classes (rare) keep a pre-rendered planar input.
   * Blend order is the plan's z order — a static Python loop unrolled
-    into the kernel body, exactly `_compose_frame`'s op sequence.
+    into the kernel body, exactly `_compose_frame`'s op sequence,
+    accumulating in a VMEM scratch framebuffer (the rasterizer's
+    pattern) so `pl.when` also skips non-covered ops' compute.
 
 Output is planar u8 tiles quantized in-kernel; `assemble_u8`
 (pallas_raster) lays out the final (H, W, 4) frame as a pure
 transpose. Numerics match the XLA path: cached layers at ≤ f16 error,
-f32 accumulate, one quantize — the compose pipeline's ≤1 u8 contract
-holds (tests/test_compose.py, tests/test_tpu_hw.py).
+f32 accumulate, one quantize; inline tails composite directly instead
+of layer-then-over, re-associating the premultiplied `over` by ≤1 ulp
+— the compose pipeline's ≤1 u8 contract holds (tests/test_compose.py,
+tests/test_tpu_hw.py). Measured at 1280×800: 0.16-0.17 ms/frame vs
+0.32 for the best XLA schedule (docs/performance.md has the full
+schedule ladder).
 
 Reference analog: the aetna renderer's swapchain composite — here
 designed for the TPU memory system instead (HBM-bandwidth-bound tile
