@@ -317,3 +317,37 @@ def test_mosaic_kernel_blend_matches_xla_blend(app_fixture, monkeypatch):
     diff = np.abs(np.asarray(xla).astype(np.int16)
                   - np.asarray(kern).astype(np.int16))
     assert diff.max() <= 1, f"kernel vs XLA blend: max u8 diff {diff.max()}"
+
+
+def test_kernel_blend_windowless_scene(monkeypatch):
+    """A scene with NO scroll windows (welcome view shape) through the
+    interpret-mode Mosaic kernel: empty slab tuple, empty starts vector
+    (the kernel substitutes a dummy scalar-prefetch array), chrome +
+    volatile ops only — must match the XLA blend within 1 u8."""
+    from whisper_git_tpu.render.renderer import get_renderer
+    from whisper_git_tpu.ui import column, rect, text
+
+    r = get_renderer()
+    ui = column(
+        rect(text("No windows here", color=DARK.text, bold=True),
+             fill=DARK.surface_raised, radius=6, padding=(6, 10, 6, 10),
+             width="fill", height=40),
+        rect(width=12, height=12, radius=6,
+             fill=(0.9, 0.6, 0.2, 0.9), volatile=True),
+        width="fill", height="fill", fill=DARK.background, gap=8)
+
+    def render():
+        C.clear_caches()
+        root = r.layout(ui, (256, 128))
+        scene = r.compile(root, (256, 128), DARK.background)
+        out = C.render_frame_composed(scene, r.font_tex_device(),
+                                      r.image_atlas_device())
+        assert out is not None
+        return np.asarray(out)
+
+    monkeypatch.setenv("WGIT_COMPOSE_KERNEL", "0")
+    xla = render()
+    monkeypatch.setenv("WGIT_COMPOSE_KERNEL", "interpret")
+    kern = render()
+    diff = np.abs(xla.astype(np.int16) - kern.astype(np.int16))
+    assert diff.max() <= 1, diff.max()
