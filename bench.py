@@ -223,7 +223,12 @@ def main() -> int:
     if len(probe_blobs) >= 4:
         import jax.numpy as jnp
 
-        n_small, n_big = 120, 240
+        # Scan lengths sized for the Mosaic-kernel era: at ~0.16 ms/frame
+        # a 120-frame delta is ~20 ms of device work, smaller than one
+        # congestion wobble on the two sync points — a bad window could
+        # even go NEGATIVE. 1440 delta frames ≈ 0.23 s of device work
+        # keeps the slope well above sync noise.
+        n_small, n_big = 480, 1920
         base = _np.stack(probe_blobs)
         reps = -(-n_big // base.shape[0])
         all_blobs = _np.tile(base, (reps, 1))[:n_big]
@@ -245,10 +250,18 @@ def main() -> int:
             t0 = time.perf_counter(); probe(n_big)
             t_big = time.perf_counter() - t0
             samples.append((t_big - t_small) * 1e3 / (n_big - n_small))
-        device_ms = min(samples)  # min: congestion can only add time
-        print(f"# device time {device_ms:.3f} ms/frame "
-              f"({1000.0 / device_ms:.0f} device-fps, tunnel-independent)",
-              file=sys.stderr)
+        positive = [s for s in samples if s > 0.0]
+        # min of the positive samples: congestion can only add time; an
+        # all-nonpositive set means the window was hopeless — report
+        # null rather than a nonsense number.
+        device_ms = min(positive) if positive else None
+        if device_ms is not None:
+            print(f"# device time {device_ms:.3f} ms/frame "
+                  f"({1000.0 / device_ms:.0f} device-fps, "
+                  "tunnel-independent)", file=sys.stderr)
+        else:
+            print("# device-time probe unusable this window "
+                  f"(samples {samples})", file=sys.stderr)
     else:
         print("# device-time probe skipped: compose plan unstable across "
               "probe offsets", file=sys.stderr)
