@@ -260,15 +260,23 @@ def test_chrome_layers_are_ink_cropped(app_fixture):
                                   r.image_atlas_device())
     assert out is not None
     assert C._GROUP_CACHE, "no chrome groups cached"
-    full_px = scene.height * scene.width
-    areas = []
+    # Entries are (h, w, 4) f16 + pixel offsets on the XLA path, or
+    # (Ty, Tx, 4, TH, TW) i16 planar tile-rects + TILE offsets under
+    # the Mosaic kernel (WGIT_COMPOSE_KERNEL=interpret CI leg) — check
+    # cropping in the entry's own units either way.
+    fractions = []
     for img, oy, ox in C._GROUP_CACHE.values():
+        if img.ndim == 5:   # kernel mode: tile units
+            full_h = -(-scene.height // C.TILE_H)
+            full_w = -(-scene.width // C.TILE_W)
+        else:               # image mode: pixels
+            full_h, full_w = scene.height, scene.width
         h, w = int(img.shape[0]), int(img.shape[1])
         assert 0 <= oy and 0 <= ox
-        assert oy + h <= scene.height and ox + w <= scene.width
-        areas.append(h * w)
-    assert min(areas) < full_px, \
-        "every chrome layer is full-frame: bbox cropping inactive"
+        assert oy + h <= full_h and ox + w <= full_w, (img.shape, oy, ox)
+        fractions.append((h * w) / (full_h * full_w))
+    assert min(fractions) < 0.5, \
+        "every chrome layer is near-full-frame: bbox cropping inactive"
 
 
 def test_dyn_subgrid_covers_only_thumb_columns(app_fixture):
