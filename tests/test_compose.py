@@ -359,3 +359,55 @@ def test_kernel_blend_windowless_scene(monkeypatch):
     kern = render()
     diff = np.abs(xla.astype(np.int16) - kern.astype(np.int16))
     assert diff.max() <= 1, diff.max()
+
+
+def test_kernel_inline_volatile_off_column_zero(monkeypatch):
+    """A volatile SHAPE whose tile-column range starts at c0 > 0 (the
+    right-edge scrollbar-thumb case) through the inline 'dyni' path:
+    the shape/clip tables are x-translated to the tail's sub-grid at
+    pack time (compose.py _shift_parts by -c0*TILE_W), so the kernel
+    must evaluate them against sub-grid-local pixel x. Regression for
+    the round-4 advisor finding: global px placed/dropped any inline
+    tail with c0 >= 1 (max u8 diff 193 on a column-2 dot)."""
+    from whisper_git_tpu.render.renderer import get_renderer
+    from whisper_git_tpu.ui import rect, row, spacer, stack
+
+    r = get_renderer()
+    width, height = 512, 128   # 4 tile columns
+    dots = []
+    # One volatile dot per tile column >= 1 (x = 160, 288, 416), so the
+    # tails' sub-grids start at c0 = 1, 2, 3.
+    ui = stack(
+        rect(width="fill", height="fill", fill=DARK.background),
+        row(spacer(154),
+            *[el for x in range(3) for el in
+              (rect(width=12, height=12, radius=6,
+                    fill=(0.9, 0.6, 0.2, 0.9), volatile=True),
+               spacer(116))],
+            width="fill", height=60),
+        width="fill", height="fill")
+
+    def render():
+        C.clear_caches()
+        root = r.layout(ui, (width, height))
+        scene = r.compile(root, (width, height), DARK.background)
+        # The fixture must actually exercise c0 > 0 sub-grids.
+        prepared = C.prepare_compose_dispatch(scene, r.font_tex_device(),
+                                              r.image_atlas_device())
+        assert prepared is not None
+        dyn_meta = prepared[1]["meta"][1]
+        cols = [(m[2], m[3]) for m in dyn_meta if m[3] > m[2]]
+        assert any(c0 >= 1 for c0, _ in cols), \
+            f"fixture regression: no volatile tail at column >= 1 ({cols})"
+        out = C.render_frame_composed(scene, r.font_tex_device(),
+                                      r.image_atlas_device())
+        assert out is not None
+        return np.asarray(out)
+
+    monkeypatch.setenv("WGIT_COMPOSE_KERNEL", "0")
+    xla = render()
+    monkeypatch.setenv("WGIT_COMPOSE_KERNEL", "interpret")
+    kern = render()
+    diff = np.abs(xla.astype(np.int16) - kern.astype(np.int16))
+    assert diff.max() <= 1, \
+        f"inline volatile at tile column >= 1: max u8 diff {diff.max()}"

@@ -164,18 +164,21 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
     hb_path = os.environ.get("WGIT_HEARTBEAT")
     hb_fd = None
     hb_last = 0.0
+    hb_stop = None
     if hb_path:
         hb_fd = os.open(hb_path, os.O_WRONLY | os.O_CREAT | os.O_APPEND,
                         0o644)
         import threading
 
-        def _host_beat(stop=None, path=hb_path + ".host"):
+        hb_stop = threading.Event()
+
+        def _host_beat(stop=hb_stop, path=hb_path + ".host"):
             fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_APPEND,
                          0o644)
             try:
-                while True:
+                while not stop.is_set():
                     os.write(fd, f"{time.monotonic():.3f}\n".encode())
-                    time.sleep(0.25)
+                    stop.wait(0.25)
             finally:
                 os.close(fd)
 
@@ -300,7 +303,15 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
             with render_cv:
                 render_stop[0] = True
                 render_cv.notify()
-            render_thread.join(timeout=8.0)
+            # A frame-dump consumer reads the file after run_loop
+            # returns, and the final frame may still be cold-compiling
+            # (tens of seconds on a cold jit cache) — wait it out. A
+            # live display's worker gets a short grace instead: stuck
+            # in an outage readback it is abandoned (daemon), and the
+            # display teardown gates its late writes.
+            render_thread.join(timeout=120.0 if dump_path else 8.0)
+        if hb_stop is not None:
+            hb_stop.set()
         if hb_fd is not None:
             os.close(hb_fd)
         if display_ctx is not None:
@@ -309,4 +320,10 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
             term_ctx.__exit__(None, None, None)
         for tab in app.tabs:
             tab.stop_workers()
+    # An error on the FINAL frame has no next loop iteration to surface
+    # it — a frame-dump run would otherwise "succeed" with no dump
+    # written. (Checked after teardown so the terminal is restored; an
+    # exception already propagating out of the try re-raises itself.)
+    if render_err:
+        raise render_err[0]
     return 0

@@ -263,11 +263,23 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
                     tsub = i * ts + (j - c0)
                     shapes, sclips = tn[ps], tn[pc]
                     bins, counts = sc[sb], sc[sn]
+                    # The shape/clip tables were x-translated to the
+                    # tail's SUB-GRID at pack time (_compose_frame's
+                    # _shift_parts by -c0*TILE_W, matching the sub-grid
+                    # bins) — evaluate them against sub-grid-local
+                    # pixel x, not the global px.
+                    pxl = px - float(c0 * TILE_W)
+
+                    def clip_mask_l(c0_, c1_, c2_, c3_, pxl=pxl):
+                        return ((pxl >= c0_) & (py >= c1_)
+                                & (pxl <= c2_) & (py <= c3_)
+                                ).astype(jnp.float32)
 
                     def body(k, _, shapes=shapes, sclips=sclips,
-                             bins=bins, tsub=tsub):
+                             bins=bins, tsub=tsub, pxl=pxl,
+                             clip_mask_l=clip_mask_l):
                         _shape_step(shapes, sclips, bins[tsub, k],
-                                    px, py, clip_mask, composite)
+                                    pxl, py, clip_mask_l, composite)
                         return 0
 
                     jax.lax.fori_loop(0, counts[tsub], body, 0)
