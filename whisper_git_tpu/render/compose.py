@@ -97,15 +97,14 @@ def compose_enabled() -> bool:
 
 def _kernel_mode() -> bool:
     """True when the compose blend runs as the Mosaic kernel
-    (render/pallas_compose.py): single chip + pallas available, or the
+    (render/pallas_compose.py): pallas available (single chip, or
+    sharded over the render mesh via shard_map — the kernel's 2× blend
+    win must not turn off the moment a second chip appears), or the
     test override WGIT_COMPOSE_KERNEL=interpret (interpret-mode kernel
-    on CPU). WGIT_COMPOSE_KERNEL=0 forces the XLA blend everywhere."""
-    from .meshstate import get_render_mesh
-
+    on CPU, with or without a mesh). WGIT_COMPOSE_KERNEL=0 forces the
+    XLA blend everywhere."""
     want = os.environ.get("WGIT_COMPOSE_KERNEL", "auto")
     if want in ("0", "off"):
-        return False
-    if get_render_mesh() is not None:
         return False
     return R._use_pallas() or want == "interpret"
 
@@ -489,7 +488,10 @@ def _pack_frame_blob(scene, slab_starts, tiles_y: int, tiles_x: int):
     the whole axis)."""
     from .meshstate import get_render_mesh
 
-    subgrid = get_render_mesh() is None
+    # The kernel blend uses sub-grid bins with or without a mesh (the
+    # sharded kernel indexes bins by GLOBAL tile row); only the XLA mesh
+    # blend renders tails over the full sharded tile axis.
+    subgrid = get_render_mesh() is None or _kernel_mode()
     parts = [np.asarray(slab_starts, np.int16)]
     dyn_meta = []
     for li, lb in enumerate(scene.layers):
@@ -519,7 +521,7 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
     ops, dyn_meta, n_slabs = meta
     starts = blob[:n_slabs].astype(jnp.int32)
     fo = n_slabs
-    kernel = blend.startswith("kernel") and mesh is None
+    kernel = blend.startswith("kernel")
 
     # Volatile tails: dequantize tables + bins from the blob, render each
     # (layer, class) run to a transparent layer image (in-executable — no
@@ -564,10 +566,14 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
                 # separate render pass, no HBM round-trip.
                 dyn_tiles[(li, ci)] = (tabs[0], tabs[1], b, cnt)
             elif kernel:
+                # Under a mesh this pre-render runs replicated inside
+                # the outer jit — keep it plain XLA there (a pallas
+                # call under GSPMD without its own sharding is
+                # undefined); the compose kernel itself shards below.
                 tiles = _render_blocks_planar_traced(
                     _single_class_blocks(ci, block), font_tex,
                     image_atlas, tiles_y, ts,
-                    use_pallas and blend == "kernel")
+                    use_pallas and blend == "kernel" and mesh is None)
                 dyn_tiles[(li, ci)] = tiles.reshape(
                     tiles_y, ts, 4, TILE_H, TILE_W)
             else:
@@ -594,12 +600,44 @@ def _compose_frame(blob, images, slabs, font_tex, image_atlas,
                     kops.append(("dyn", li, ci, c0))
             else:
                 kops.append(op)
-        out5 = PC.compose_tiles(
-            starts, tuple(images), tuple(slabs), dyn_tiles,
-            ops=tuple(kops), tiles_y=tiles_y, tiles_x=tiles_x,
-            background=background,
-            interpret=(blend == "kernel_interp" or not use_pallas))
-        return PR.assemble_u8(out5, tiles_y, tiles_x, height, width)
+        kops = tuple(kops)
+        interp = blend == "kernel_interp" or not use_pallas
+        if mesh is None:
+            out5 = PC.compose_tiles(
+                starts, tuple(images), tuple(slabs), dyn_tiles,
+                ops=kops, tiles_y=tiles_y, tiles_x=tiles_x,
+                background=background, interpret=interp)
+            return PR.assemble_u8(out5, tiles_y, tiles_x, height, width)
+        # Mesh: the SAME kernel, each device running its contiguous
+        # tile-row slice of the row-padded output grid (row0 scalar-
+        # prefetched into the index maps / coordinate logic). Inputs
+        # are replicated — cached layers were device_put replicated at
+        # plan build (_memo_stack), the per-frame blob is ~1 KB — so
+        # the only per-frame layout work is the row-sharded output,
+        # which assemble_u8 consumes row-aligned (the r03 lesson).
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+        n = int(np.prod([mesh.shape[a] for a in axes]))
+        _, ty_pad = F._sharded_tile_rows(tiles_y, tiles_x, mesh)
+        local_rows = ty_pad // n
+
+        def body(starts_, images_, slabs_, dyns_):
+            shard_id = jnp.int32(0)
+            for ax in axes:
+                shard_id = shard_id * mesh.shape[ax] \
+                    + jax.lax.axis_index(ax)
+            return PC.compose_tiles(
+                starts_, images_, slabs_, dyns_, ops=kops,
+                tiles_y=tiles_y, tiles_x=tiles_x,
+                background=background, interpret=interp,
+                n_rows=local_rows, row0=shard_id * local_rows)
+
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=(P(), P(), P(), P()),
+                           out_specs=P(axes), check_vma=False)
+        out5 = fn(starts, tuple(images), tuple(slabs), dyn_tiles)
+        return PR.assemble_u8(out5, ty_pad, tiles_x, height, width)
 
     out_rgb = jnp.broadcast_to(
         jnp.asarray(background[:3], jnp.float32), (height, width, 3))
@@ -737,12 +775,22 @@ def _memo_stack(kind: str, keys: tuple, arrays, empty_shape):
     from .meshstate import get_render_mesh
 
     mesh = get_render_mesh()
-    key = (kind, keys, empty_shape, mesh)
+    kernel = _kernel_mode()
+    key = (kind, keys, empty_shape, mesh, kernel)
     hit = _lru_get(_STACK_CACHE, key)
     if hit is not None:
         return hit
     if mesh is None:
         out = tuple(arrays)
+    elif kernel:
+        # Mosaic-kernel blend under a mesh: keep the per-entry tile-rect
+        # shapes (no stack) but commit each layer REPLICATED once at
+        # plan build — otherwise GSPMD would re-broadcast every cached
+        # layer on every frame's compose dispatch.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out = tuple(jax.device_put(a, NamedSharding(mesh, P()))
+                    for a in arrays)
     else:
         out = (jnp.stack(arrays) if arrays
                else jnp.zeros(empty_shape, jnp.float16))
@@ -761,8 +809,8 @@ def _build_plan(scene, windows, chrome_entries, win_art, win_caps,
                 height, width):
     from .meshstate import get_render_mesh
 
-    mode = ("full" if get_render_mesh() is not None
-            else "kernel" if _kernel_mode() else "xla")
+    mode = ("kernel" if _kernel_mode()
+            else "full" if get_render_mesh() is not None else "xla")
     runs = _flatten_runs(scene, chrome_entries, windows, lws_by_layer)
     ops = _group_chrome(runs)
     images, slabs, op_meta = [], [], []

@@ -78,10 +78,11 @@ def _to_f32(block):
 @functools.partial(
     jax.jit,
     static_argnames=("ops", "tiles_y", "tiles_x", "background",
-                     "interpret"))
+                     "interpret", "n_rows"))
 def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
                   tiles_y: int, tiles_x: int, background: tuple,
-                  interpret: bool = False):
+                  interpret: bool = False, n_rows: int | None = None,
+                  row0=None):
     """Blend the plan's layers over a background → (T, 4, TH, TW) u8
     planar tiles (quantized in-kernel; `assemble_u8` lays out the
     frame).
@@ -109,10 +110,23 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
     BOTH the DMA (clamped index_map, unchanged index → copy skipped)
     and the blend compute for non-covered ops. A one-step-per-tile-ROW
     variant was measured SLOWER on hardware (the full-row slab
-    re-alignment roll outweighs amortized step overhead)."""
+    re-alignment roll outweighs amortized step overhead).
+
+    Under `jax.shard_map` (render/compose.py mesh branch) each device
+    runs this kernel over its local contiguous TILE-ROW slice of the
+    padded output grid: `n_rows` is the local row count and `row0` a
+    traced i32 global tile-row offset (scalar-prefetched; index maps
+    and the pixel-coordinate/covered logic all use the global row).
+    Rows past tiles_y (row padding to the mesh size) quantize the bare
+    background and are cropped by assemble_u8."""
     from .pallas_raster import _shape_step
 
     scalar_inputs = [None]   # slot 0: starts (filled at call)
+    row0_slot = None
+    if row0 is not None:
+        row0_slot = len(scalar_inputs)
+        scalar_inputs.append(
+            jnp.asarray(row0, jnp.int32).reshape(1))
     tensor_inputs, in_specs = [], []
 
     def add_input(arr, index_map=None):
@@ -128,6 +142,10 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
         scalar_inputs.append(arr)
         return len(scalar_inputs) - 1
 
+    def grow(i_, s_):
+        """Global tile row from a (possibly shard-local) grid row."""
+        return i_ if row0_slot is None else i_ + s_[row0_slot][0]
+
     body_plan = []  # (kind, ref index/aux, static data)
     for op in ops:
         if op[0] == "img":
@@ -137,7 +155,7 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
 
             def imap(i_, j_, *s_, ty0=ty0, tx0=tx0, ty_n=ty_n,
                      tx_n=tx_n):
-                return (jnp.clip(i_ - ty0, 0, ty_n - 1),
+                return (jnp.clip(grow(i_, s_) - ty0, 0, ty_n - 1),
                         jnp.clip(j_ - tx0, 0, tx_n - 1), 0, 0, 0)
 
             pos = add_input(img, imap)
@@ -148,11 +166,13 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
             rt = slab.shape[0]
 
             def imap_a(i_, j_, *s_, j0=j, rt=rt):
-                return (jnp.clip(s_[0][j0] // TILE_H + i_, 0, rt - 1),
+                return (jnp.clip(s_[0][j0] // TILE_H + grow(i_, s_),
+                                 0, rt - 1),
                         j_, 0, 0, 0)
 
             def imap_b(i_, j_, *s_, j0=j, rt=rt):
-                return (jnp.clip(s_[0][j0] // TILE_H + i_ + 1, 0, rt - 1),
+                return (jnp.clip(s_[0][j0] // TILE_H + grow(i_, s_) + 1,
+                                 0, rt - 1),
                         j_, 0, 0, 0)
 
             pa = add_input(slab, imap_a)
@@ -176,12 +196,14 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
                 continue
             c0 = op[3]
             ts = dimg.shape[1]
+            ty_n = dimg.shape[0]
 
-            def imap(i_, j_, *s_, c0=c0, ts=ts):
-                return (i_, jnp.clip(j_ - c0, 0, ts - 1), 0, 0, 0)
+            def imap(i_, j_, *s_, c0=c0, ts=ts, ty_n=ty_n):
+                return (jnp.clip(grow(i_, s_), 0, ty_n - 1),
+                        jnp.clip(j_ - c0, 0, ts - 1), 0, 0, 0)
 
             pos = add_input(dimg, imap)
-            body_plan.append(("dyn", pos, (c0, ts)))
+            body_plan.append(("dyn", pos, (c0, ts, ty_n)))
 
     n_in = len(tensor_inputs)
     n_scalar = len(scalar_inputs)
@@ -191,8 +213,12 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
         tn = refs[n_scalar:n_scalar + n_in]
         out_ref = refs[n_scalar + n_in]
         fb = refs[n_scalar + n_in + 1]
-        i = pl.program_id(0)
         j = pl.program_id(1)
+        # Global tile row (shard-local grid row + the shard's offset).
+        if row0_slot is None:
+            i = pl.program_id(0)
+        else:
+            i = pl.program_id(0) + sc[row0_slot][0]
         # Pixel-center coordinate grids (Mosaic iota is integer-only).
         py = (jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
@@ -257,6 +283,10 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
                 ps, pc, sb, sn = pos
                 c0, ts = aux
                 covered = (j >= c0) & (j < c0 + ts)
+                if row0_slot is not None:
+                    # Row padding to the mesh size: bins only span the
+                    # real tiles_y rows.
+                    covered &= i < tiles_y
 
                 @pl.when(covered)
                 def _(ps=ps, pc=pc, sb=sb, sn=sn, c0=c0, ts=ts):
@@ -284,8 +314,8 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
 
                     jax.lax.fori_loop(0, counts[tsub], body, 0)
             else:
-                c0, ts = aux
-                covered = (j >= c0) & (j < c0 + ts)
+                c0, ts, ty_n = aux
+                covered = (j >= c0) & (j < c0 + ts) & (i < ty_n)
 
                 @pl.when(covered)
                 def _(pos=pos):
@@ -297,9 +327,10 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
         q = jnp.clip(acc * 255.0 + 0.5, 0.0, 255.0)
         out_ref[0, 0] = q.astype(jnp.int32).astype(jnp.uint8)
 
+    g_rows = n_rows if n_rows is not None else tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalar,
-        grid=(tiles_y, tiles_x),
+        grid=(g_rows, tiles_x),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 4, TILE_H, TILE_W),
                                lambda i, j, *s: (i, j, 0, 0, 0)),
@@ -312,7 +343,7 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (tiles_y, tiles_x, 4, TILE_H, TILE_W), jnp.uint8),
+            (g_rows, tiles_x, 4, TILE_H, TILE_W), jnp.uint8),
         interpret=interpret,
     )(*scalar_inputs, *tensor_inputs)
-    return out5.reshape(tiles_y * tiles_x, 4, TILE_H, TILE_W)
+    return out5.reshape(g_rows * tiles_x, 4, TILE_H, TILE_W)
