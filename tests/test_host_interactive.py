@@ -564,3 +564,67 @@ def test_render_worker_renders_frames_through_dump(temp_repo, monkeypatch,
 
     img = np.asarray(Image.open(dump))
     assert img.shape[2] in (3, 4) and img.std() > 1.0  # real pixels
+
+
+# ---------------------------------------------------------------------------
+# Degraded host-side present (VERDICT r4 #1, host/degraded.py): during a
+# link stall the PICTURE stays live — host-rasterized cell frames with a
+# link chip, swapped back out by the next device frame.
+# ---------------------------------------------------------------------------
+
+def test_degraded_rasterize_cells_paints_fills_and_text():
+    import numpy as np
+
+    from whisper_git_tpu.host.degraded import rasterize_cells
+    from whisper_git_tpu.ui import column, rect, text
+    from whisper_git_tpu.ui.layout import layout_tree
+
+    ui = column(
+        rect(width="fill", height=32, fill=(0.8, 0.1, 0.1, 1.0)),
+        rect(text("hello hello hello", color=(1.0, 1.0, 1.0, 1.0)),
+             width="fill", flex=1, fill=(0.1, 0.1, 0.8, 1.0)),
+        width="fill", height="fill")
+    root = layout_tree(ui, (256.0, 128.0))
+    grid = rasterize_cells(root, (256.0, 128.0), 32, 64,
+                           (0.0, 0.0, 0.0))
+    assert grid.shape == (32, 64, 3) and grid.dtype == np.uint8
+    # Top band red, lower band blue.
+    assert grid[2, 32, 0] > 150 and grid[2, 32, 2] < 80
+    assert grid[24, 2, 2] > 150 and grid[24, 2, 0] < 80
+    # The text row is measurably brighter than bare blue fill (coverage
+    # smear blends the white text color in).
+    bare = grid[28].astype(int).sum()
+    texty = grid[9].astype(int).sum()
+    assert texty > bare + 500, (texty, bare)
+
+
+def test_degraded_present_chip_and_device_swap_back():
+    import numpy as np
+
+    out = io.StringIO()
+    d = TermDisplay((64, 32), out=out)
+    d.rows, d.cols = 8, 16
+    assert d.device_frame_age() >= 0.0 and d.degraded_frames == 0
+    host = np.full((16, 16, 3), 40, np.uint8)
+    d.present_host_cells(host, chip=" approx ")
+    assert d.degraded_frames == 1 and d._degraded_active
+    assert "approx" in out.getvalue()
+    # The next DEVICE frame swaps back: chip row forced dirty even when
+    # its cell colors happen to be unchanged.
+    n0 = len(out.getvalue())
+    dev = np.full((16, 16, 3), 40, np.uint8)   # same colors as host grid
+    d._present(dev)
+    assert not d._degraded_active
+    assert d.device_frames == 1 and d.device_frame_age() < 5.0
+    emitted = out.getvalue()[n0:]
+    assert "\x1b[1;1H" in emitted, "chip row was not repainted"
+
+
+def test_degraded_present_rejects_stale_size():
+    import numpy as np
+
+    out = io.StringIO()
+    d = TermDisplay((64, 32), out=out)
+    d.rows, d.cols = 8, 16
+    d.present_host_cells(np.zeros((10, 10, 3), np.uint8))
+    assert d.degraded_frames == 0 and out.getvalue() == ""

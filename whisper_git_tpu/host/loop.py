@@ -238,6 +238,18 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
         render_thread = threading.Thread(target=_render_worker,
                                          daemon=True, name="wgit-render")
         render_thread.start()
+    # Degraded host-side present (host/degraded.py): when the device
+    # link goes quiet the picture must stay live, not just the input
+    # loop. Two triggers: an INPUT ECHO right after an interaction the
+    # device present is already late for, and an OUTAGE repaint cadence
+    # while a POSTED frame is overdue (an idle screen whose last post
+    # WAS presented is current — never degrade it). The next device
+    # frame swaps the real pixels back in.
+    ECHO_AFTER_S = 0.08
+    OUTAGE_AFTER_S = 0.25
+    last_degraded_paint = 0.0
+    last_post_t = None
+    had_input = False
     try:
         while not app.quit_requested:
             if hb_fd is not None:
@@ -256,6 +268,30 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                     render_box[0] = (root, int(viewport[0]),
                                      int(viewport[1]))
                     render_cv.notify()
+                if last_post_t is None \
+                        or display is None \
+                        or display.presented_since(last_post_t):
+                    last_post_t = time.monotonic()
+            if display is not None:
+                age = display.device_frame_age()
+                nowd = time.monotonic()
+                overdue = (last_post_t is not None
+                           and not display.presented_since(last_post_t)
+                           and nowd - last_post_t > OUTAGE_AFTER_S)
+                if (had_input and age > ECHO_AFTER_S) or (
+                        overdue and nowd - last_degraded_paint > 0.15):
+                    from ..ui.theme import DARK
+
+                    from .degraded import rasterize_cells
+
+                    chip = (f" ◈ link stalled {age:.0f}s — approximate "
+                            if age > 0.5 else None)
+                    grid = rasterize_cells(root, viewport,
+                                           display.rows * 2,
+                                           display.cols, DARK.background)
+                    display.present_host_cells(grid, chip)
+                    last_degraded_paint = time.monotonic()
+            had_input = False
             frames += 1
             if max_frames is not None and frames >= max_frames:
                 break
@@ -287,6 +323,7 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                             need_frame = _route_mouse(app, runner, display,
                                                       ev) or need_frame
                         if need_frame:
+                            had_input = True
                             break
                     if proxy.pending():
                         break

@@ -81,6 +81,20 @@ class TermDisplay:
         # of spraying escape sequences into the restored shell.
         self._write_lock = threading.Lock()
         self._writes_stopped = False
+        # Degraded host-side present (host/degraded.py): freshness of
+        # the last DEVICE frame, counters, and a mutex serializing the
+        # two producers' diff-emit state (_prev) — the present thread's
+        # device frames vs the UI thread's host-rasterized cells.
+        import time as _time
+
+        self._present_mutex = threading.Lock()
+        self._created_t = _time.monotonic()
+        self._last_device_present: float | None = None
+        self._last_degraded_t = 0.0
+        self._degraded_active = False
+        self.degraded_frames = 0
+        self.device_frames = 0
+        self._stats_path = os.environ.get("WGIT_PRESENT_STATS")
 
     def __enter__(self):
         self.out.write(_ENTER)
@@ -108,6 +122,15 @@ class TermDisplay:
         finally:
             if got:
                 self._write_lock.release()
+        if self._stats_path:
+            try:
+                import json
+
+                with open(self._stats_path, "w") as f:
+                    json.dump({"degraded_frames": self.degraded_frames,
+                               "device_frames": self.device_frames}, f)
+            except OSError:
+                pass
 
     # -- coordinates -----------------------------------------------------
 
@@ -259,10 +282,16 @@ class TermDisplay:
                     or _time.monotonic() - inflight[0][0]
                     >= self._drain_age_s()):
                 t_copy, g = inflight.popleft()
-                if inflight and not closing \
+                if (inflight or (self._degraded_active
+                                 and self._last_degraded_t > t_copy)) \
+                        and not closing \
                         and _time.monotonic() - t_copy \
                         > self.STALE_PRESENT_S:
-                    continue  # stale + newer in flight: drop, don't replay
+                    # Stale with NEWER content already out there (a
+                    # later device frame in flight, or a degraded host
+                    # frame painted after this copy started): drop —
+                    # don't replay the past after a congestion window.
+                    continue
                 self._last_fetch_ms = None
                 try:
                     self._present(g)
@@ -302,17 +331,96 @@ class TermDisplay:
         self._last_fetch_ms = (_time.monotonic() - t0) * 1e3
         if grid.shape != (self.rows * 2, self.cols, 3):
             return  # stale-size frame from before a terminal resize
-        top, bot = grid[0::2], grid[1::2]
-        prefix = ""
-        if getattr(self, "_need_clear", False):
-            self._need_clear = False
-            prefix = "\x1b[2J"
-        payload = prefix + self._diff_emit(top, bot)
-        with self._write_lock:
-            if self._writes_stopped:
-                return
-            self.out.write(payload)
-            self.out.flush()
+        with self._present_mutex:
+            if self._degraded_active:
+                # Real pixels are back. The approximated cells live in
+                # _prev, so the normal diff repaints exactly the cells
+                # that differ; only the chip TEXT bypassed the cell
+                # grid — force its row dirty so it is overwritten.
+                self._degraded_active = False
+                if getattr(self, "_chip_drawn", False):
+                    self._chip_drawn = False
+                    if self._prev is not None and len(self._prev):
+                        self._prev[0] = 255 - self._prev[0]
+            top, bot = grid[0::2], grid[1::2]
+            prefix = ""
+            if getattr(self, "_need_clear", False):
+                self._need_clear = False
+                prefix = "\x1b[2J"
+            payload = prefix + self._diff_emit(top, bot)
+            with self._write_lock:
+                if self._writes_stopped:
+                    return
+                self.out.write(payload)
+                self.out.flush()
+            self._last_device_present = _time.monotonic()
+            self.device_frames += 1
+            self._maybe_write_stats()
+
+    # -- degraded host-side present (host/degraded.py) ---------------------
+
+    def device_frame_age(self) -> float:
+        """Seconds since the last DEVICE frame reached the terminal
+        (since construction when none has yet — link warmup)."""
+        import time as _time
+
+        t = self._last_device_present
+        return _time.monotonic() - (self._created_t if t is None else t)
+
+    def presented_since(self, t: float) -> bool:
+        """Has a DEVICE frame reached the terminal since monotonic t?
+        (The loop's overdue-post detector: an idle screen whose last
+        posted frame was presented is current — never degrade it.)"""
+        p = self._last_device_present
+        return p is not None and p >= t
+
+    def present_host_cells(self, grid: np.ndarray,
+                           chip: str | None = None) -> None:
+        """Present a host-rasterized (rows*2, cols, 3) u8 cell grid from
+        the UI thread — the degraded path while the device link is
+        stalled. Serialized with device presents; the optional `chip`
+        text overlays the top-right corner (cleared by the full repaint
+        the next device frame triggers)."""
+        import time as _time
+
+        if grid.shape != (self.rows * 2, self.cols, 3):
+            return  # terminal resized since the caller sampled dims
+        with self._present_mutex:
+            top, bot = grid[0::2], grid[1::2]
+            payload = self._diff_emit(top, bot)
+            if chip:
+                chip = chip[:max(0, self.cols - 2)]
+                col = max(1, self.cols - len(chip) - 1)
+                payload += (f"\x1b[1;{col}H\x1b[48;2;120;84;20m"
+                            f"\x1b[38;2;255;226;150m{chip}\x1b[0m")
+                self._chip_drawn = True
+            with self._write_lock:
+                if self._writes_stopped:
+                    return
+                self.out.write(payload)
+                self.out.flush()
+            self._degraded_active = True
+            self._last_degraded_t = _time.monotonic()
+            self.degraded_frames += 1
+            self._maybe_write_stats()
+
+    def _maybe_write_stats(self) -> None:
+        """Present counters for the soak harness (WGIT_PRESENT_STATS):
+        rewritten every few presents and on exit — cheap, atomic-ish
+        (single small write)."""
+        if not self._stats_path:
+            return
+        total = self.degraded_frames + self.device_frames
+        if total % 20 and not self._closing:
+            return
+        try:
+            import json
+
+            with open(self._stats_path, "w") as f:
+                json.dump({"degraded_frames": self.degraded_frames,
+                           "device_frames": self.device_frames}, f)
+        except OSError:
+            pass
 
     def _diff_emit(self, top: np.ndarray, bot: np.ndarray) -> str:
         """Emit only cells whose colors changed since the previous frame."""

@@ -65,12 +65,47 @@ def wait_for(master: int, buf: bytearray, needle: bytes,
     return needle in buf
 
 
+def drain_pending(master: int, buf: bytearray) -> int:
+    """Read whatever is ALREADY buffered on `master`, without waiting.
+    Call before writing an input whose repaint latency will be measured
+    — otherwise ambient repaint traffic (pulse animation, degraded
+    present cadence) already in the pty buffer reads as an instant
+    response."""
+    got = 0
+    while True:
+        r, _, _ = select.select([master], [], [], 0)
+        if not r:
+            return got
+        try:
+            chunk = os.read(master, 65536)
+        except OSError:
+            return got
+        if not chunk:
+            return got
+        buf += chunk
+        got += len(chunk)
+
+
 def wait_growth(master: int, buf: bytearray, timeout: float
                 ) -> float | None:
-    """Seconds until new bytes arrive (a repaint), or None on timeout."""
+    """Seconds until the FIRST new bytes arrive (a repaint), or None on
+    timeout. Returns at the first chunk — the old implementation always
+    ran a full 0.05 s drain cycle before reporting, putting a 50 ms
+    floor under every latency it measured."""
     t0 = time.monotonic()
     end = t0 + timeout
-    while time.monotonic() < end:
-        if drain(master, buf, 0.05):
-            return time.monotonic() - t0
-    return None
+    while True:
+        remain = end - time.monotonic()
+        if remain <= 0.0:
+            return None
+        r, _, _ = select.select([master], [], [], min(remain, 0.5))
+        if not r:
+            continue
+        try:
+            chunk = os.read(master, 65536)
+        except OSError:
+            return None
+        if not chunk:
+            return None
+        buf += chunk
+        return time.monotonic() - t0

@@ -36,6 +36,7 @@ from .ptydrive import (
     ALT_EXIT,
     HALF_BLOCK,
     drain as _drain,
+    drain_pending as _drain_pending,
     open_sized_pty,
     wait_growth as _wait_repaint,
 )
@@ -106,6 +107,11 @@ def main() -> int:
     # keeps beating while presented bytes stall.
     hb_path = os.path.join(tmp, "heartbeat.log")
     env["WGIT_HEARTBEAT"] = hb_path
+    # Present counters (host/term_display.py): how many frames were
+    # DEVICE pixels vs degraded host-rasterized approximations — the
+    # proof the degraded-present path ran during link stalls.
+    stats_path = os.path.join(tmp, "present_stats.json")
+    env["WGIT_PRESENT_STATS"] = stats_path
     proc = subprocess.Popen([sys.executable, "-m", "whisper_git_tpu",
                              repo_path],
                             stdin=slave, stdout=slave,
@@ -160,6 +166,7 @@ def main() -> int:
         while time.monotonic() < deadline and proc.poll() is None:
             seq, pause = script[si % len(script)]
             si += 1
+            _drain_pending(master, buf)   # ambient repaint traffic out
             os.write(master, seq)
             dt = _wait_repaint(master, buf, 3.0)
             interactions += 1
@@ -209,6 +216,15 @@ def main() -> int:
                 crashes += [os.path.join(d, f) for f in os.listdir(d)
                             if f.startswith("crash-")]
         result["crash_logs"] = len(crashes)
+
+        # Present counters (degraded host-side present, VERDICT r4 #1).
+        try:
+            with open(stats_path) as sf:
+                stats = json.load(sf)
+            result["degraded_frames"] = stats.get("degraded_frames")
+            result["device_frames"] = stats.get("device_frames")
+        except (OSError, ValueError):
+            result["degraded_frames"] = None
 
         repaint_ms.sort()
         # First-cycle stalls are compile warmup (recorded, not gated) —
@@ -363,7 +379,8 @@ def main() -> int:
         json.dump(result, f, indent=1)
     print(json.dumps({k: result.get(k) for k in (
         "date", "backend", "ok", "first_frame_s", "interactions",
-        "repaint_p50_ms", "repaint_p95_ms", "rss_mb_final", "notes")}))
+        "repaint_p50_ms", "repaint_p95_ms", "degraded_frames",
+        "device_frames", "rss_mb_final", "notes")}))
     return 0 if ok else 1
 
 
