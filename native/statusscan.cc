@@ -27,6 +27,7 @@
 #include <cstdint>
 #include <deque>
 #include <mutex>
+#include <chrono>
 #include <thread>
 #include <cstdio>
 #include <cstring>
@@ -1344,6 +1345,19 @@ int scan_impl(const char* workdir_c, const char* git_dir_c,
               common_dir = common_dir_c;
   while (workdir.size() > 1 && workdir.back() == '/') workdir.pop_back();
 
+  // WGIT_SCAN_PROF=1: per-phase wall times to stderr (scale-budget
+  // diagnosis; zero cost when unset).
+  const bool prof = std::getenv("WGIT_SCAN_PROF") != nullptr;
+  auto t_prev = std::chrono::steady_clock::now();
+  auto phase = [&](const char* name) {
+    if (!prof) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "scanprof %-10s %7.2f ms\n", name,
+                 std::chrono::duration<double, std::milli>(now - t_prev)
+                     .count());
+    t_prev = now;
+  };
+
   // --- certainty preconditions -------------------------------------------
   ConfigFacts facts;
   const char* home = std::getenv("HOME");
@@ -1361,6 +1375,7 @@ int scan_impl(const char* workdir_c, const char* git_dir_c,
                                   &facts);
   if (home) scan_config_file(std::string(home) + "/.gitconfig", &facts);
   scan_config_file(common_dir + "/config", &facts);
+  phase("config");
   if (facts.dangerous) return kUncertain;
   if (attributes_dangerous(common_dir + "/info/attributes")) return kUncertain;
   // Global attributes: core.attributesFile, else the XDG default —
@@ -1391,6 +1406,7 @@ int scan_impl(const char* workdir_c, const char* git_dir_c,
   bool uncertain = false;
   if (!parse_index(git_dir + "/index", &index, &uncertain))
     return uncertain ? kUncertain : kError;
+  phase("index");
 
   ScanCtx ctx;
   ctx.workdir = workdir;
@@ -1418,6 +1434,7 @@ int scan_impl(const char* workdir_c, const char* git_dir_c,
     }
     ctx.tracked[e.path] = Tracked{&e};
   }
+  phase("tracked");
 
   // --- staged: HEAD tree vs index ------------------------------------------
   {
@@ -1537,6 +1554,8 @@ int scan_impl(const char* workdir_c, const char* git_dir_c,
     }
   }
 
+  phase("staged");
+
   // --- unstaged + untracked: one fused (possibly multithreaded) walk --------
   {
     auto base = std::make_shared<IgnoreNode>();
@@ -1558,8 +1577,10 @@ int scan_impl(const char* workdir_c, const char* git_dir_c,
     if (read_file(common_dir + "/info/exclude", &text))
       parse_ignore_lines(text, "", &base->pats);
     run_walk(&ctx, std::move(base), rec);
+    phase("walk");
     if (ctx.uncertain) return kUncertain;
     scan_unvisited(&ctx, rec);
+    phase("unvisited");
     if (ctx.uncertain) return kUncertain;
   }
 

@@ -52,6 +52,10 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "tpu: needs real TPU hardware; run WGIT_TPU_TESTS=1 pytest -m tpu")
+    config.addinivalue_line(
+        "markers",
+        "scale: large-repo budgets (100k commits / 25k files); run "
+        "WGIT_SCALE_TESTS=1 pytest -m scale")
 
 
 def pytest_collection_modifyitems(config, items):
@@ -72,6 +76,12 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "tpu" in item.keywords:
             item.add_marker(skip)
+    if not os.environ.get("WGIT_SCALE_TESTS"):
+        skip_scale = pytest.mark.skip(
+            reason="scale tier: run WGIT_SCALE_TESTS=1 pytest -m scale")
+        for item in items:
+            if "scale" in item.keywords:
+                item.add_marker(skip_scale)
 
 
 @pytest.fixture()

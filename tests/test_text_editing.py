@@ -355,3 +355,114 @@ def test_selection_renders_highlight(temp_repo):
     assert el.kind == "row"
     fills = [c.fill for c in el.children if c.fill is not None]
     assert fills and abs(fills[0][3] - 0.35) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Exact RTL caret mapping (VERDICT r4 ask #7): logical caret index →
+# visual slot via the bidi levels render/shaping.py already computes —
+# cosmic-text's caret behavior the reference inherits
+# (/root/reference/docs/render_engine.md:104-112).
+# ---------------------------------------------------------------------------
+
+def test_caret_slots_pure_rtl_hebrew():
+    from whisper_git_tpu.render.shaping import caret_slots, shape_visual
+
+    s = "שלום"                       # 4 Hebrew letters
+    vis = shape_visual(s)
+    assert vis == s[::-1]            # sanity: pure RTL reverses
+    # Caret before logical char k sits at visual slot n-k: logical
+    # start renders at the RIGHT edge, logical end at the LEFT.
+    assert caret_slots(s) == (4, 3, 2, 1, 0)
+
+
+def test_caret_slots_mixed_ltr_rtl():
+    from whisper_git_tpu.render.shaping import caret_slots
+
+    s = "ab" + "שלום" + "cd"         # LTR para with an RTL island
+    slots = caret_slots(s)
+    n = len(s)
+    assert len(slots) == n + 1
+    # Inside the LTR prefix/suffix the map is the identity.
+    assert slots[0] == 0 and slots[1] == 1 and slots[2] == 2
+    assert slots[7] == 7 and slots[8] == 8
+    # Inside the RTL island the caret walks RIGHT-to-LEFT visually:
+    # logical 3 (after one Hebrew letter) renders at the island's right
+    # edge minus one, etc.
+    assert slots[3] == 5 and slots[4] == 4 and slots[5] == 3
+    # Every slot stays inside the visual string.
+    assert all(0 <= v <= n for v in slots)
+
+
+def test_caret_insert_preserves_arabic_joining():
+    """The old logical-string caret insert snapped the letters around
+    the caret to isolated/final forms (the caret glyph broke the
+    joining context) — the visual insert must leave the rendered word
+    byte-identical apart from the caret glyph itself."""
+    from whisper_git_tpu.render.shaping import (
+        PRESHAPED,
+        caret_insert_visual,
+        shape_visual,
+    )
+
+    s = "محرر"                        # joins into medial forms
+    vis = shape_visual(s)
+    for k in range(len(s) + 1):
+        out = caret_insert_visual(s, k)
+        assert out.startswith(PRESHAPED)
+        assert out[1:].replace("▏", "") == vis, (
+            f"caret at {k} changed the rendered word: "
+            f"{out[1:]!r} vs {vis!r}")
+
+
+def test_insert_caret_routes_rtl_through_visual_map():
+    from whisper_git_tpu.render.shaping import PRESHAPED
+    from whisper_git_tpu.ui import insert_caret
+
+    out = insert_caret("שלום", 2)
+    assert out.startswith(PRESHAPED)
+    # Slot 2 of the visual reversal: "םו▏לש".
+    assert out[1:] == "םו▏לש"
+    # LTR path unchanged.
+    assert insert_caret("hello", 2) == "he▏llo"
+
+
+def test_caret_golden_positions_hebrew_subject():
+    """Golden x-positions: the caret glyph's measured x offset inside a
+    Hebrew subject must DESCEND as the logical index advances (RTL
+    text runs right-to-left) and match the prefix advance of the
+    visual slot exactly."""
+    from whisper_git_tpu.render.renderer import get_renderer
+    from whisper_git_tpu.render.shaping import caret_slots, shape_visual
+
+    m = get_renderer().measurer
+    s = "שלום"
+    vis = shape_visual(s)
+    slots = caret_slots(s)
+    size = 13.0
+    xs = []
+    for k in range(len(s) + 1):
+        from whisper_git_tpu.render.shaping import PRESHAPED
+
+        xs.append(m.width(PRESHAPED + vis[:slots[k]], size))
+    assert xs == sorted(xs, reverse=True), \
+        f"caret x must walk right-to-left: {xs}"
+    assert xs[-1] == 0.0 and xs[0] > 0.0
+
+
+def test_click_to_caret_roundtrip_rtl_and_ltr():
+    from whisper_git_tpu.render.renderer import get_renderer
+    from whisper_git_tpu.render.shaping import PRESHAPED, caret_slots, \
+        shape_visual
+
+    m = get_renderer().measurer
+    size = 13.0
+    for s in ("hello", "שלום", "ab" + "שלום" + "cd"):
+        vis = shape_visual(s)
+        slots = caret_slots(s)
+        for k in range(len(s) + 1):
+            x = m.width(PRESHAPED + vis[:slots[k]], size)
+            got = m.caret_index_from_click(s, size, x)
+            # Roundtrip: clicking exactly at caret k's x must return a
+            # caret at the same VISUAL position (logical k itself, or a
+            # logical index sharing the slot at run boundaries).
+            assert slots[got] == slots[k], (s, k, got)

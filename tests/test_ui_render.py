@@ -359,8 +359,9 @@ def test_atlas_covers_all_ui_glyphs():
                 for s in lit:
                     used.update(c for c in s if ord(c) > 126)
     # The half-block cell is terminal OUTPUT, never drawn via the atlas;
-    # box-drawing input echoes likewise.
-    exempt = set("▀│")
+    # box-drawing input echoes likewise; the degraded-present link chip
+    # (host/loop.py) is written straight to the terminal too.
+    exempt = set("▀│◈")
     missing = sorted((used - exempt) - charset)
     assert not missing, f"glyphs used in UI but absent from atlas: {missing}"
 

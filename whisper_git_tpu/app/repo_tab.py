@@ -464,6 +464,7 @@ class RepoTab:
         """Synchronous full refresh for the headless path (reference:
         repo_tab.rs:568 refresh_with_orphans, used by screenshot mode)."""
         rx = spawn_repo_state_refresh(self.repo, self.tab_id,
+                                      max_commits=self.commit_limit,
                                       include_orphans=include_orphans)
         result = rx.get(timeout=60)
         self.apply_state_result(result)

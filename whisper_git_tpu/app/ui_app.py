@@ -397,6 +397,22 @@ class WhisperApp:
         # paste targets the input UNDER the click (reference
         # src/host.rs:874-897), not whatever was focused before.
         self._focus_route_hit = True
+        # Click-to-caret: the Runner stashed the click x relative to the
+        # input's content origin — map it to a logical caret index,
+        # exact through bidi/Arabic shaping (atlas caret map). Without
+        # the stash (keyboard/Tab focus) the caret goes to the end.
+        relx = getattr(self, "pending_click_text_x", None)
+        self.pending_click_text_x = None
+        measurer = getattr(self, "click_measurer", None)
+        if relx is not None and measurer is not None:
+            value = self._input_read()
+            if value:
+                from ..ui.theme import DARK
+
+                idx = measurer.caret_index_from_click(
+                    value, DARK.font_size, relx)
+                self.input_cursor = None if idx >= len(value) else idx
+                self.input_anchor = None
         if arg in ("subject", "body"):
             self.focus = "staging"
         # Keep the modal form's own focus marker in sync so the caret

@@ -79,6 +79,42 @@ class RepoStateResult:
     elapsed_ms: float = 0.0
 
 
+_CG_LOCK = threading.Lock()
+_CG_LAST: dict = {}
+_CG_MIN_INTERVAL_S = 300.0
+
+
+def _maintain_commit_graph(repo: GitRepo) -> None:
+    """Keep a commit-graph file fresh in the background (fire-and-
+    forget, at most once per repo per 5 min). `git log --topo-order
+    --max-count=N` must otherwise walk the ENTIRE history before
+    emitting anything — 440 ms on a 100k-commit repo vs 44 ms with
+    generation numbers (measured; the reference's libgit2 revwalk pays
+    the same full-walk cost with no such escape). `--split` appends an
+    incremental layer proportional to NEW commits, so steady-state
+    maintenance is milliseconds."""
+    try:
+        key = repo.common_dir
+    except Exception:
+        return
+    now = time.monotonic()
+    with _CG_LOCK:
+        if now - _CG_LAST.get(key, 0.0) < _CG_MIN_INTERVAL_S:
+            return
+        while len(_CG_LAST) > 256:
+            _CG_LAST.pop(next(iter(_CG_LAST)))
+        _CG_LAST[key] = now
+
+    def work():
+        from ..gitcore.cli import run_git
+
+        run_git(repo.root, "commit-graph", "write", "--reachable",
+                "--split", check=False)
+
+    threading.Thread(target=work, daemon=True,
+                     name="wgit-commit-graph").start()
+
+
 def spawn_status_refresh(
     repo: GitRepo, tab_id: int,
     worktree_paths: Optional[list[str]] = None,
@@ -211,6 +247,7 @@ def spawn_repo_state_refresh(
         crash_log.breadcrumb(
             f"state refresh done (tab {tab_id}, {len(result.commits)} "
             f"commits, {result.elapsed_ms:.0f} ms)")
+        _maintain_commit_graph(repo)
         rx.put(result)
         if proxy is not None:
             proxy.send_event()

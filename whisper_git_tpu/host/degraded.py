@@ -34,6 +34,7 @@ import numpy as np
 _TEXT_COVERAGE = 0.25
 
 _COLOR_CACHE: dict = {}
+_GRID_BUF: dict = {}
 
 
 def _rgb255(color) -> np.ndarray:
@@ -53,7 +54,14 @@ def rasterize_cells(root, viewport: tuple[float, float], rows2: int,
     vw, vh = max(float(viewport[0]), 1.0), max(float(viewport[1]), 1.0)
     sx = cols / vw
     sy = rows2 / vh
-    grid = np.empty((rows2, cols, 3), np.float32)
+    # Reuse the accumulation buffer across frames (this runs several
+    # times a second during an outage — churning a fresh ~130 KB array
+    # per frame just feeds allocator fragmentation).
+    grid = _GRID_BUF.get((rows2, cols))
+    if grid is None:
+        _GRID_BUF.clear()
+        grid = _GRID_BUF[(rows2, cols)] = np.empty((rows2, cols, 3),
+                                                   np.float32)
     grid[:] = _rgb255(tuple(background[:3]))
     ceil = math.ceil
 

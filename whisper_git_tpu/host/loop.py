@@ -250,6 +250,16 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
     last_degraded_paint = 0.0
     last_post_t = None
     had_input = False
+    # WGIT_LEDGER=path: dump the aggregate cache ledger (ledger.py)
+    # every ~5 s so the soak can gate cache caps + bisect RSS growth.
+    ledger_path = os.environ.get("WGIT_LEDGER")
+    ledger_last = 0.0
+    # Interactive GC policy (host/gctune.py): gen2 pauses measured at
+    # 300-740 ms on 10k-commit histories — deferred to idle ticks.
+    from .gctune import idle_gc_tick, install_interactive_gc
+
+    install_interactive_gc()
+    last_input_t = time.monotonic()
     try:
         while not app.quit_requested:
             if hb_fd is not None:
@@ -257,6 +267,35 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                 if now_hb - hb_last >= 0.25:
                     hb_last = now_hb
                     os.write(hb_fd, f"{now_hb:.3f}\n".encode())
+            if time.monotonic() - ledger_last >= 5.0:
+                ledger_last = time.monotonic()
+                if ledger_path:
+                    try:
+                        import json
+
+                        from .. import ledger as _ledger
+
+                        snap = _ledger.snapshot()
+                        snap["_violations"] = _ledger.violations(snap)
+                        from ..render.renderer import compile_meter
+
+                        snap["_compile_meter"] = compile_meter()
+                        with open(ledger_path, "w") as lf:
+                            json.dump(snap, lf)
+                    except Exception:
+                        pass  # observability must never take the loop down
+                idle_gc_tick(time.monotonic() - last_input_t > 1.0)
+                try:
+                    # Return freed glibc arena pages to the OS: the
+                    # frame cadence churns small numpy buffers and the
+                    # allocator otherwise keeps the high-water mark
+                    # resident forever (RSS creep that is fragmentation,
+                    # not live data).
+                    import ctypes
+
+                    ctypes.CDLL("libc.so.6").malloc_trim(0)
+                except Exception:
+                    pass
             if render_err:
                 raise render_err[0]
             app.before_build()
@@ -324,6 +363,7 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                                                       ev) or need_frame
                         if need_frame:
                             had_input = True
+                            last_input_t = time.monotonic()
                             break
                     if proxy.pending():
                         break

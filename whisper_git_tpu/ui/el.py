@@ -137,7 +137,15 @@ def scroll(row_count: int, build, offset: float = 0.0,
 
 
 def insert_caret(value: str, cursor, caret: str = "▏") -> str:
-    """Place the caret glyph at `cursor` (None → end) within `value`."""
+    """Place the caret glyph at `cursor` (None → end) within `value`.
+    Bidi/Arabic input routes through the visual caret map
+    (render/shaping.caret_insert_visual): the caret renders at the
+    exact visual slot for the logical index, without breaking the
+    joining context around it."""
+    from ..render.shaping import caret_insert_visual, needs_shaping
+
+    if needs_shaping(value):
+        return caret_insert_visual(value, cursor, caret)
     if cursor is None:
         return value + caret
     c = max(0, min(int(cursor), len(value)))

@@ -82,6 +82,13 @@ class LayoutNode:
     def find_route_at(self, px: float, py: float, attr: str = "route"
                       ) -> Optional[str]:
         """Topmost route under a point (paint order = later wins)."""
+        node = self.find_route_node_at(px, py, attr)
+        return None if node is None else getattr(node.el, attr)
+
+    def find_route_node_at(self, px: float, py: float,
+                           attr: str = "route") -> Optional["LayoutNode"]:
+        """Topmost routed NODE under a point (the Runner uses its rect
+        for click-to-caret mapping inside text inputs)."""
         hit = None
         for node in self.walk():
             if getattr(node.el, attr) is None:
@@ -90,8 +97,9 @@ class LayoutNode:
                 cx, cy, cw, ch = node.clip
                 if not (cx <= px <= cx + cw and cy <= py <= cy + ch):
                     continue
-            if node.x <= px <= node.x + node.w and node.y <= py <= node.y + node.h:
-                hit = getattr(node.el, attr)
+            if node.x <= px <= node.x + node.w \
+                    and node.y <= py <= node.y + node.h:
+                hit = node
         return hit
 
 

@@ -68,7 +68,16 @@ class Runner:
             return None
         drag = self.root.find_route_at(x, y, attr="route_drag")
         self._drag = (drag, x, y) if drag else None
-        route = self.root.find_route_at(x, y)
+        node = self.root.find_route_node_at(x, y)
+        route = None if node is None else node.el.route
+        if route is not None and route.startswith("focus-input:"):
+            # Click-to-caret: hand the app the click x relative to the
+            # input's content origin plus this runner's measurer, so
+            # _act_focus_input can map it to a logical caret index
+            # (exact through bidi/Arabic via the shaped caret map).
+            self.app.pending_click_text_x = \
+                x - (node.x + float(node.el.padding[3]))
+            self.app.click_measurer = self.measurer
         t = time.monotonic() if now is None else now
         lt, lx, ly, lroute = self._last_click
         is_double = (route is not None and route == lroute
