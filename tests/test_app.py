@@ -1024,3 +1024,39 @@ def test_sidebar_page_navigation(temp_repo, git):
     assert tab.selected_sidebar_key == keys[0]
     app.on_key("PageUp")   # clamps at the top
     assert tab.selected_sidebar_key == keys[0]
+
+
+def test_row_memo_invalidates_on_late_diff_stats(temp_repo):
+    """Diff stats stream in AFTER rows are first built (chunked worker)
+    without a relayout — the per-row static-key memo (r5 perf work,
+    views/commit_graph.build_row) must rebuild the row with its ±chip
+    rather than replaying the stat-less El."""
+    from whisper_git_tpu.app.views.commit_graph import build_row
+
+    tab = make_tab(temp_repo)
+    oid = tab.commits[0].oid
+    # Strip the stats (as if the chunked worker hasn't landed yet).
+    tab.commits = [c.with_stats(None, None) if hasattr(c, "with_stats")
+                   else c for c in tab.commits]
+    import dataclasses
+    tab.commits = [dataclasses.replace(c, additions=None, deletions=None)
+                   for c in tab.commits]
+    el_before = build_row(tab, 0, {})
+    tab.apply_diff_stats({oid: (7, 3)})
+    assert tab.commits[0].additions == 7
+    el_after = build_row(tab, 0, {})
+    assert el_after is not el_before, \
+        "row memo replayed a stat-less row after stats arrived"
+
+    def texts(el):
+        out = []
+        stack = [el]
+        while stack:
+            n = stack.pop()
+            if n.kind == "text":
+                out.append(n.text)
+            stack.extend(n.children)
+        return out
+
+    joined = " ".join(texts(el_after))
+    assert "+7" in joined and ("−3" in joined or "-3" in joined), joined

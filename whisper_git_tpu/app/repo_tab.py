@@ -457,6 +457,10 @@ class RepoTab:
         self.commits = [
             c.with_stats(*stats[c.oid]) if c.oid in stats else c
             for c in self.commits]
+        # Row content changed without a relayout: bump the stats
+        # generation so per-row static-key memos (views/commit_graph)
+        # rebuild their chips.
+        self.stats_version = getattr(self, "stats_version", 0) + 1
 
     # -- sync refresh (headless / screenshot path) ---------------------------
 

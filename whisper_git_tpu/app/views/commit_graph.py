@@ -187,11 +187,15 @@ def build_row(tab, index: int, segments_by_row: dict,
     # pixels. Lets the layout pass and scene compiler replay the row from
     # cache while scrolling (see ui.layout/_render docs).
     lv = getattr(tab, "layout_version", 0)
-    # oid → (tips, tags) index, memoised per layout version: the cache key
-    # below is built for every visible row every frame, so it must not scan
-    # the full tip/tag lists each time.
-    ref_memo = getattr(tab, "_row_ref_memo", None)
-    if ref_memo is None or ref_memo[0] != lv:
+    # Per-(layout_version) STATIC key prefix per row index: oid, stats,
+    # row height, ref pills, pin — none of it changes between frames of
+    # one layout, and this key is assembled for every visible row every
+    # frame, so the per-frame work must be only the volatile parts
+    # (selection, search dim, time bucket, avatar, CI).
+    sgen = (lv, getattr(tab, "stats_version", 0), tab.pinned_oid,
+            show_avatars)
+    skey_memo = getattr(tab, "_row_skey_memo", None)
+    if skey_memo is None or skey_memo[0] != sgen:
         tips_by_oid: dict = {}
         for tip in tab.branch_tips:
             tips_by_oid.setdefault(tip.oid, []).append(
@@ -202,19 +206,27 @@ def build_row(tab, index: int, segments_by_row: dict,
         ref_memo = (lv, {k: tuple(v) for k, v in tips_by_oid.items()},
                     {k: tuple(v) for k, v in tags_by_oid.items()})
         tab._row_ref_memo = ref_memo
+        skey_memo = (sgen, {})
+        tab._row_skey_memo = skey_memo
+    ref_memo = tab._row_ref_memo
+    static_key = skey_memo[1].get(index)
+    if static_key is None:
+        static_key = (
+            "history-row", commit.oid, index % 2,
+            commit.additions, commit.deletions, rh,
+            (tab.tab_id, lv),  # new layout → new prims
+            ref_memo[1].get(commit.oid, ()),
+            ref_memo[2].get(commit.oid, ()),
+            commit.oid == tab.pinned_oid, show_avatars,
+        )
+        skey_memo[1][index] = static_key
     # Compare-range membership wash: EXACT rev-list set (an index
     # interval would mark interleaved other-branch commits the compare
     # diff excludes). design_feedback_feb2026.md:492 selection model.
     in_range = (tab.compare_range is not None
                 and commit.oid in tab.compare_set)
     cache_key = (
-        "history-row", commit.oid, index % 2, selected, bool(dimmed),
-        in_range,
-        commit.additions, commit.deletions, rh,
-        (tab.tab_id, lv),  # new layout → new prims
-        ref_memo[1].get(commit.oid, ()),
-        ref_memo[2].get(commit.oid, ()),
-        commit.oid == tab.pinned_oid, show_avatars,
+        static_key, selected, bool(dimmed), in_range,
         id(avatar_arr) if avatar_arr is not None else None,
         tuple(getattr(rollup, "states", ()) or ()),
         rel_time,

@@ -88,6 +88,9 @@ def install() -> None:
     register_dict("raster.win_host", R._WIN_HOST_CACHE, 33)
     register_dict("raster.win_dev", R._WIN_DEV_CACHE, 16)
     register_dict("layout.subtree", L._SUBTREE_LAYOUT_CACHE, 20_000)
+    from .render import scene as SC
+
+    register_dict("scene.splice_shift", SC._SPLICE_SHIFT_CACHE, 2048)
     register_dict("ui.el_memo", M._EL_MEMO, M._MAX_ENTRIES)
     try:
         from .app.views import commit_graph as CG

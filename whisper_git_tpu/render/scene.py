@@ -268,40 +268,67 @@ class _LayerAccum:
     # -- bulk splice (cached subtrees) ---------------------------------------
 
     def splice(self, chunks: "SubtreeChunks", dx: float, dy: float, clip):
-        cx0, cy0, cx1, cy1 = clip
+        # Shifted-array memo: a chrome panel splices at the SAME
+        # (dx, dy, clip) frame after frame, so the translated command
+        # arrays recur exactly — reuse them instead of re-copying and
+        # re-shifting every frame (keyed by the chunk's content uid; the
+        # arrays are append-only inputs to _pack's concatenate, never
+        # mutated). Measured: the splice pass was the single largest
+        # steady-state compile cost before this memo.
+        key = (chunks.uid, dx, dy, clip)
+        hit = _SPLICE_SHIFT_CACHE.get(key)
+        # Scroll-window comps are huge AND splice at a new dy every
+        # frame — caching them would fill the memo with megabyte
+        # entries that never recur. Chrome panels (the win) are small.
+        cacheable = (chunks.shapes.shape[0] + chunks.glyphs.shape[0]
+                     + chunks.images.shape[0]) <= 4000
+        if hit is None:
+            cx0, cy0, cx1, cy1 = clip
+            shift4 = np.asarray([dx, dy, dx, dy], np.float32)
 
-        def shifted_clips(rel: np.ndarray) -> np.ndarray:
-            out = rel.copy()
-            out[:, 0] = np.maximum(out[:, 0] + dx, cx0)
-            out[:, 1] = np.maximum(out[:, 1] + dy, cy0)
-            out[:, 2] = np.minimum(out[:, 2] + dx, cx1)
-            out[:, 3] = np.minimum(out[:, 3] + dy, cy1)
-            return out
+            def shifted_clips(rel: np.ndarray) -> np.ndarray:
+                out = rel + shift4
+                np.maximum(out[:, :2], (cx0, cy0), out=out[:, :2])
+                np.minimum(out[:, 2:], (cx1, cy1), out=out[:, 2:])
+                return out
 
-        if chunks.shapes.shape[0]:
+            s = sc = g = gc = im = imc = None
+            if chunks.shapes.shape[0]:
+                s = chunks.shapes.copy()
+                s[:, 1] += dx
+                s[:, 2] += dy
+                seg = s[:, 0] == 1.0
+                s[seg, 3] += dx
+                s[seg, 4] += dy
+                sc = shifted_clips(chunks.shape_clips)
+            if chunks.glyphs.shape[0]:
+                g = chunks.glyphs.copy()
+                g[:, 0] += dx
+                g[:, 1] += dy
+                gc = shifted_clips(chunks.glyph_clips)
+            if chunks.images.shape[0]:
+                im = chunks.images.copy()
+                im[:, 0] += dx
+                im[:, 1] += dy
+                imc = shifted_clips(chunks.image_clips)
+            hit = (s, sc, g, gc, im, imc)
+            if cacheable:
+                if len(_SPLICE_SHIFT_CACHE) > 2048:
+                    _SPLICE_SHIFT_CACHE.clear()
+                _SPLICE_SHIFT_CACHE[key] = hit
+        s, sc, g, gc, im, imc = hit
+        if s is not None:
             self._flush_shapes()
-            s = chunks.shapes.copy()
-            s[:, 1] += dx
-            s[:, 2] += dy
-            seg = s[:, 0] == 1.0
-            s[seg, 3] += dx
-            s[seg, 4] += dy
             self.shape_chunks.append(s)
-            self.shape_clip_chunks.append(shifted_clips(chunks.shape_clips))
-        if chunks.glyphs.shape[0]:
-            g = chunks.glyphs.copy()
-            g[:, 0] += dx
-            g[:, 1] += dy
+            self.shape_clip_chunks.append(sc)
+        if g is not None:
             self.glyph_chunks.append(g)
             self.glyph_color_chunks.append(chunks.glyph_colors)
-            self.glyph_clip_chunks.append(shifted_clips(chunks.glyph_clips))
-        if chunks.images.shape[0]:
+            self.glyph_clip_chunks.append(gc)
+        if im is not None:
             self._flush_images()
-            im = chunks.images.copy()
-            im[:, 0] += dx
-            im[:, 1] += dy
             self.image_chunks.append(im)
-            self.image_clip_chunks.append(shifted_clips(chunks.image_clips))
+            self.image_clip_chunks.append(imc)
         if chunks.dyn is not None:
             # Volatile side: route to this layer's dynamic tail when one
             # is tracked, else inline AFTER the static content so it still
@@ -311,6 +338,7 @@ class _LayerAccum:
 
 
 _CHUNK_UID = [0]
+_SPLICE_SHIFT_CACHE: dict = {}
 
 
 @dataclass
