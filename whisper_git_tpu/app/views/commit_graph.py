@@ -414,7 +414,13 @@ def history_view(tab, show_avatars: bool = True,
         frac_view = min(1.0, track_h / total_h)
         frac_pos = min(1.0 - frac_view,
                        tab.history_scroll / max(total_h, 1.0))
-        thumb = rect(width=6, height=max(30.0, frac_view * track_h),
+        # Content-quantize the thumb geometry (1 px steps): volatile
+        # elements with CONTINUOUS per-frame values defeat the dyn-pack/
+        # blob caches — one numpy re-bin + device upload every frame
+        # (measured; docs/performance.md cache rules). Sub-pixel thumb
+        # motion is invisible at a 6 px thumb.
+        frac_pos = round(frac_pos * track_h) / track_h
+        thumb = rect(width=6, height=round(max(30.0, frac_view * track_h)),
                      radius=3, fill=(1, 1, 1, 0.14),
                      route_drag="scroll-drag:history",
                      key="history-scrollbar", volatile=True)

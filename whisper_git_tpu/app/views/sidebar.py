@@ -242,10 +242,14 @@ def _sidebar_impl(tab) -> El:
         frac_view = min(1.0, track_h / total_h)
         frac_pos = min(1.0 - frac_view,
                        tab.sidebar_scroll / max(total_h, 1.0))
+        # Content-quantize (1 px): continuous volatile geometry defeats
+        # the per-frame dyn-pack/blob caches (docs/performance.md).
+        thumb_y = round(frac_pos * track_h)
+        thumb_h = round(max(24.0, frac_view * track_h))
         overlay = row(
             spacer(),
-            column(rect(width=5, height=frac_pos * track_h),
-                   rect(width=5, height=max(24.0, frac_view * track_h),
+            column(rect(width=5, height=thumb_y),
+                   rect(width=5, height=thumb_h,
                         radius=2.5, fill=(1, 1, 1, 0.14),
                         route_drag="scroll-drag:sidebar",
                         key="sidebar-scrollbar", volatile=True),

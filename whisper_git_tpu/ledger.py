@@ -76,7 +76,7 @@ def install() -> None:
                   lambda: C._img_cache_cap(12))
     register_dict("compose.slab", C._SLAB_CACHE,
                   lambda: C._img_cache_cap(24))
-    register_dict("compose.dyn_pack", C._DYN_PACK_CACHE, 64)
+    register_dict("compose.dyn_pack", C._DYN_PACK_CACHE, 512)
     register_dict("compose.plan", C._PLAN_CACHE,
                   lambda: C._img_cache_cap(6))
     register_dict("compose.blob_dev", C._BLOB_DEV_CACHE, 512)

@@ -475,7 +475,7 @@ def _dyn_layer_cached(lb, li: int, tiles_y: int, tiles_x: int,
     hit = _DYN_PACK_CACHE.get(key)
     if hit is None:
         hit = F._dyn_layer(lb, li, tiles_y, tiles_x, subgrid=subgrid)
-        while len(_DYN_PACK_CACHE) > 64:
+        while len(_DYN_PACK_CACHE) > 512:
             _DYN_PACK_CACHE.pop(next(iter(_DYN_PACK_CACHE)))
         _DYN_PACK_CACHE[key] = hit
     return hit
