@@ -220,3 +220,55 @@ def test_compose_kernel_active_and_matches_xla_blend_on_hw(
     diff = np.abs(np.asarray(kern).astype(np.int16)
                   - np.asarray(xla).astype(np.int16))
     assert diff.max() <= 1, f"kernel vs XLA on hw: {diff.max()} u8"
+
+
+def test_compose_kernel_inline_volatile_off_column_zero_on_hw(
+        tpu_renderer, monkeypatch):
+    """COMPILED Mosaic regression gate for the r4 advisor finding: an
+    inline volatile shape whose tile-column range starts at c0 >= 1
+    (the right-edge scrollbar-thumb case) must land at its true
+    position — the shape tables are x-translated to the tail's
+    sub-grid at pack time and the kernel evaluates them against
+    sub-grid-local pixel x (render/pallas_compose.py dyni branch).
+    Mirror of the interpret-mode gate in test_compose.py."""
+    from whisper_git_tpu.render import compose as C
+    from whisper_git_tpu.ui import rect, row, spacer, stack
+    from whisper_git_tpu.ui.theme import DARK
+
+    monkeypatch.delenv("WGIT_COMPOSE_KERNEL", raising=False)
+    assert C._kernel_mode()
+    width, height = 512, 128
+    ui = stack(
+        rect(width="fill", height="fill", fill=DARK.background),
+        row(spacer(154),
+            *[el for _ in range(3) for el in
+              (rect(width=12, height=12, radius=6,
+                    fill=(0.9, 0.6, 0.2, 0.9), volatile=True),
+               spacer(116))],
+            width="fill", height=60),
+        width="fill", height="fill")
+
+    def render():
+        _clear_device_caches()
+        root = tpu_renderer.layout(ui, (width, height))
+        scene = tpu_renderer.compile(root, (width, height),
+                                     DARK.background)
+        prepared = C.prepare_compose_dispatch(
+            scene, tpu_renderer.font_tex_device(),
+            tpu_renderer.image_atlas_device())
+        assert prepared is not None
+        dyn_meta = prepared[1]["meta"][1]
+        cols = [(m[2], m[3]) for m in dyn_meta if m[3] > m[2]]
+        assert any(c0 >= 1 for c0, _ in cols), cols
+        out = C.render_frame_composed(scene,
+                                      tpu_renderer.font_tex_device(),
+                                      tpu_renderer.image_atlas_device())
+        assert out is not None
+        return np.asarray(out)
+
+    kern = render()
+    monkeypatch.setenv("WGIT_COMPOSE_KERNEL", "0")
+    xla = render()
+    diff = np.abs(kern.astype(np.int16) - xla.astype(np.int16))
+    assert diff.max() <= 1, \
+        f"inline volatile at column >= 1 on hw: {diff.max()} u8"

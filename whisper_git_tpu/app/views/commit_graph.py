@@ -231,8 +231,9 @@ def build_row(tab, index: int, segments_by_row: dict,
         tuple(getattr(rollup, "states", ()) or ()),
         rel_time,
     )
-    memo_hit = _ROW_EL_MEMO.get(cache_key)
+    memo_hit = _ROW_EL_MEMO.pop(cache_key, None)
     if memo_hit is not None:
+        _ROW_EL_MEMO[cache_key] = memo_hit   # LRU re-insert
         return memo_hit
 
     # Graph cell prims in row-local coordinates.
@@ -361,8 +362,8 @@ def build_row(tab, index: int, segments_by_row: dict,
         route=None if commit.is_synthetic else f"select-commit:{commit.oid}",
         route_right=None if commit.is_synthetic else f"menu-commit:{commit.oid}",
         key=f"commit:{commit.oid}", cache_key=cache_key)
-    if len(_ROW_EL_MEMO) > 8192:
-        _ROW_EL_MEMO.clear()
+    while len(_ROW_EL_MEMO) > 4096:
+        _ROW_EL_MEMO.pop(next(iter(_ROW_EL_MEMO)))
     _ROW_EL_MEMO[cache_key] = el
     return el
 

@@ -254,6 +254,15 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
     # every ~5 s so the soak can gate cache caps + bisect RSS growth.
     ledger_path = os.environ.get("WGIT_LEDGER")
     ledger_last = 0.0
+    # WGIT_TRACEMALLOC=path: python-allocation growth attribution —
+    # snapshot at start-of-loop, write the top deltas to `path` at each
+    # housekeeping tick (RSS-creep bisection; ~2x alloc overhead).
+    tm_path = os.environ.get("WGIT_TRACEMALLOC")
+    tm_base = None
+    if tm_path:
+        import tracemalloc
+
+        tracemalloc.start(8)
     # Interactive GC policy (host/gctune.py): gen2 pauses measured at
     # 300-740 ms on 10k-commit histories — deferred to idle ticks.
     from .gctune import idle_gc_tick, install_interactive_gc
@@ -284,6 +293,23 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                             json.dump(snap, lf)
                     except Exception:
                         pass  # observability must never take the loop down
+                if tm_path:
+                    try:
+                        import tracemalloc
+
+                        snap = tracemalloc.take_snapshot().filter_traces(
+                            [tracemalloc.Filter(False, tracemalloc.__file__)])
+                        if tm_base is None:
+                            tm_base = snap
+                        else:
+                            diff = snap.compare_to(tm_base, "lineno")
+                            with open(tm_path, "w") as tf:
+                                for st in diff[:25]:
+                                    tf.write(f"{st.size_diff / 1024:.0f} KB "
+                                             f"(+{st.count_diff}) "
+                                             f"{st.traceback}\n")
+                    except Exception:
+                        pass
                 idle_gc_tick(time.monotonic() - last_input_t > 1.0)
                 try:
                     # Return freed glibc arena pages to the OS: the
@@ -323,8 +349,14 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
 
                     from .degraded import rasterize_cells
 
-                    chip = (f" ◈ link stalled {age:.0f}s — approximate "
-                            if age > 0.5 else None)
+                    if age <= 0.5:
+                        chip = None
+                    elif display.device_frames == 0:
+                        chip = (f" ◈ device warming up {age:.0f}s — "
+                                "approximate preview ")
+                    else:
+                        chip = (f" ◈ link stalled {age:.0f}s — "
+                                "approximate ")
                     grid = rasterize_cells(root, viewport,
                                            display.rows * 2,
                                            display.cols, DARK.background)

@@ -87,7 +87,7 @@ def install() -> None:
     register_dict("frame.chrome", F._CHROME_CACHE, 24)
     register_dict("raster.win_host", R._WIN_HOST_CACHE, 33)
     register_dict("raster.win_dev", R._WIN_DEV_CACHE, 16)
-    register_dict("layout.subtree", L._SUBTREE_LAYOUT_CACHE, 20_000)
+    register_dict("layout.subtree", L._SUBTREE_LAYOUT_CACHE, 8192)
     from .render import scene as SC
 
     register_dict("scene.splice_shift", SC._SPLICE_SHIFT_CACHE, 2048)
@@ -96,7 +96,7 @@ def install() -> None:
         from .app.views import commit_graph as CG
         from .app.views import diff as DV
 
-        register_dict("views.row_el_memo", CG._ROW_EL_MEMO, 8192)
+        register_dict("views.row_el_memo", CG._ROW_EL_MEMO, 4096)
         register_dict("views.diff_row_memo", DV._ROW_MODEL_MEMO, 4)
     except Exception:
         pass

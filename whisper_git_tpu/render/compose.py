@@ -19,17 +19,21 @@ pixels* of almost everything are unchanged too —
     are the only per-frame rasterization: one small blocks-kernel pass
     over a transparent canvas.
   * The frame is assembled by ONE jit dispatch that blends the layers
-    in z order. On TPU (single chip) the blend is the MOSAIC COMPOSE
-    KERNEL (render/pallas_compose.py): one pallas pass over output
-    tiles, cached layers held as i16 planar tile-rects cropped to
-    their ink, slab scroll-starts scalar-prefetched, u8 quantized
-    in-kernel — measured 1.8× faster than the best XLA schedule. On
-    CPU the blend is a hybrid XLA chain (big layers fused elementwise,
-    small crops as static region updates). Under a render mesh it
-    stays one fused full-frame elementwise pass row-sharded across
-    devices (region updates against a sharded output would fight
-    GSPMD). WGIT_COMPOSE_KERNEL=0 forces the XLA blend; =interpret
-    runs the kernel logic on CPU (tests).
+    in z order. On TPU the blend is the MOSAIC COMPOSE KERNEL
+    (render/pallas_compose.py): one pallas pass over output tiles,
+    cached layers held as i16 planar tile-rects cropped to their ink,
+    slab scroll-starts scalar-prefetched, u8 quantized in-kernel —
+    measured 1.8× faster than the best XLA schedule. Under a render
+    MESH the same kernel runs sharded via shard_map (each device owns
+    a contiguous tile-row slice of the row-padded grid, its global row
+    offset scalar-prefetched into the index maps; cached layers are
+    committed replicated at plan build) — multi-chip keeps the kernel
+    win instead of falling back to the XLA blend. On CPU the blend is
+    a hybrid XLA chain (big layers fused elementwise, small crops as
+    static region updates); a CPU mesh without the kernel override
+    uses one fused full-frame elementwise pass row-sharded across
+    devices. WGIT_COMPOSE_KERNEL=0 forces the XLA blend; =interpret
+    runs the kernel logic on CPU (tests, incl. under the mesh).
 
 Exactness: every layer preserves the kernel's per-command compositing
 internally; two bounded error terms separate it from the packed path —

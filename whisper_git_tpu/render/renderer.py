@@ -36,7 +36,10 @@ def enable_persistent_compile_cache() -> None:
         # the compile and execution hosts differ). The cache exists to
         # amortize accelerator-tunnel compiles only.
         return
-    cache_dir = os.path.join(
+    # WGIT_JAX_CACHE_DIR: explicit cache location — the soak pins it to
+    # a stable path so its hermetic XDG_CACHE_HOME doesn't force a cold
+    # compile cache every run (the warm-budget gate needs warm runs).
+    cache_dir = os.environ.get("WGIT_JAX_CACHE_DIR") or os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
         "whisper-git-tpu", "jax-cache")
     try:

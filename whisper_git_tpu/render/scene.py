@@ -654,8 +654,9 @@ class SceneCompiler:
         (cache_key, size). Steady-state scrolling replays rows as four
         numpy adds instead of a full walk."""
         key = (node.el.cache_key, round(node.w, 1), round(node.h, 1))
-        hit = self._subtree_cache.get(key)
+        hit = self._subtree_cache.pop(key, None)
         if hit is not None:
+            self._subtree_cache[key] = hit   # LRU re-insert
             return hit
         # track_dyn=True: volatile descendants freeze into the chunks'
         # `dyn` side, which splice() routes to the target layer's dynamic
@@ -671,8 +672,10 @@ class SceneCompiler:
             if d.shapes.shape[0] or d.glyphs.shape[0] \
                     or d.images.shape[0]:
                 chunks.dyn = d
-        if len(self._subtree_cache) > 20_000:
-            self._subtree_cache.clear()
+        # LRU cap (see ui/layout._SUBTREE_LAYOUT_CACHE): minute-
+        # bucketed row keys mint fresh entries forever in a session.
+        while len(self._subtree_cache) > 8192:
+            self._subtree_cache.pop(next(iter(self._subtree_cache)))
         self._subtree_cache[key] = chunks
         return chunks
 

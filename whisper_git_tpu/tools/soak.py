@@ -116,6 +116,12 @@ def main() -> int:
     # entries/bytes/caps, dumped by the frame loop every ~5 s.
     ledger_path = os.path.join(tmp, "ledger.json")
     env["WGIT_LEDGER"] = ledger_path
+    # Stable persistent-compile-cache location across soak runs: the
+    # hermetic XDG_CACHE_HOME above would otherwise force a cold cache
+    # (42 misses / 24 s of compiles measured), hiding warm behavior
+    # and inflating the early RSS curve.
+    env["WGIT_JAX_CACHE_DIR"] = os.path.join(
+        tempfile.gettempdir(), "wgit-soak-jax-cache")
     proc = subprocess.Popen([sys.executable, "-m", "whisper_git_tpu",
                              repo_path],
                             stdin=slave, stdout=slave,

@@ -250,12 +250,17 @@ def _layout(el: El, x: float, y: float, w: float, h: float,
             clip: Optional[tuple], m: TextMeasurer) -> LayoutNode:
     if el.cache_key is not None:
         key = (el.cache_key, round(w, 1), round(h, 1))
-        tpl = _SUBTREE_LAYOUT_CACHE.get(key)
+        # LRU, not clear-at-cap: content keys carry minute-bucketed
+        # timestamps, so a long session mints new entries every minute
+        # per visible row — unbounded-until-20k was a measured RSS
+        # creep (~MB/min). Hot steady-state entries stay resident.
+        tpl = _SUBTREE_LAYOUT_CACHE.pop(key, None)
         if tpl is None:
             tpl = _layout_impl(el, 0.0, 0.0, w, h, None, m)
-            if len(_SUBTREE_LAYOUT_CACHE) > 20_000:
-                _SUBTREE_LAYOUT_CACHE.clear()
-            _SUBTREE_LAYOUT_CACHE[key] = tpl
+            while len(_SUBTREE_LAYOUT_CACHE) > 8192:
+                _SUBTREE_LAYOUT_CACHE.pop(
+                    next(iter(_SUBTREE_LAYOUT_CACHE)))
+        _SUBTREE_LAYOUT_CACHE[key] = tpl
         return _shift_tree(tpl, x, y, clip)
     return _layout_impl(el, x, y, w, h, clip, m)
 
