@@ -50,6 +50,16 @@ def idle_gc_tick(idle: bool) -> float | None:
     if (idle and due >= IDLE_EVERY_S) or due >= BACKSTOP_S:
         t0 = time.perf_counter()
         gc.collect()
+        # Survivors of a full collect are long-lived (caches, memo
+        # entries, jax internals): freeze them so the NEXT collect
+        # scans only newer objects — the r5 device soak measured the
+        # backstop collect at ~1.7 s on a grown heap, which lands as a
+        # frame-loop gap when no idle window ever arrives. The app's
+        # object graph is acyclic where it matters (El/LayoutNode/
+        # chunk trees have no back-references), so refcounting still
+        # frees evicted frozen entries; true frozen cycles are bounded
+        # by the LRU caps and watched by the cache ledger.
+        gc.freeze()
         _STATE["last_full"] = time.monotonic()
         ms = (time.perf_counter() - t0) * 1e3
         _STATE["last_ms"] = ms

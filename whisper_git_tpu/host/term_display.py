@@ -394,15 +394,61 @@ class TermDisplay:
                 payload += (f"\x1b[1;{col}H\x1b[48;2;120;84;20m"
                             f"\x1b[38;2;255;226;150m{chip}\x1b[0m")
                 self._chip_drawn = True
+            # This runs on the UI THREAD (the present thread may be
+            # parked in a multi-second outage readback) — a full tty
+            # buffer must DROP the frame, not block input. Bounded
+            # non-blocking write; a truncated payload (mid-escape)
+            # forces a full clear+repaint on the next present.
             with self._write_lock:
                 if self._writes_stopped:
                     return
-                self.out.write(payload)
-                self.out.flush()
+                if not self._write_bounded(payload, budget_s=0.05):
+                    self._prev = None
+                    self._need_clear = True
+                    return
             self._degraded_active = True
             self._last_degraded_t = _time.monotonic()
             self.degraded_frames += 1
             self._maybe_write_stats()
+
+    def _write_bounded(self, payload: str, budget_s: float) -> bool:
+        """Write `payload` without ever blocking longer than `budget_s`
+        (O_NONBLOCK + select). Returns False when truncated/abandoned.
+        Non-fd outputs (StringIO in tests) write directly."""
+        import select as _select
+        import time as _time
+
+        try:
+            fd = self.out.fileno()
+        except (AttributeError, OSError, ValueError):
+            self.out.write(payload)
+            self.out.flush()
+            return True
+        try:
+            self.out.flush()
+        except OSError:
+            pass
+        data = payload.encode()
+        deadline = _time.monotonic() + budget_s
+        import fcntl
+
+        flags = fcntl.fcntl(fd, fcntl.F_GETFL)
+        fcntl.fcntl(fd, fcntl.F_SETFL, flags | os.O_NONBLOCK)
+        try:
+            off = 0
+            while off < len(data):
+                try:
+                    off += os.write(fd, data[off:off + 65536])
+                except BlockingIOError:
+                    remain = deadline - _time.monotonic()
+                    if remain <= 0:
+                        return off == len(data)
+                    _select.select([], [fd], [], remain)
+                except OSError:
+                    return False
+            return True
+        finally:
+            fcntl.fcntl(fd, fcntl.F_SETFL, flags)
 
     def _maybe_write_stats(self) -> None:
         """Present counters for the soak harness (WGIT_PRESENT_STATS):
