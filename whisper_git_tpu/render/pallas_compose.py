@@ -226,10 +226,15 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
         px = (jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
             + ((j * TILE_W).astype(jnp.float32) + 0.5))
+        # The accumulator carries RGB ONLY: the frame composes over an
+        # OPAQUE background, so output alpha is identically 1 — the
+        # alpha plane was write-only dead weight (a quarter of the
+        # scratch traffic and blend FLOPs; the compose probe put the
+        # empty-kernel floor at 0.113 of 0.196 ms/frame). Src alphas
+        # still drive the `over` blending, of course.
         fb[0] = jnp.full((TILE_H, TILE_W), background[0], jnp.float32)
         fb[1] = jnp.full((TILE_H, TILE_W), background[1], jnp.float32)
         fb[2] = jnp.full((TILE_H, TILE_W), background[2], jnp.float32)
-        fb[3] = jnp.ones((TILE_H, TILE_W), jnp.float32)
 
         def over_src(src, ymask=None):
             a = src[3]
@@ -240,8 +245,6 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
             fb[0] = src[0] + fb[0] * inv
             fb[1] = src[1] + fb[1] * inv
             fb[2] = src[2] + fb[2] * inv
-            fb[3] = src[3] * (1.0 if ymask is None else ymask) \
-                + fb[3] * inv
 
         def clip_mask(c0_, c1_, c2_, c3_):
             return ((px >= c0_) & (py >= c1_) & (px <= c2_) & (py <= c3_)
@@ -252,7 +255,6 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
             fb[0] = r * cov_a + fb[0] * inv
             fb[1] = g * cov_a + fb[1] * inv
             fb[2] = b * cov_a + fb[2] * inv
-            fb[3] = cov_a + fb[3] * inv
 
         for kind, pos, aux in body_plan:
             if kind == "img":
@@ -273,7 +275,9 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
                 both = _to_f32(jnp.concatenate(
                     [tn[pa][0, 0], tn[pb][0, 0]], axis=1))  # (4,2TH,TW)
                 # Rows [off, off+TH): circular-shift up, static slice
-                # (Mosaic has roll, not value dynamic_slice).
+                # (Mosaic has roll, not value dynamic_slice; the roll
+                # must happen AFTER dequant — Mosaic's rotate supports
+                # 32-bit lanes only, i16 fails to compile on hw).
                 src = pltpu.roll(both, -off, axis=1)[:, :TILE_H]
                 # y clip: pixel center in [cy0, cy1] (x clip is baked
                 # into the slab's pixels at build).
@@ -322,10 +326,12 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
                     over_src(_to_f32(tn[pos][0, 0]))
         # Quantize in-kernel: the output is planar u8 tiles (4 MB/frame
         # instead of a 25 MB f32 intermediate + quantize pass). Mosaic
-        # lacks a direct f32→u8 cast; hop through i32.
-        acc = jnp.stack([fb[0], fb[1], fb[2], fb[3]])
+        # lacks a direct f32→u8 cast; hop through i32. Alpha is the
+        # constant 255 (opaque background — see the RGB-only scratch).
+        acc = jnp.stack([fb[0], fb[1], fb[2]])
         q = jnp.clip(acc * 255.0 + 0.5, 0.0, 255.0)
-        out_ref[0, 0] = q.astype(jnp.int32).astype(jnp.uint8)
+        out_ref[0, 0, :3] = q.astype(jnp.int32).astype(jnp.uint8)
+        out_ref[0, 0, 3] = jnp.full((TILE_H, TILE_W), 255, jnp.uint8)
 
     g_rows = n_rows if n_rows is not None else tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -334,7 +340,7 @@ def compose_tiles(starts, images, slabs, dyns, *, ops: tuple,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 4, TILE_H, TILE_W),
                                lambda i, j, *s: (i, j, 0, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((4, TILE_H, TILE_W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((3, TILE_H, TILE_W), jnp.float32)],
     )
     if starts.shape[0] == 0:   # scalar-prefetch arrays must be nonempty
         starts = jnp.zeros((1,), jnp.int32)
