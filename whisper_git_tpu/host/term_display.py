@@ -385,7 +385,12 @@ class TermDisplay:
 
         if grid.shape != (self.rows * 2, self.cols, 3):
             return  # terminal resized since the caller sampled dims
-        with self._present_mutex:
+        # Bounded acquire: the present thread can hold this mutex while
+        # blocked in a slow terminal write — the UI thread must drop
+        # the degraded frame rather than wait behind it.
+        if not self._present_mutex.acquire(timeout=0.05):
+            return
+        try:
             top, bot = grid[0::2], grid[1::2]
             payload = self._diff_emit(top, bot)
             if chip:
@@ -395,21 +400,30 @@ class TermDisplay:
                             f"\x1b[38;2;255;226;150m{chip}\x1b[0m")
                 self._chip_drawn = True
             # This runs on the UI THREAD (the present thread may be
-            # parked in a multi-second outage readback) — a full tty
-            # buffer must DROP the frame, not block input. Bounded
+            # parked in a multi-second outage readback, or mid-write) —
+            # a full tty buffer or a held write lock must DROP the
+            # frame, not block input. Bounded lock + bounded
             # non-blocking write; a truncated payload (mid-escape)
             # forces a full clear+repaint on the next present.
-            with self._write_lock:
+            if not self._write_lock.acquire(timeout=0.05):
+                self._prev = None   # diff state updated but not emitted
+                self._need_clear = True
+                return
+            try:
                 if self._writes_stopped:
                     return
                 if not self._write_bounded(payload, budget_s=0.05):
                     self._prev = None
                     self._need_clear = True
                     return
+            finally:
+                self._write_lock.release()
             self._degraded_active = True
             self._last_degraded_t = _time.monotonic()
             self.degraded_frames += 1
             self._maybe_write_stats()
+        finally:
+            self._present_mutex.release()
 
     def _write_bounded(self, payload: str, budget_s: float) -> bool:
         """Write `payload` without ever blocking longer than `budget_s`
