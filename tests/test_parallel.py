@@ -287,3 +287,52 @@ def test_mesh_flip_without_cache_clear_is_safe(renderer):
         assert (outs["mesh1"] == outs["mesh2"]).all()
     finally:
         set_render_mesh(None)
+
+
+def test_sharded_kernel_prerendered_volatile_class(renderer, monkeypatch):
+    """The PRE-RENDERED volatile class ('dyn' — volatile images/glyphs,
+    unlike the inline 'dyni' shape class) through the sharded kernel:
+    its per-tail tile stack is row-indexed by the GLOBAL tile row with
+    a clamp, and the covered guard must exclude the mesh's row padding.
+    Compared against the single-chip interpret kernel at ±4/255."""
+    import numpy as np
+
+    from whisper_git_tpu.render import compose as C
+    from whisper_git_tpu.render import frame as F
+    from whisper_git_tpu.ui import image, rect, row, spacer, stack
+    from whisper_git_tpu.ui.theme import DARK
+
+    monkeypatch.setenv("WGIT_COMPOSE_KERNEL", "interpret")
+    monkeypatch.setenv("WGIT_FRAME_COMPOSE", "1")
+    tile = np.zeros((16, 16, 4), np.uint8)
+    tile[:, :, 0] = 220
+    tile[:, :, 3] = 255
+    # Height 320 → 5 tile rows: pads to 8 on the mesh (3 pad rows).
+    ui = stack(
+        rect(width="fill", height="fill", fill=DARK.background),
+        row(spacer(300),
+            image(tile, width=16, height=16, volatile=True),
+            width="fill", height=60),
+        width="fill", height="fill")
+
+    def render():
+        C.clear_caches()
+        F.clear_caches()
+        root = renderer.layout(ui, (512, 320))
+        scene = renderer.compile(root, (512, 320), DARK.background)
+        out = C.render_frame_composed(scene, renderer.font_tex_device(),
+                                      renderer.image_atlas_device())
+        assert out is not None
+        return np.asarray(out)
+
+    set_render_mesh(None)
+    ref = render()
+    assert ref[:, :, 0].max() >= 200, "volatile image not rendered"
+    mesh = make_mesh(8, dp=2)
+    set_render_mesh(mesh)
+    try:
+        got = render()
+    finally:
+        set_render_mesh(None)
+    diff = np.abs(ref.astype(np.int16) - got.astype(np.int16))
+    assert diff.max() <= 4, f"sharded dyn-class tail: {diff.max()} u8"
