@@ -92,7 +92,15 @@ def _maintain_commit_graph(repo: GitRepo) -> None:
     generation numbers (measured; the reference's libgit2 revwalk pays
     the same full-walk cost with no such escape). `--split` appends an
     incremental layer proportional to NEW commits, so steady-state
-    maintenance is milliseconds."""
+    maintenance is milliseconds.
+
+    WGIT_COMMIT_GRAPH=0 disables it: this is the one place the viewer
+    writes into a repository it was merely asked to display
+    (.git/objects/info/ — the same maintenance `git gc`/fetch perform,
+    but a shared checkout or externally-snapshotted .git may want the
+    viewer strictly read-only)."""
+    if os.environ.get("WGIT_COMMIT_GRAPH") in ("0", "off", "false"):
+        return
     try:
         key = repo.common_dir
     except Exception:

@@ -34,6 +34,7 @@ import numpy as np
 _TEXT_COVERAGE = 0.25
 
 _COLOR_CACHE: dict = {}
+_IMAGE_MEAN_CACHE: dict = {}
 _GRID_BUF: dict = {}
 
 
@@ -122,14 +123,26 @@ def rasterize_cells(root, viewport: tuple[float, float], rows2: int,
         elif kind == "image":
             if el.image_data is not None:
                 try:
+                    # id-keyed mean memo with a weakref finalizer: a
+                    # freed array's id can be reused by a DIFFERENT
+                    # image, so the entry must die with the array.
                     key = id(el.image_data)
-                    mean = _COLOR_CACHE.get(key)
+                    mean = _IMAGE_MEAN_CACHE.get(key)
                     if mean is None:
                         img = np.asarray(el.image_data)
                         mean = tuple(
                             img[..., :3].astype(np.float32).mean(
                                 axis=(0, 1)) / 255.0) + (1.0,)
-                        _COLOR_CACHE[key] = mean
+                        _IMAGE_MEAN_CACHE[key] = mean
+                        try:
+                            import weakref
+
+                            weakref.finalize(
+                                el.image_data,
+                                _IMAGE_MEAN_CACHE.pop, key, None)
+                        except TypeError:
+                            # Not weakref-able: don't cache at all.
+                            _IMAGE_MEAN_CACHE.pop(key, None)
                     blend(x, y, w, h, clip, mean, op)
                 except Exception:
                     pass

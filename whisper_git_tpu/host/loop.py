@@ -329,6 +329,17 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                         float(app.config.window_height))
             root = runner.prepare(viewport)
             if render_thread is not None:
+                # Was the render pipeline BEHIND before this post? (The
+                # previous posted frame still unpresented — the echo
+                # trigger below must key on genuine lag, not on
+                # time-since-last-present, which grows during healthy
+                # IDLE and would flash approximations on every
+                # keystroke after a pause.)
+                nowd = time.monotonic()
+                pipeline_behind = (
+                    display is not None and last_post_t is not None
+                    and not display.presented_since(last_post_t)
+                    and nowd - last_post_t > ECHO_AFTER_S)
                 with render_cv:
                     render_box[0] = (root, int(viewport[0]),
                                      int(viewport[1]))
@@ -337,26 +348,34 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                         or display is None \
                         or display.presented_since(last_post_t):
                     last_post_t = time.monotonic()
+            else:
+                pipeline_behind = False
             if display is not None:
-                age = display.device_frame_age()
                 nowd = time.monotonic()
+                warming = display.device_frames == 0
+                # How long the CURRENT content has been waiting (the
+                # oldest unpresented post) — the honest stall age.
+                wait_s = (nowd - last_post_t
+                          if last_post_t is not None else 0.0)
                 overdue = (last_post_t is not None
                            and not display.presented_since(last_post_t)
-                           and nowd - last_post_t > OUTAGE_AFTER_S)
-                if (had_input and age > ECHO_AFTER_S) or (
-                        overdue and nowd - last_degraded_paint > 0.15):
+                           and wait_s > OUTAGE_AFTER_S)
+                echo = (had_input and (warming or pipeline_behind)
+                        and nowd - last_degraded_paint > 0.03)
+                if echo or (overdue
+                            and nowd - last_degraded_paint > 0.15):
                     from ..ui.theme import DARK
 
                     from .degraded import rasterize_cells
 
-                    if age <= 0.5:
-                        chip = None
-                    elif display.device_frames == 0:
-                        chip = (f" ◈ device warming up {age:.0f}s — "
+                    if warming and wait_s > 0.5:
+                        chip = (f" ◈ device warming up {wait_s:.0f}s — "
                                 "approximate preview ")
-                    else:
-                        chip = (f" ◈ link stalled {age:.0f}s — "
+                    elif overdue and wait_s > 0.5:
+                        chip = (f" ◈ link stalled {wait_s:.0f}s — "
                                 "approximate ")
+                    else:
+                        chip = None
                     grid = rasterize_cells(root, viewport,
                                            display.rows * 2,
                                            display.cols, DARK.background)

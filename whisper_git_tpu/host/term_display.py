@@ -392,7 +392,16 @@ class TermDisplay:
             return
         try:
             top, bot = grid[0::2], grid[1::2]
-            payload = self._diff_emit(top, bot)
+            prefix = ""
+            if getattr(self, "_need_clear", False):
+                # A truncated earlier write may have left a dangling
+                # escape on the wire — during an outage the degraded
+                # path itself must emit the recovery clear (a device
+                # frame may not be coming for a while).
+                self._need_clear = False
+                self._prev = None
+                prefix = "\x1b[2J"
+            payload = prefix + self._diff_emit(top, bot)
             if chip:
                 chip = chip[:max(0, self.cols - 2)]
                 col = max(1, self.cols - len(chip) - 1)

@@ -689,9 +689,13 @@ _COVERS = [None]
 
 def set_coverage_probe(fn) -> None:
     """Install a cp→bool probe (the renderer's font-chain coverage) used
-    to gate presentation forms; invalidates the shape cache."""
+    to gate presentation forms; invalidates the shape AND caret-slot
+    caches (their keys encode only probe PRESENCE — a different probe
+    shapes differently, and a caret map must never outlive the visual
+    string it indexes into)."""
     _COVERS[0] = fn
     _shape_cached.cache_clear()
+    _caret_slots_cached.cache_clear()
 
 
 # Private-use sentinel: a string starting with this is ALREADY in

@@ -111,21 +111,28 @@ def build_scale_repo(commits: int = COMMITS, files: int = FILES,
     git("config", "user.email", "scale@example.com")
     git("config", "user.name", "Scale Fixture")
     git("config", "gc.auto", "0")
-    proc = subprocess.Popen(["git", "-C", path, "fast-import", "--quiet"],
-                            stdin=subprocess.PIPE,
-                            stdout=subprocess.DEVNULL,
-                            stderr=subprocess.PIPE)
-    try:
-        for chunk in _gen_stream(commits, files):
-            proc.stdin.write(chunk)
-        proc.stdin.close()
-        rc = proc.wait(timeout=600)
-        if rc != 0:
-            raise RuntimeError("fast-import failed: "
-                               + proc.stderr.read().decode()[-500:])
-    finally:
-        if proc.poll() is None:
-            proc.kill()
+    # stderr to a FILE, not a pipe: a warning-chatty fast-import would
+    # fill a 64 KB pipe while we are blocked writing its stdin —
+    # mutual deadlock with nothing draining either side.
+    err_path = os.path.join(path, ".fast-import-err")
+    with open(err_path, "wb") as err_f:
+        proc = subprocess.Popen(
+            ["git", "-C", path, "fast-import", "--quiet"],
+            stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
+            stderr=err_f)
+        try:
+            for chunk in _gen_stream(commits, files):
+                proc.stdin.write(chunk)
+            proc.stdin.close()
+            rc = proc.wait(timeout=600)
+            if rc != 0:
+                with open(err_path, "rb") as ef:
+                    tail = ef.read()[-500:].decode("utf-8", "replace")
+                raise RuntimeError("fast-import failed: " + tail)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+    os.unlink(err_path)
     git("checkout", "-q", "main")   # materialize the 25k-file tree
     with open(marker, "w") as f:
         f.write("ok\n")
