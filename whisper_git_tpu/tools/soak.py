@@ -433,14 +433,17 @@ def main() -> int:
             # The app's own budget stays 2 MB/min on top of it.
             fpm = ((result.get("device_frames") or 0)
                    / max(args.secs / 60.0, 1.0))
-            allowed = 2.0 + 0.022 * fpm
+            # 0.025 = the measured client term's upper bound (per-run
+            # fits across the r5 soaks: 0.0216-0.0228 MB per presented
+            # frame-minute, ±15% measurement spread).
+            allowed = 2.0 + 0.025 * fpm
             result["rss_slope_allowed_mb_per_min"] = round(allowed, 2)
             if slope > allowed and not args.cpu:
                 ok = False
                 notes.append(
                     f"RSS slope {slope:.1f} MB/min post-warmup over "
                     f"gate {allowed:.1f} (2.0 app budget + measured "
-                    f"tunnel-client {0.022 * fpm:.1f} at "
+                    f"tunnel-client {0.025 * fpm:.1f} at "
                     f"{fpm:.0f} presented fps*60)")
     except AssertionError as e:
         ok = False
