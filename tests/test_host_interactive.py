@@ -628,3 +628,45 @@ def test_degraded_present_rejects_stale_size():
     d.rows, d.cols = 8, 16
     d.present_host_cells(np.zeros((10, 10, 3), np.uint8))
     assert d.degraded_frames == 0 and out.getvalue() == ""
+
+
+def test_click_positions_caret_in_subject_input(temp_repo):
+    """End-to-end click-to-caret (r5): clicking inside the staging
+    subject input places the logical caret at the clicked x through the
+    Runner's node stash + the measurer's caret map, instead of always
+    jumping to the end."""
+    from whisper_git_tpu.app.repo_tab import RepoTab
+    from whisper_git_tpu.app.ui_app import WhisperApp
+    from whisper_git_tpu.render.renderer import get_renderer
+
+    tab = RepoTab.open(temp_repo)
+    tab.refresh_sync(include_orphans=False)
+    app = WhisperApp.with_tabs([tab])
+    view = tab.active_view()
+    view.draft_subject = "hello caret world"
+    r = get_renderer()
+    runner = Runner(app, measurer=r.measurer)
+    root = runner.prepare((1280.0, 800.0))
+    node = None
+
+    def walk(n):
+        nonlocal node
+        if (n.el.route or "").startswith("focus-input:subject"):
+            node = n
+        for c in n.children:
+            walk(c)
+
+    walk(root)
+    assert node is not None, "subject input not found"
+    text_x0 = node.x + float(node.el.padding[3])
+    # Click right after "hello " (6 chars) — measure that prefix.
+    px = text_x0 + r.measurer.width("hello ", 13.0)
+    runner.pointer_down(px, node.y + node.h / 2)
+    assert app.focused_input == "subject"
+    assert app.input_cursor == 6, app.input_cursor
+    # Click far past the end puts the caret at the end (None).
+    runner.pointer_up()
+    runner.pointer_down(node.x + node.w - 2.0, node.y + node.h / 2)
+    assert app.input_cursor is None
+    for tb in app.tabs:
+        tb.stop_workers()
