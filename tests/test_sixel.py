@@ -1,0 +1,89 @@
+"""Sixel presentation mode (host/sixel.py + WGIT_SIXEL=1): encoder
+roundtrip against a subset decoder (no sixel terminal exists in CI),
+palette exactness, RLE correctness, and display integration."""
+
+import io
+import os
+
+import numpy as np
+
+from whisper_git_tpu.host.sixel import (
+    decode_sixel,
+    encode_sixel,
+    palette_rgb,
+    quantize_332,
+)
+
+
+def _quantized(rgb):
+    idx = quantize_332(rgb)
+    out = np.zeros_like(rgb)
+    for c in np.unique(idx):
+        out[idx == c] = palette_rgb(int(c))
+    return out
+
+
+def test_roundtrip_structured_frame():
+    rng = np.random.RandomState(3)
+    rgb = np.zeros((23, 37, 3), np.uint8)   # non-multiple-of-6 height
+    rgb[:8] = (30, 40, 60)
+    rgb[8:, :20] = (200, 60, 60)
+    rgb[10:14, 25:33] = (60, 200, 120)
+    rgb[rng.randint(0, 23, 40), rng.randint(0, 37, 40)] = (255, 255, 0)
+    data = encode_sixel(rgb)
+    assert data.startswith(b"\x1bPq") and data.endswith(b"\x1b\\")
+    dec = decode_sixel(data)
+    assert dec.shape == rgb.shape
+    want = _quantized(rgb)
+    # Palette components travel as 0-100 percent: ±3 u8 rounding.
+    assert np.abs(dec.astype(int) - want.astype(int)).max() <= 3
+
+
+def test_roundtrip_random_noise():
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (12, 64, 3), np.uint8)
+    dec = decode_sixel(encode_sixel(rgb))
+    want = _quantized(rgb)
+    assert np.abs(dec.astype(int) - want.astype(int)).max() <= 3
+
+
+def test_rle_long_runs_compact():
+    rgb = np.zeros((6, 500, 3), np.uint8)
+    rgb[:] = (10, 200, 10)
+    data = encode_sixel(rgb)
+    # A solid band must RLE to a handful of bytes, not 500 chars.
+    assert len(data) < 200, len(data)
+    dec = decode_sixel(data)
+    assert np.abs(dec.astype(int)
+                  - _quantized(rgb).astype(int)).max() <= 3
+
+
+def test_display_sixel_present(monkeypatch):
+    """TermDisplay in sixel mode presents a DCS stream with a cursor
+    home, counts the frame as a device present, and skips cell
+    diffing."""
+    monkeypatch.setenv("WGIT_SIXEL", "1")
+    from whisper_git_tpu.host.term_display import TermDisplay
+
+    out = io.StringIO()
+    d = TermDisplay((64, 32), out=out)
+    assert d.sixel
+    frame = np.zeros((32, 64, 4), np.uint8)
+    frame[..., 0] = 180
+    frame[..., 3] = 255
+    d.show(frame)   # no thread: presents synchronously
+    s = out.getvalue()
+    assert "\x1b[H" in s and "\x1bPq" in s and s.endswith("\x1b\\")
+    assert d.device_frames == 1
+    # The emitted image decodes to the (possibly resized) frame colors.
+    payload = s[s.index("\x1bPq"):].encode("latin-1")
+    dec = decode_sixel(payload)
+    assert dec[..., 0].max() >= 160 and dec[..., 2].max() <= 3
+
+
+def test_display_halfblock_default(monkeypatch):
+    monkeypatch.delenv("WGIT_SIXEL", raising=False)
+    from whisper_git_tpu.host.term_display import TermDisplay
+
+    d = TermDisplay((64, 32), out=io.StringIO())
+    assert not d.sixel

@@ -89,6 +89,15 @@ class TermDisplay:
 
         self._present_mutex = threading.Lock()
         self._created_t = _time.monotonic()
+        # Sixel mode (WGIT_SIXEL=1): pixel-accurate frames in terminals
+        # with sixel graphics, instead of 2-pixel half-block cells. The
+        # frame downsamples on device to the terminal's pixel winsize
+        # (or stays 1:1 when unknown/larger) and each present is a full
+        # DCS stream — heavier per frame (~5-10 fps target), with the
+        # latest-wins mailbox absorbing the backpressure. Half-block
+        # remains the default presentation.
+        self.sixel = os.environ.get("WGIT_SIXEL") in ("1", "true")
+        self._sixel_size: tuple[int, int] | None = None
         self._last_device_present: float | None = None
         self._last_degraded_t = 0.0
         self._degraded_active = False
@@ -215,13 +224,31 @@ class TermDisplay:
                 if px is not None:
                     self._px_size = px
 
+    def _sixel_target(self, frame_shape) -> tuple[int, int]:
+        """Output pixel size for sixel mode: fit the frame into the
+        terminal's pixel winsize (1:1 when unknown or larger)."""
+        fh, fw = int(frame_shape[0]), int(frame_shape[1])
+        px = self._query_px_size()
+        if px is None:
+            return fh, fw
+        xp, yp = px
+        if xp >= fw and yp >= fh:
+            return fh, fw
+        s = min(xp / fw, yp / fh)
+        return max(6, int(fh * s)), max(8, int(fw * s))
+
     def show(self, frame_device) -> None:
         """Queue one device frame for presentation (non-blocking, latest
         wins). The downsample dispatch happens here (async on device);
         the blocking readback + terminal emit run on the present
         thread. Without the thread (tests), presents synchronously."""
         self._refresh_size()
-        grid_dev = _downsample(frame_device, self.rows * 2, self.cols)
+        if self.sixel:
+            th, tw = self._sixel_target(frame_device.shape)
+            self._sixel_size = (th, tw)
+            grid_dev = _downsample(frame_device, th, tw)
+        else:
+            grid_dev = _downsample(frame_device, self.rows * 2, self.cols)
         if self._thread is None:
             self._present(grid_dev)
             return
@@ -329,6 +356,12 @@ class TermDisplay:
         t0 = _time.monotonic()
         grid = np.asarray(grid_dev)  # device readback (blocks HERE only)
         self._last_fetch_ms = (_time.monotonic() - t0) * 1e3
+        if self.sixel:
+            if self._sixel_size is not None \
+                    and grid.shape[:2] != self._sixel_size:
+                return  # stale-size frame
+            self._present_sixel(grid)
+            return
         if grid.shape != (self.rows * 2, self.cols, 3):
             return  # stale-size frame from before a terminal resize
         with self._present_mutex:
@@ -490,6 +523,36 @@ class TermDisplay:
                            "device_frames": self.device_frames}, f)
         except OSError:
             pass
+
+    def _present_sixel(self, grid: np.ndarray) -> None:
+        """Full-frame sixel present: home the cursor and emit one DCS
+        stream (host/sixel.py). No cell diffing — sixel terminals
+        replace the image region wholesale."""
+        import time as _time
+
+        from .sixel import encode_sixel
+
+        payload = b"\x1b[H" + encode_sixel(grid[..., :3])
+        with self._present_mutex:
+            with self._write_lock:
+                if self._writes_stopped:
+                    return
+                try:
+                    fd = self.out.fileno()
+                    self.out.flush()
+                    off = 0
+                    while off < len(payload):
+                        off += os.write(fd, payload[off:off + 65536])
+                except (AttributeError, OSError, ValueError):
+                    try:
+                        self.out.write(
+                            payload.decode("latin-1"))
+                        self.out.flush()
+                    except OSError:
+                        return
+            self._last_device_present = _time.monotonic()
+            self.device_frames += 1
+            self._maybe_write_stats()
 
     def _diff_emit(self, top: np.ndarray, bot: np.ndarray) -> str:
         """Emit only cells whose colors changed since the previous frame."""
