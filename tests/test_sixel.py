@@ -30,7 +30,7 @@ def test_roundtrip_structured_frame():
     rgb[8:, :20] = (200, 60, 60)
     rgb[10:14, 25:33] = (60, 200, 120)
     rgb[rng.randint(0, 23, 40), rng.randint(0, 37, 40)] = (255, 255, 0)
-    data = encode_sixel(rgb)
+    data = encode_sixel(rgb, dither=False)
     assert data.startswith(b"\x1bPq") and data.endswith(b"\x1b\\")
     dec = decode_sixel(data)
     assert dec.shape == rgb.shape
@@ -42,7 +42,7 @@ def test_roundtrip_structured_frame():
 def test_roundtrip_random_noise():
     rng = np.random.RandomState(7)
     rgb = rng.randint(0, 256, (12, 64, 3), np.uint8)
-    dec = decode_sixel(encode_sixel(rgb))
+    dec = decode_sixel(encode_sixel(rgb, dither=False))
     want = _quantized(rgb)
     assert np.abs(dec.astype(int) - want.astype(int)).max() <= 3
 
@@ -50,7 +50,7 @@ def test_roundtrip_random_noise():
 def test_rle_long_runs_compact():
     rgb = np.zeros((6, 500, 3), np.uint8)
     rgb[:] = (10, 200, 10)
-    data = encode_sixel(rgb)
+    data = encode_sixel(rgb, dither=False)
     # A solid band must RLE to a handful of bytes, not 500 chars.
     assert len(data) < 200, len(data)
     dec = decode_sixel(data)
@@ -87,3 +87,24 @@ def test_display_halfblock_default(monkeypatch):
 
     d = TermDisplay((64, 32), out=io.StringIO())
     assert not d.sixel
+
+
+def test_dithering_reduces_mean_error_on_gradient():
+    x = np.linspace(0, 255, 256, dtype=np.float32)
+    rgb = np.zeros((24, 256, 3), np.uint8)
+    rgb[..., 2] = x[None, :].astype(np.uint8)      # blue gradient
+    rgb[..., 0] = 20
+    plain = decode_sixel(encode_sixel(rgb, dither=False))
+    dith = decode_sixel(encode_sixel(rgb, dither=True))
+    err_plain = np.abs(plain.astype(int) - rgb.astype(int)).mean()
+    err_dith = np.abs(dith.astype(int) - rgb.astype(int)).mean()
+    # Dithering trades banding for noise: the MEAN error must not get
+    # worse, and local 4x4 averages must track the gradient better.
+    k = 4
+    pa = plain[..., 2].reshape(6, 4, 64, 4).mean(axis=(1, 3))
+    da = dith[..., 2].reshape(6, 4, 64, 4).mean(axis=(1, 3))
+    ra = rgb[..., 2].reshape(6, 4, 64, 4).mean(axis=(1, 3))
+    assert np.abs(da - ra).mean() < np.abs(pa - ra).mean()
+    # Per-pixel error rises a little (that IS the dither trade) but
+    # must stay the same order — guards a broken threshold matrix.
+    assert err_dith <= err_plain * 1.5

@@ -4,7 +4,8 @@ The half-block presenter (term_display.py) shows two vertical pixels
 per character cell; terminals with sixel graphics (xterm -ti vt340,
 mlterm, wezterm, foot, konsole, iTerm2, …) can render the REAL
 framebuffer instead. This encoder turns an (H, W, 3) u8 frame into a
-DCS sixel stream using a fixed 256-color RGB palette (3-3-2 bits):
+DCS sixel stream using a fixed 252-color 6×7×6 RGB cube (6 blue
+levels — a 3-3-2 palette's 2-bit blue green-tints dark navy themes):
 
   * palette registers are declared once per stream (`#i;2;r;g;b` with
     0-100 percent components);
@@ -23,25 +24,29 @@ from __future__ import annotations
 
 import numpy as np
 
-# 3-3-2 fixed palette: index = (r>>5)<<5 | (g>>5)<<2 | (b>>6).
-_LEVELS_R = np.round(np.arange(8) * 255 / 7).astype(np.uint8)
-_LEVELS_G = np.round(np.arange(8) * 255 / 7).astype(np.uint8)
-_LEVELS_B = np.round(np.arange(4) * 255 / 3).astype(np.uint8)
+# 6×7×6 cube: index = r6*42 + g7*6 + b6 (252 registers).
+_NR, _NG, _NB = 6, 7, 6
+_LEVELS_R = np.round(np.arange(_NR) * 255 / (_NR - 1)).astype(np.uint8)
+_LEVELS_G = np.round(np.arange(_NG) * 255 / (_NG - 1)).astype(np.uint8)
+_LEVELS_B = np.round(np.arange(_NB) * 255 / (_NB - 1)).astype(np.uint8)
 
 
 def quantize_332(rgb: np.ndarray) -> np.ndarray:
-    """(H, W, 3) u8 → (H, W) palette indices (0..255)."""
-    r = (rgb[..., 0] >> 5).astype(np.uint16)
-    g = (rgb[..., 1] >> 5).astype(np.uint16)
-    b = (rgb[..., 2] >> 6).astype(np.uint16)
-    return ((r << 5) | (g << 2) | b).astype(np.uint8)
+    """(H, W, 3) u8 → (H, W) palette indices (0..251), NEAREST level
+    per channel. (Name kept from the original 3-3-2 scheme; the cube
+    is 6×7×6 now.)"""
+    r = (rgb[..., 0].astype(np.uint32) * (_NR - 1) + 127) // 255
+    g = (rgb[..., 1].astype(np.uint32) * (_NG - 1) + 127) // 255
+    b = (rgb[..., 2].astype(np.uint32) * (_NB - 1) + 127) // 255
+    return (r * (_NG * _NB) + g * _NB + b).astype(np.uint8)
 
 
 def palette_rgb(idx: int) -> tuple:
-    """Palette register → (r, g, b) u8."""
-    return (int(_LEVELS_R[(idx >> 5) & 7]),
-            int(_LEVELS_G[(idx >> 2) & 7]),
-            int(_LEVELS_B[idx & 3]))
+    """Palette register → (r, g, b) u8 (level centers: a bucket's level
+    is its round-trip representative)."""
+    r, rem = divmod(idx, _NG * _NB)
+    g, b = divmod(rem, _NB)
+    return (int(_LEVELS_R[r]), int(_LEVELS_G[g]), int(_LEVELS_B[b]))
 
 
 def _rle(chars: np.ndarray) -> bytes:
@@ -67,12 +72,30 @@ def _rle(chars: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def encode_sixel(rgb: np.ndarray) -> bytes:
-    """(H, W, 3) u8 frame → complete DCS sixel sequence (ESC P q …
-    ESC \\), 3-3-2 palette, cursor left at the frame's top-left band
-    position semantics of the terminal."""
+# 4×4 Bayer threshold matrix, centered at 0 (ordered dithering before
+# nearest-level quantization hides the cube's banding on gradients and
+# the slight hue cast on colors that land between levels).
+_BAYER4 = (np.array([[0, 8, 2, 10],
+                     [12, 4, 14, 6],
+                     [3, 11, 1, 9],
+                     [15, 7, 13, 5]], np.float32) + 0.5) / 16.0 - 0.5
+
+
+def _dither(rgb: np.ndarray) -> np.ndarray:
     h, w = rgb.shape[:2]
-    idx = quantize_332(rgb)
+    ty = np.tile(_BAYER4, ((h + 3) // 4, (w + 3) // 4))[:h, :w]
+    steps = np.array([255.0 / (_NR - 1), 255.0 / (_NG - 1),
+                      255.0 / (_NB - 1)], np.float32)
+    out = rgb.astype(np.float32) + ty[..., None] * steps
+    return np.clip(out, 0.0, 255.0).astype(np.uint8)
+
+
+def encode_sixel(rgb: np.ndarray, dither: bool = True) -> bytes:
+    """(H, W, 3) u8 frame → complete DCS sixel sequence (ESC P q …
+    ESC \\), 6×7×6 palette with ordered dithering, cursor left at the
+    frame's top-left band position semantics of the terminal."""
+    h, w = rgb.shape[:2]
+    idx = quantize_332(_dither(rgb) if dither else rgb)
     used = np.unique(idx)
     out = bytearray(b"\x1bPq")
     # Raster attributes: 1:1 aspect, frame size (lets terminals size
