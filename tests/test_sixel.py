@@ -108,3 +108,25 @@ def test_dithering_reduces_mean_error_on_gradient():
     # Per-pixel error rises a little (that IS the dither trade) but
     # must stay the same order — guards a broken threshold matrix.
     assert err_dith <= err_plain * 1.5
+
+
+def test_display_sixel_degraded_present(monkeypatch):
+    """Degraded host frames in sixel mode ship through the sixel pipe
+    (cell glyphs would overlay the image) and count as degraded."""
+    monkeypatch.setenv("WGIT_SIXEL", "1")
+    from whisper_git_tpu.host.term_display import TermDisplay
+
+    out = io.StringIO()
+    d = TermDisplay((64, 32), out=out)
+    frame = np.zeros((32, 64, 4), np.uint8)
+    frame[..., 2] = 200
+    frame[..., 3] = 255
+    d.show(frame)           # establishes the sixel target size
+    assert d.degraded_grid_size() == (32, 64)
+    host = np.zeros((32, 64, 3), np.uint8)
+    host[..., 1] = 150
+    n0 = len(out.getvalue())
+    d.present_host_cells(host, chip=" approx ")
+    s = out.getvalue()[n0:]
+    assert "\x1bPq" in s and "approx" in s
+    assert d.degraded_frames == 1 and d.device_frames == 1

@@ -376,9 +376,9 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                                 "approximate ")
                     else:
                         chip = None
-                    grid = rasterize_cells(root, viewport,
-                                           display.rows * 2,
-                                           display.cols, DARK.background)
+                    gr, gc = display.degraded_grid_size()
+                    grid = rasterize_cells(root, viewport, gr, gc,
+                                           DARK.background)
                     display.present_host_cells(grid, chip)
                     last_degraded_paint = time.monotonic()
             had_input = False

@@ -400,6 +400,14 @@ class TermDisplay:
         t = self._last_device_present
         return _time.monotonic() - (self._created_t if t is None else t)
 
+    def degraded_grid_size(self) -> tuple[int, int]:
+        """(rows, cols) the degraded rasterizer should produce: the
+        half-block cell grid normally; the sixel pixel target in sixel
+        mode (a cell-grid paint would overlay glyphs onto the image)."""
+        if self.sixel and self._sixel_size is not None:
+            return self._sixel_size
+        return self.rows * 2, self.cols
+
     def presented_since(self, t: float) -> bool:
         """Has a DEVICE frame reached the terminal since monotonic t?
         (The loop's overdue-post detector: an idle screen whose last
@@ -416,6 +424,9 @@ class TermDisplay:
         the next device frame triggers)."""
         import time as _time
 
+        if self.sixel:
+            self._present_host_sixel(grid, chip)
+            return
         if grid.shape != (self.rows * 2, self.cols, 3):
             return  # terminal resized since the caller sampled dims
         # Bounded acquire: the present thread can hold this mutex while
@@ -467,24 +478,63 @@ class TermDisplay:
         finally:
             self._present_mutex.release()
 
-    def _write_bounded(self, payload: str, budget_s: float) -> bool:
-        """Write `payload` without ever blocking longer than `budget_s`
-        (O_NONBLOCK + select). Returns False when truncated/abandoned.
-        Non-fd outputs (StringIO in tests) write directly."""
+    def _present_host_sixel(self, grid: np.ndarray,
+                            chip: str | None) -> None:
+        """Degraded present in SIXEL mode: the approximation renders at
+        the sixel pixel target and ships through the same DCS pipe (a
+        half-block cell paint would overlay glyphs onto the image).
+        UI-thread rules apply: bounded lock, bounded write."""
+        import time as _time
+
+        from .sixel import encode_sixel
+
+        if self._sixel_size is not None \
+                and grid.shape[:2] != self._sixel_size:
+            return
+        payload = b"\x1b[H" + encode_sixel(grid[..., :3])
+        if chip:
+            payload += (f"\x1b[1;1H\x1b[48;2;120;84;20m"
+                        f"\x1b[38;2;255;226;150m{chip}\x1b[0m"
+                        ).encode()
+        if not self._present_mutex.acquire(timeout=0.05):
+            return
+        try:
+            if not self._write_lock.acquire(timeout=0.05):
+                return
+            try:
+                if self._writes_stopped:
+                    return
+                if not self._write_bounded(payload, budget_s=0.2):
+                    return
+            finally:
+                self._write_lock.release()
+            self._degraded_active = True
+            self._last_degraded_t = _time.monotonic()
+            self.degraded_frames += 1
+            self._maybe_write_stats()
+        finally:
+            self._present_mutex.release()
+
+    def _write_bounded(self, payload, budget_s: float) -> bool:
+        """Write `payload` (str or bytes) without ever blocking longer
+        than `budget_s` (O_NONBLOCK + select). Returns False when
+        truncated/abandoned. Non-fd outputs (StringIO in tests) write
+        directly."""
         import select as _select
         import time as _time
 
         try:
             fd = self.out.fileno()
         except (AttributeError, OSError, ValueError):
-            self.out.write(payload)
+            self.out.write(payload if isinstance(payload, str)
+                           else payload.decode("latin-1"))
             self.out.flush()
             return True
         try:
             self.out.flush()
         except OSError:
             pass
-        data = payload.encode()
+        data = payload if isinstance(payload, bytes) else payload.encode()
         deadline = _time.monotonic() + budget_s
         import fcntl
 
