@@ -15,7 +15,13 @@ every interactive runtime uses applies here:
   * `idle_gc_tick(idle)` from the loop's housekeeping cadence: a full
     collection runs only when the user is idle (no input for a beat),
     at most every 15 s — plus a 90 s hard backstop so a session with no
-    idle windows still cannot accumulate unbounded cycles."""
+    idle windows still cannot accumulate unbounded cycles.
+
+Reference analog: none needed — Rust has no tracing GC, so the
+reference gets its pause-free frames for free; this module buys the
+same property back for the Python host (the no-sync-work-on-the-frame-
+thread rule, /root/reference/docs/async-engine-redesign.md:27-31,
+extended to the collector)."""
 
 from __future__ import annotations
 

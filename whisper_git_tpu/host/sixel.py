@@ -18,7 +18,12 @@ Everything is numpy + bytes assembly — a 1280×800 frame encodes in
 tens of milliseconds, fine for the ~5-10 fps this mode targets over a
 pty (the payload is hundreds of KB per frame; the latest-wins mailbox
 absorbs the backpressure). The half-block path remains the default —
-sixel is opt-in via WGIT_SIXEL=1 (see term_display)."""
+sixel is opt-in via WGIT_SIXEL=1 (see term_display).
+
+Reference analog: the Vulkan swapchain present
+(/root/reference/src/host.rs:420-550) — this environment has no
+display server, so pixel-accurate presentation goes through the
+terminal's sixel decoder instead of a surface."""
 
 from __future__ import annotations
 
