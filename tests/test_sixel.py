@@ -122,8 +122,10 @@ def test_display_sixel_degraded_present(monkeypatch):
     frame[..., 2] = 200
     frame[..., 3] = 255
     d.show(frame)           # establishes the sixel target size
-    assert d.degraded_grid_size() == (32, 64)
-    host = np.zeros((32, 64, 3), np.uint8)
+    # Degraded rasters at HALF the image target (UI-thread budget);
+    # the present path integer-upscales back to the image extent.
+    assert d.degraded_grid_size() == (16, 32)
+    host = np.zeros((16, 32, 3), np.uint8)
     host[..., 1] = 150
     n0 = len(out.getvalue())
     d.present_host_cells(host, chip=" approx ")

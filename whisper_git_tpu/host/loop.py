@@ -360,8 +360,13 @@ def run_loop(app: WhisperApp, max_frames: int | None = None) -> int:
                 overdue = (last_post_t is not None
                            and not display.presented_since(last_post_t)
                            and wait_s > OUTAGE_AFTER_S)
+                # Sixel-mode degraded paints cost ~10× a cell-grid one
+                # (reduced-res raster + encode on the UI thread):
+                # rate-limit accordingly.
+                echo_gap = 0.25 if getattr(display, "sixel", False) \
+                    else 0.03
                 echo = (had_input and (warming or pipeline_behind)
-                        and nowd - last_degraded_paint > 0.03)
+                        and nowd - last_degraded_paint > echo_gap)
                 if echo or (overdue
                             and nowd - last_degraded_paint > 0.15):
                     from ..ui.theme import DARK

@@ -174,10 +174,11 @@ def decode_sixel(data: bytes) -> np.ndarray:
                     k = e + 1 if body[e:e + 1] == b";" else e
                 palette[reg] = tuple(
                     round(p * 255 / 100) for p in parts[1:4])
-                i = k if body[k - 1:k] != b";" else k
+                i = k
             else:
+                # Color switch: x is untouched (the encoder rewinds
+                # to the band start with $ before each color).
                 color = reg
-                x = x  # color switch keeps x (encoder rewinds with $)
                 i = j
             continue
         if ch == b"$":

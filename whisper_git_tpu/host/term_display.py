@@ -177,6 +177,23 @@ class TermDisplay:
         closing the ~8×16 px pointer quantization for divider drags and
         hunk buttons."""
         w, h = self.viewport
+        if getattr(self, "sixel", False) \
+                and self._sixel_size is not None \
+                and self._px_size is not None \
+                and getattr(self, "_frame_size", None) is not None:
+            # The aspect-fit sixel image occupies tw×th TERMINAL pixels
+            # from the origin — clicks map through the image extent,
+            # not the full cell grid (a half-screen image would
+            # otherwise land every click ~2× off).
+            th, tw = self._sixel_size
+            fh, fw = self._frame_size
+            size = shutil.get_terminal_size((120, 40))
+            xp, yp = self._px_size
+            tpx = (col - 0.5) * xp / max(size.columns, 1)
+            tpy = (row - 0.5) * yp / max(size.lines, 1)
+            s = tw / max(fw, 1)
+            return (min(tpx / max(s, 1e-6), float(w)),
+                    min(tpy / max(s, 1e-6), float(h)))
         if self.pixel_mouse and self._px_size is not None:
             size = shutil.get_terminal_size((120, 40))
             xp, yp = self._px_size
@@ -226,15 +243,23 @@ class TermDisplay:
 
     def _sixel_target(self, frame_shape) -> tuple[int, int]:
         """Output pixel size for sixel mode: fit the frame into the
-        terminal's pixel winsize (1:1 when unknown or larger)."""
+        terminal's pixel winsize MINUS the reserved prompt line (a
+        full-height image would scroll the screen every present on
+        terminals with sixel scrolling enabled, the common default);
+        1:1 when the winsize is unknown or larger. Uses the cached
+        pixel winsize (_refresh_size re-queries on resize)."""
         fh, fw = int(frame_shape[0]), int(frame_shape[1])
-        px = self._query_px_size()
+        if self._px_size is None:
+            self._px_size = self._query_px_size()
+        px = self._px_size
         if px is None:
             return fh, fw
         xp, yp = px
-        if xp >= fw and yp >= fh:
+        size = shutil.get_terminal_size((120, 40))
+        yp_eff = int(yp * self.rows / max(size.lines, self.rows + 1))
+        if xp >= fw and yp_eff >= fh:
             return fh, fw
-        s = min(xp / fw, yp / fh)
+        s = min(xp / fw, yp_eff / fh)
         return max(6, int(fh * s)), max(8, int(fw * s))
 
     def show(self, frame_device) -> None:
@@ -246,6 +271,8 @@ class TermDisplay:
         if self.sixel:
             th, tw = self._sixel_target(frame_device.shape)
             self._sixel_size = (th, tw)
+            self._frame_size = (int(frame_device.shape[0]),
+                                int(frame_device.shape[1]))
             grid_dev = _downsample(frame_device, th, tw)
         else:
             grid_dev = _downsample(frame_device, self.rows * 2, self.cols)
@@ -402,10 +429,20 @@ class TermDisplay:
 
     def degraded_grid_size(self) -> tuple[int, int]:
         """(rows, cols) the degraded rasterizer should produce: the
-        half-block cell grid normally; the sixel pixel target in sixel
-        mode (a cell-grid paint would overlay glyphs onto the image)."""
-        if self.sixel and self._sixel_size is not None:
-            return self._sixel_size
+        half-block cell grid normally; in sixel mode HALF the image
+        target (a cell-grid paint would overlay glyphs onto the image;
+        full resolution would put ~100× the raster area plus the
+        encode on the UI thread — the present path integer-upscales).
+        Before the first device frame the target derives from the
+        viewport, so the warmup preview fills the screen rather than
+        rendering at postage-stamp cell size."""
+        if self.sixel:
+            if self._sixel_size is None:
+                w, h = self.viewport
+                self._sixel_size = self._sixel_target((int(h), int(w)))
+                self._frame_size = (int(h), int(w))
+            th, tw = self._sixel_size
+            return max(6, th // 2), max(8, tw // 2)
         return self.rows * 2, self.cols
 
     def presented_since(self, t: float) -> bool:
@@ -490,7 +527,17 @@ class TermDisplay:
 
         if self._sixel_size is not None \
                 and grid.shape[:2] != self._sixel_size:
-            return
+            # Rasterized at a reduced resolution (degraded_grid_size
+            # halves the target to keep the UI-thread raster+encode
+            # bounded): integer-upscale to the image extent.
+            th, tw = self._sixel_size
+            gh, gw = grid.shape[:2]
+            ky = max(1, -(-th // gh))
+            kx = max(1, -(-tw // gw))
+            if ky > 4 or kx > 4:
+                return  # stale size from before a resize
+            grid = np.repeat(np.repeat(grid, ky, axis=0), kx,
+                             axis=1)[:th, :tw]
         payload = b"\x1b[H" + encode_sixel(grid[..., :3])
         if chip:
             payload += (f"\x1b[1;1H\x1b[48;2;120;84;20m"
@@ -499,12 +546,16 @@ class TermDisplay:
         if not self._present_mutex.acquire(timeout=0.05):
             return
         try:
+            if getattr(self, "_need_clear", False):
+                self._need_clear = False
+                payload = b"\x1b[2J" + payload
             if not self._write_lock.acquire(timeout=0.05):
                 return
             try:
                 if self._writes_stopped:
                     return
                 if not self._write_bounded(payload, budget_s=0.2):
+                    self._need_clear = True
                     return
             finally:
                 self._write_lock.release()
@@ -584,22 +635,17 @@ class TermDisplay:
 
         payload = b"\x1b[H" + encode_sixel(grid[..., :3])
         with self._present_mutex:
+            if getattr(self, "_need_clear", False):
+                # Resize / truncated write: stale content outside the
+                # image never gets overwritten by the image itself.
+                self._need_clear = False
+                payload = b"\x1b[2J" + payload
             with self._write_lock:
                 if self._writes_stopped:
                     return
-                try:
-                    fd = self.out.fileno()
-                    self.out.flush()
-                    off = 0
-                    while off < len(payload):
-                        off += os.write(fd, payload[off:off + 65536])
-                except (AttributeError, OSError, ValueError):
-                    try:
-                        self.out.write(
-                            payload.decode("latin-1"))
-                        self.out.flush()
-                    except OSError:
-                        return
+                if not self._write_bounded(payload, budget_s=1.0):
+                    self._need_clear = True
+                    return
             self._last_device_present = _time.monotonic()
             self.device_frames += 1
             self._maybe_write_stats()
